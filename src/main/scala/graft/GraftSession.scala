@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory for the graft engine.
+  *
+  * Defaults are sized for `local[N]` single-JVM runs but every choice is
+  * cluster-safe: AQE on (runtime re-planning, skew-join splitting at scale),
+  * shuffle partitions pinned low for local mode (a real cluster would size
+  * this to ~2-3x total cores or rely on AQE coalescing), UTC session time
+  * zone for deterministic timestamp semantics against the DuckDB oracle.
+  */
+object GraftSession {
+  def local(
+      cores: Int = Runtime.getRuntime.availableProcessors(),
+      appName: String = "graft"): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    tune(spark)
+    spark
+  }
+
+  /** Runtime confs the engine needs regardless of who built the session
+    * (the driver harness builds its own `SparkSession` for `SparkEntry`).
+    * All of these are dynamic SQL confs, safe to set post-construction.
+    */
+  def tune(spark: SparkSession): SparkSession = {
+    // The driver-generated events.parquet stores TIMESTAMP(NANOS) which
+    // Spark's parquet reader rejects; read it as raw nanosecond longs and
+    // convert explicitly (see Tables.events).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark
+  }
+}
