@@ -20,7 +20,8 @@ object SparkEntry {
 
   private val groups: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
-      (qq.Relational.queries, qq.Relational.oracle)
+      (qq.Relational.queries, qq.Relational.oracle),
+      (qq.EventAnalytics.queries, qq.EventAnalytics.oracle)
     )
 
   /** One per implemented operator from SURVEY.md §2. */
