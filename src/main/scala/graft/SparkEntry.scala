@@ -21,7 +21,10 @@ object SparkEntry {
   private val groups: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (qq.Relational.queries, qq.Relational.oracle),
-      (qq.EventAnalytics.queries, qq.EventAnalytics.oracle)
+      (qq.EventAnalytics.queries, qq.EventAnalytics.oracle),
+      (qq.TextQueries.queries, qq.TextQueries.oracle),
+      (qq.DedupQueries.queries, qq.DedupQueries.oracle),
+      (qq.SimQueries.queries, qq.SimQueries.oracle)
     )
 
   /** One per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,142 @@
+package graft.queries
+
+import graft.dedup.Dedup
+import graft.io.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Deduplication queries over the `documents` table: exact, n-gram Jaccard,
+  * MinHash+LSH, SimHash. The oracle SQL is *generated from the same
+  * constants* as the Scala plans (hash coefficients, band layout, bit
+  * packing), so the DuckDB twin exercises the full candidate-generation +
+  * verification pipeline, not just the final pair list.
+  */
+object DedupQueries {
+
+  private val K = 3            // shingle size
+  private val NumPerms = 16    // minhash permutations
+  private val Bands = 4        // LSH bands (r = 4 rows/band)
+  private val JaccTh = 0.3     // exact-Jaccard report threshold
+  private val LshTh = 0.5      // LSH verify threshold
+  private val MaxHamming = 3   // simhash Hamming radius
+
+  def d1Exact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(Tables.documents(s, dir))
+
+  def d2JaccardPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(Tables.documents(s, dir), K, JaccTh)
+
+  def d3MinhashLsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLsh(Tables.documents(s, dir), K, NumPerms, Bands, LshTh)
+
+  def d4SimhashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(Tables.documents(s, dir), MaxHamming)
+      .withColumn("hamming", col("hamming").cast("long"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d1_exact_dedup" -> (d1Exact _),
+    "d2_jaccard_pairs" -> (d2JaccardPairs _),
+    "d3_minhash_lsh" -> (d3MinhashLsh _),
+    "d4_simhash_pairs" -> (d4SimhashPairs _)
+  )
+
+  // ---- generated DuckDB twins ----------------------------------------
+
+  /** (doc_id, sh) distinct word-K-shingles — lambda twin of Dedup.docShingles. */
+  private def shinglesSql: String =
+    s"""SELECT doc_id, unnest(list_distinct(
+       |    CASE WHEN len(tk) < $K THEN []::VARCHAR[]
+       |    ELSE list_transform(range(1, len(tk) - ${K - 2}), i -> array_to_string(tk[i:i+${K - 1}], ' '))
+       |    END)) AS sh
+       |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents)""".stripMargin
+
+  /** perm_i(id) with the Scala-side LCG constants folded into the text. */
+  private def permSql(i: Int, idExpr: String): String =
+    s"(${Dedup.hashA(i)} * $idExpr + ${Dedup.hashB(i)}) % ${Dedup.P}"
+
+  private def jaccardTailSql(candGate: String, th: Double): String =
+    s"""sizes AS (SELECT doc_id, COUNT(*) AS n FROM s GROUP BY doc_id),
+       |common AS (
+       |  SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS common
+       |  FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT i, j, CAST(common AS DOUBLE) / (na.n + nb.n - common) AS jc
+       |FROM common $candGate
+       |JOIN sizes na ON na.doc_id = i
+       |JOIN sizes nb ON nb.doc_id = j
+       |WHERE CAST(common AS DOUBLE) / (na.n + nb.n - common) >= $th""".stripMargin
+
+  private def lshSql: String = {
+    val r = NumPerms / Bands
+    val mins = (0 until NumPerms)
+      .map(i => s"MIN(${permSql(i, "sid")}) AS mh$i").mkString(",\n    ")
+    val bandSelects = (0 until Bands).map { b =>
+      val cols = (0 until r).map(j => s"mh${b * r + j}").mkString(", ")
+      s"SELECT doc_id, $b AS band, concat_ws(',', $cols) AS sig FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH s AS (
+       |  $shinglesSql
+       |), dict AS (
+       |  SELECT sh, CAST(dense_rank() OVER (ORDER BY sh) AS BIGINT) AS sid
+       |  FROM (SELECT DISTINCT sh FROM s)
+       |), sig AS (
+       |  SELECT doc_id,
+       |    $mins
+       |  FROM s JOIN dict USING (sh) GROUP BY doc_id
+       |), banded AS (
+       |  $bandSelects
+       |), cands AS (
+       |  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+       |),
+       |${jaccardTailSql("JOIN cands USING (i, j)", LshTh)}""".stripMargin
+  }
+
+  private def simhashSql: String = {
+    val bits = 16
+    val sums = (0 until bits)
+      .map(j => s"SUM(CASE WHEN ${permSql(j, "tid")} % 2 = 1 THEN 1 ELSE -1 END) AS s$j")
+      .mkString(",\n    ")
+    val packed = (0 until bits)
+      .map(j => s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END")
+      .mkString(" + ")
+    val blocks = (0 until 4)
+      .map(b => s"SELECT doc_id, simhash, $b AS blk, (simhash // ${1L << (4 * b)}) % 16 AS v FROM sig")
+      .mkString("\n  UNION ALL ")
+    s"""WITH t AS (
+       |  SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS tok
+       |  FROM documents
+       |), dict AS (
+       |  SELECT tok, CAST(dense_rank() OVER (ORDER BY tok) AS BIGINT) AS tid
+       |  FROM (SELECT DISTINCT tok FROM t)
+       |), sums AS (
+       |  SELECT doc_id,
+       |    $sums
+       |  FROM t JOIN dict USING (tok) GROUP BY doc_id
+       |), sig AS (
+       |  SELECT doc_id, CAST($packed AS BIGINT) AS simhash FROM sums
+       |), banded AS (
+       |  $blocks
+       |)
+       |SELECT DISTINCT a.doc_id AS i, b.doc_id AS j,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |FROM banded a JOIN banded b
+       |  ON a.blk = b.blk AND a.v = b.v AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= $MaxHamming""".stripMargin
+  }
+
+  val oracle: Map[String, String] = Map(
+    "d1_exact_dedup" ->
+      """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY text""".stripMargin,
+    "d2_jaccard_pairs" ->
+      s"""WITH s AS (
+         |  $shinglesSql
+         |),
+         |${jaccardTailSql("", JaccTh)}""".stripMargin,
+    "d3_minhash_lsh" -> lshSql,
+    "d4_simhash_pairs" -> simhashSql
+  )
+}

@@ -1,0 +1,120 @@
+package graft.queries
+
+import graft.io.Tables
+import graft.text.Text
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis queries over the `documents` table: token statistics,
+  * fingerprinting, quality scoring, language ID, token frequency — the
+  * text-pipeline capability layer (map-only projections + one word-count
+  * shuffle), each with a DuckDB oracle twin.
+  *
+  * All are map-side-only or single-shuffle plans: at 100 TB the projections
+  * (t1/t2) scan once with full column pruning, and t4 is the classic
+  * word-count (partial agg before the shuffle).
+  */
+object TextQueries {
+
+  /** Per-document token stats + rolling-hash fingerprint. Pure projection —
+    * no shuffle; at scale this is the cheap first pass over a raw corpus.
+    */
+  def t1TokenStats(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val toks = Text.tokens(col("text"))
+    d.select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      Text.sumTokenLen(toks).cast("long").as("sum_token_len"),
+      Text.fingerprint(col("text")).as("fp"))
+  }
+
+  /** Per-document quality metrics (length/stopword/token-shape heuristics —
+    * the cheap pre-filter before model-based scoring).
+    */
+  def t2Quality(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val metrics = Text.qualityMetrics(col("text")).collect {
+      case ("mean_token_len", c) => c.as("mean_token_len")
+      case ("stopword_ratio", c) => c.as("stopword_ratio")
+      case ("quality_score", c)  => c.as("quality_score")
+      case ("n_tokens", c)       => c.cast("long").as("n_tokens")
+    }
+    d.select(col("doc_id") +: col("n_chars") +: metrics: _*)
+  }
+
+  /** Language-ID confusion matrix: predicted vs labelled language counts. */
+  def t3LangConfusion(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("lang"), Text.langId(Text.tokens(col("text"))).as("lang_pred"))
+      .groupBy(col("lang"), col("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"))
+
+  /** Corpus token frequency, top 20 (deterministic tie-break on the token).
+    * Word-count shape: explode → partial agg map-side → one shuffle on the
+    * token → global top-k.
+    */
+  def t4TokenTopK(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(Text.tokens(col("text"))).as("tok"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok").asc)
+      .limit(20)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t1_token_stats" -> (t1TokenStats _),
+    "t2_quality" -> (t2Quality _),
+    "t3_lang_confusion" -> (t3LangConfusion _),
+    "t4_token_topk" -> (t4TokenTopK _)
+  )
+
+  /** DuckDB lambda twin of Text.tokens. */
+  private val toksSql = """regexp_split_to_array(trim(text), '\s+')"""
+
+  /** DuckDB CASE ladder mirroring Text.langId (same marker lists, same
+    * priority order, same >=-later tie-break).
+    */
+  private def langCaseSql: String = {
+    val hits = Text.LangMarkers.map { case (lang, words) =>
+      lang -> s"len(list_filter(tk, t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
+    }
+    val arms = hits.zipWithIndex.map { case ((lang, h), i) =>
+      val later = hits.drop(i + 1).map(_._2)
+      val cond = (s"$h > 0" +: later.map(o => s"$h >= $o")).mkString(" AND ")
+      s"WHEN $cond THEN '$lang'"
+    }
+    s"CASE ${arms.mkString(" ")} ELSE 'und' END"
+  }
+
+  val oracle: Map[String, String] = Map(
+    "t1_token_stats" ->
+      s"""SELECT doc_id,
+         |  CAST(len($toksSql) AS BIGINT) AS n_tokens,
+         |  CAST(list_sum(list_transform($toksSql, t -> length(t))) AS BIGINT) AS sum_token_len,
+         |  CAST(list_reduce(list_transform(string_split(text, ''), ch -> ascii(ch)::BIGINT),
+         |       (acc, c) -> (acc * 31 + c) % 2147483647) AS BIGINT) AS fp
+         |FROM documents""".stripMargin,
+    "t2_quality" ->
+      s"""WITH m AS (
+         |  SELECT doc_id, n_chars,
+         |    CAST(len(tk) AS BIGINT) AS n_tokens,
+         |    CAST(list_sum(list_transform(tk, t -> length(t))) AS DOUBLE) / len(tk) AS mean_token_len,
+         |    CAST(len(list_filter(tk, t -> t IN ('the','a','of','and','is'))) AS DOUBLE) / len(tk) AS stopword_ratio
+         |  FROM (SELECT doc_id, n_chars, $toksSql AS tk FROM documents)
+         |)
+         |SELECT doc_id, n_chars, n_tokens, mean_token_len, stopword_ratio,
+         |  greatest(least(0.5 * least(n_tokens / 100.0, 1.0)
+         |    + 0.3 * least(stopword_ratio * 5, 1.0)
+         |    + 0.2 * least(mean_token_len / 8, 1.0), 1.0), 0.0) AS quality_score
+         |FROM m""".stripMargin,
+    "t3_lang_confusion" ->
+      s"""SELECT lang, $langCaseSql AS lang_pred, COUNT(*) AS n_docs
+         |FROM (SELECT lang, $toksSql AS tk FROM documents)
+         |GROUP BY 1, 2""".stripMargin,
+    "t4_token_topk" ->
+      s"""SELECT tok, COUNT(*) AS n
+         |FROM (SELECT unnest($toksSql) AS tok FROM documents)
+         |GROUP BY tok ORDER BY n DESC, tok ASC LIMIT 20""".stripMargin
+  )
+}

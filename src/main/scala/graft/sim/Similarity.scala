@@ -1,0 +1,124 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Embedding similarity: exact cosine, brute-force top-k ANN baseline, and
+  * an LSH-bucketed approximate variant (the 100 TB scale path).
+  *
+  * Dot products route through exact decimal summation (`DecimalType(38,12)`
+  * fold) so the result is order- and engine-independent — double `sum` over
+  * floats would differ between Spark's partial-aggregation order and
+  * DuckDB's, breaking the oracle hash compare. The per-element products are
+  * single IEEE double multiplications (identical everywhere); only their
+  * summation needs the decimal detour.
+  */
+object Similarity {
+
+  private val D: DecimalType = DecimalType(38, 12)
+
+  /** Exact dot product of two float-array columns, as double. A sequential
+    * higher-order fold over a zipped array — no explode, no shuffle, stays
+    * inside codegen.
+    */
+  def dotExact(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(java.math.BigDecimal.ZERO).cast(D),
+      (acc, x) => acc + x.cast(D)).cast(DoubleType)
+
+  /** Exact L2 norm of a float-array column. */
+  def normExact(a: Column): Column = sqrt(dotExact(a, a))
+
+  /** Cosine similarity given precomputed norms. */
+  def cosine(dot: Column, normA: Column, normB: Column): Column =
+    dot / (normA * normB)
+
+  /** Brute-force cosine top-k: every query row scored against the whole
+    * corpus. Norms are precomputed per side (once per vector, not per pair);
+    * the query side is broadcast (queries << corpus), so the corpus is
+    * scanned exactly once with no shuffle — the right baseline plan even at
+    * cluster scale when the query set fits in memory.
+    * Emits (q_id, c_id, cos, rank<=k), rank ties broken by c_id.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("qv"))
+      .withColumn("qn", normExact(col("qv")))
+    val c = corpus.select(col(idCol).as("c_id"), col(vecCol).as("cv"))
+      .withColumn("cn", normExact(col("cv")))
+    val scored = c.join(broadcast(q), col("q_id") =!= col("c_id"))
+      .withColumn("cos", cosine(dotExact(col("qv"), col("cv")), col("qn"), col("cn")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("c_id"), col("cos"), col("rank"))
+  }
+
+  /** Near-duplicate embedding pairs above a cosine threshold, blocked on a
+    * key column (e.g. a cluster/label/coarse-quantizer id): only same-block
+    * pairs are scored — the IVF idea. Exact within blocks; pairs crossing
+    * blocks are the accepted approximation (at scale the blocking key comes
+    * from a coarse quantizer, making that loss explicit and tunable).
+    */
+  def cosinePairsBlocked(vecs: DataFrame, blockCol: String, threshold: Double,
+                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val v = vecs.select(col(idCol).as("id"), col(blockCol).as("blk"), col(vecCol).as("v"))
+      .withColumn("n", normExact(col("v")))
+    v.as("a").join(v.as("b"),
+        col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .withColumn("cos",
+        cosine(dotExact(col("a.v"), col("b.v")), col("a.n"), col("b.n")))
+      .filter(col("cos") >= threshold)
+      .select(col("a.id").as("i"), col("b.id").as("j"), col("cos"))
+  }
+
+  /** Random-hyperplane LSH bucket id: `planes` sign bits of dot products
+    * with deterministic pseudo-random hyperplanes (components derived from a
+    * hash of (plane, dimension) — no stored plane matrix, recomputable on
+    * any executor).
+    */
+  /** Hyperplane component for (plane, dimension): pseudo-random in
+    * [-0.5, 0.5), derived from an LCG of the flat index — shared with the
+    * oracle-SQL generator so both engines use bit-identical planes.
+    */
+  def planeComp(p: Int, d: Int, dim: Int): Double = {
+    val h = (1103515245L * (p * dim + d + 1) + 12345L) % 2147483647L
+    h.toDouble / 2147483647.0 - 0.5
+  }
+
+  def lshBucket(vec: Column, dim: Int, planes: Int): Column = {
+    val bits = (0 until planes).map { p =>
+      val comps = (0 until dim).map(d => planeComp(p, d, dim))
+      val dot = (0 until dim).map(d => element_at(vec, d + 1).cast(DoubleType) * lit(comps(d)))
+        .reduce(_ + _)
+      when(dot > 0, lit(1L << p)).otherwise(0L)
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** LSH-bucketed approximate top-k: queries only scored against corpus
+    * vectors in the same hyperplane bucket. `planes` trades recall for
+    * candidate count (~corpus/2^planes per bucket). The scale path for ANN
+    * when brute force stops fitting: one shuffle on bucket id, quadratic
+    * only within buckets.
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int, planes: Int = 4,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("qv"))
+      .withColumn("qb", lshBucket(col("qv"), dim, planes))
+      .withColumn("qn", normExact(col("qv")))
+    val c = corpus.select(col(idCol).as("c_id"), col(vecCol).as("cv"))
+      .withColumn("cb", lshBucket(col("cv"), dim, planes))
+      .withColumn("cn", normExact(col("cv")))
+    val scored = c.join(broadcast(q),
+        col("qb") === col("cb") && col("q_id") =!= col("c_id"))
+      .withColumn("cos", cosine(dotExact(col("qv"), col("cv")), col("qn"), col("cn")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("c_id"), col("cos"), col("rank"))
+  }
+}

@@ -1,0 +1,101 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Text-analysis primitives for large-scale training-data pipelines:
+  * tokenization, shingling, quality metrics, language-ID, fingerprinting.
+  *
+  * Everything is a pure column expression (whole-stage codegen, no UDFs) and
+  * every arithmetic path is engine-portable: integer counts, sequential
+  * folds, and double divisions that produce bit-identical results in Spark
+  * and DuckDB — which is what lets each downstream query be oracle-checked.
+  */
+object Text {
+
+  /** Whitespace tokenizer. `split` on `\s+` after trim — identical to
+    * DuckDB `string_split_regex(trim(text), '\s+')`.
+    */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Word k-shingles: overlapping k-grams joined by a single space.
+    * Documents shorter than k tokens yield an empty array.
+    */
+  def shingles(toks: Column, k: Int): Column =
+    when(size(toks) < k, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+
+  /** Exact sum of token lengths (pure int arithmetic). */
+  def sumTokenLen(toks: Column): Column =
+    aggregate(transform(toks, t => length(t)), lit(0), (acc, x) => acc + x)
+
+  /** Count of tokens contained in `words`. */
+  def hitCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(lit): _*)))
+
+  /** Deterministic document fingerprint: polynomial rolling hash over the
+    * character codes, mod 2^31-1. A sequential fold — same value in any
+    * engine (DuckDB: `list_reduce` over `ascii` codes). Used for cheap
+    * content-addressed dedup keys and incremental-corpus diffing; at scale
+    * this is a map-only projection (no shuffle).
+    */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      transform(split(text, ""), ch => ascii(ch).cast(LongType)),
+      lit(0L),
+      (acc, c) => (acc * 31 + c) % 2147483647L)
+
+  /** Language markers for the n-gram/stopword language-ID heuristic.
+    * Priority order breaks ties (first wins).
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "fr" -> Seq("le", "la", "de", "et", "est"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "los", "de", "y", "es"),
+    "zh" -> Seq("de5", "shi4", "le5") // pinyin-romanized corpora
+  )
+
+  /** Stopword-marker language ID: argmax of per-language marker hits with
+    * a fixed priority ladder for ties; "und" (undetermined) when no marker
+    * hits at all. The CASE ladder shape mirrors the SQL oracle exactly.
+    */
+  def langId(toks: Column): Column = {
+    val hits = LangMarkers.map { case (lang, words) => lang -> hitCount(toks, words) }
+    val ladder = hits.zipWithIndex.foldLeft(Option.empty[Column]) {
+      case (acc, ((lang, h), i)) =>
+        val later = hits.drop(i + 1).map(_._2)
+        val cond = later.foldLeft(h > 0)((c, o) => c && h >= o)
+        Some(acc.fold(when(cond, lang))(_.when(cond, lang)))
+    }
+    ladder.get.otherwise("und")
+  }
+
+  /** Quality metrics over a text column: char/token counts, mean token
+    * length, stopword ratio, and a composite [0,1] quality score (clamped
+    * linear blend — the kind of cheap heuristic used to pre-filter web
+    * corpora before expensive model-based scoring).
+    */
+  def qualityMetrics(text: Column): Seq[(String, Column)] = {
+    val toks = tokens(text)
+    val nTok = size(toks).cast(DoubleType)
+    val meanLen = sumTokenLen(toks).cast(DoubleType) / nTok
+    val stopRatio = hitCount(toks, Seq("the", "a", "of", "and", "is")).cast(DoubleType) / nTok
+    val lenScore = least(nTok / lit(100.0), lit(1.0))
+    val score = greatest(least(
+      lit(0.5) * lenScore + lit(0.3) * least(stopRatio * 5, lit(1.0)) +
+        lit(0.2) * least(meanLen / 8, lit(1.0)),
+      lit(1.0)), lit(0.0))
+    Seq(
+      "n_chars" -> length(text),
+      "n_tokens" -> size(toks),
+      "mean_token_len" -> meanLen,
+      "stopword_ratio" -> stopRatio,
+      "quality_score" -> score)
+  }
+}
