@@ -46,14 +46,15 @@ object SimQueries {
 
   // ---- generated DuckDB twins ----------------------------------------
 
-  /** Exact dot product of two list columns: per-element double products
-    * (IEEE-identical everywhere) summed through DECIMAL(38,12) — the lambda
-    * twin of Similarity.dotExact.
+  /** Deterministic dot product of two list columns: per-element double
+    * products (IEEE-identical everywhere) summed left-to-right in index
+    * order — the lambda twin of Similarity.dotExact. list_reduce seeds with
+    * the first element; Spark seeds with 0.0 + first, which is exact.
     */
   private def dotSql(a: String, b: String): String =
-    s"""CAST(list_reduce(list_transform(range(1, ${Dim + 1}),
-       |    k -> CAST($a[k]::DOUBLE * $b[k]::DOUBLE AS DECIMAL(38,12))),
-       |    (acc, x) -> acc + x) AS DOUBLE)""".stripMargin
+    s"""list_reduce(list_transform(range(1, ${Dim + 1}),
+       |    k -> $a[k]::DOUBLE * $b[k]::DOUBLE),
+       |    (acc, x) -> acc + x)""".stripMargin
 
   /** Hyperplane LSH bucket id — twin of Similarity.lshBucket, constants
     * generated from the same planeComp LCG.

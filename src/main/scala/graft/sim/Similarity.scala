@@ -3,31 +3,29 @@ package graft.sim
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import org.apache.spark.sql.types.DoubleType
 
 /** Embedding similarity: exact cosine, brute-force top-k ANN baseline, and
   * an LSH-bucketed approximate variant (the 100 TB scale path).
   *
-  * Dot products route through exact decimal summation (`DecimalType(38,12)`
-  * fold) so the result is order- and engine-independent — double `sum` over
-  * floats would differ between Spark's partial-aggregation order and
-  * DuckDB's, breaking the oracle hash compare. The per-element products are
-  * single IEEE double multiplications (identical everywhere); only their
-  * summation needs the decimal detour.
+  * Dot products are a sequential left-to-right double fold over the vector.
+  * Per-element float→double conversion and multiplication are exact IEEE
+  * operations, and both Spark's `aggregate` and DuckDB's `list_reduce` fold
+  * arrays in index order, so the summed double is bit-identical across
+  * engines — which is what makes cosine scores (and rank orders)
+  * oracle-checkable without any decimal detour.
   */
 object Similarity {
 
-  private val D: DecimalType = DecimalType(38, 12)
-
-  /** Exact dot product of two float-array columns, as double. A sequential
-    * higher-order fold over a zipped array — no explode, no shuffle, stays
-    * inside codegen.
+  /** Deterministic dot product of two float-array columns, as double. A
+    * sequential higher-order fold over a zipped array — no explode, no
+    * shuffle; index-ordered so the result is engine-independent.
     */
   def dotExact(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-      lit(java.math.BigDecimal.ZERO).cast(D),
-      (acc, x) => acc + x.cast(D)).cast(DoubleType)
+      lit(0.0),
+      (acc, x) => acc + x)
 
   /** Exact L2 norm of a float-array column. */
   def normExact(a: Column): Column = sqrt(dotExact(a, a))
