@@ -2,21 +2,18 @@ package graft.dedup
 
 import graft.text.Text
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
 /** Document deduplication for training-data pipelines: exact, n-gram
   * Jaccard, MinHash+LSH, SimHash. All pure DataFrame transforms.
   *
-  * Engine-portability note: the hash family is a linear-congruential
-  * permutation over *dictionary ids* (dense_rank of the distinct
-  * shingle/token strings) instead of a native string hash — every value is
-  * computable identically in DuckDB, which is what makes the LSH candidate
-  * sets (not just the verified pairs) oracle-checkable. At 100 TB the
-  * dictionary rank (a global sort) would be replaced by `xxhash64(sh)`
-  * (map-only, no dictionary) — a one-line swap via `shingleId` — with the
-  * rest of the plan unchanged.
+  * Engine-portability note: shingle/token ids are a 60-bit prefix of
+  * `md5(s)` reduced mod 2^31-1 — a map-only projection computable
+  * identically in DuckDB (`('0x' || substring(md5(s),1,15))::BIGINT % P`),
+  * so the LSH candidate sets (not just the verified pairs) are
+  * oracle-checkable. No dictionary, no global sort, no shuffle anywhere in
+  * id assignment — the id path costs the same at 100 TB as at 100 MB.
   */
 object Dedup {
 
@@ -24,8 +21,15 @@ object Dedup {
   def hashA(i: Int): Long = (1103515245L * (i + 1)) % P
   def hashB(i: Int): Long = (12345L + 7919L * i) % P
 
-  /** Linear-congruential permutation of a dictionary id. */
+  /** Linear-congruential permutation of an id in [0, P). */
   def perm(i: Int, id: Column): Column = (lit(hashA(i)) * id + lit(hashB(i))) % P
+
+  /** Portable map-only string id in [0, P): first 15 hex chars of md5 as a
+    * 60-bit long, mod P. Same value in DuckDB; keeps `perm`'s products
+    * inside 63 bits.
+    */
+  def strId(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long") % P
 
   /** Exact dedup: group identical texts, keep the lowest doc_id as the
     * survivor. One hash shuffle on the text (production: on xxhash64(text)
@@ -42,21 +46,38 @@ object Dedup {
     docs.select(col(idCol).as("doc_id"),
         explode(array_distinct(Text.shingles(Text.tokens(col(textCol)), k))).as("sh"))
 
-  /** Dictionary id per distinct shingle: dense_rank over the sorted distinct
-    * strings. Deterministic and portable (DuckDB computes the same ranks).
-    * Scale path: swap for xxhash64 (no global sort) — see class doc.
+  /** Drop shingles whose document frequency exceeds `dfCap` (0 = keep all).
+    * The standard guard against the inverted-index skew blowup: one
+    * stop-shingle shared by 1M docs would otherwise emit ~5*10^11 pairs.
+    * Trades recall (pairs similar ONLY through ubiquitous shingles are
+    * missed) for a hard bound of dfCap^2/2 pairs per shingle group.
     */
-  def shingleDict(shingles: DataFrame): DataFrame =
-    shingles.select(col("sh")).distinct()
-      .withColumn("sid", dense_rank().over(Window.orderBy(col("sh"))).cast("long"))
+  def capDf(shingles: DataFrame, dfCap: Int): DataFrame =
+    if (dfCap <= 0) shingles
+    else {
+      // anti-join against the OVER-cap vocabulary: few ubiquitous shingles
+      // by construction, so the exclusion list is broadcast-sized even at
+      // corpus scale (joining against the huge under-cap list would shuffle
+      // the whole vocabulary instead)
+      val over = shingles.groupBy(col("sh"))
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") > dfCap)
+        .select(col("sh"))
+      shingles.join(broadcast(over), Seq("sh"), "left_anti")
+    }
 
   /** Exact n-gram Jaccard near-dup pairs: block on shared shingles (the
     * inverted-index join — only pairs sharing >= 1 shingle are scored, never
     * the full cross product), count common shingles per pair, Jaccard =
     * common / (|a| + |b| - common). Emits (i, j, jc) with i < j.
+    *
+    * With `dfCap > 0`, Jaccard is computed over the capped shingle sets
+    * (sizes counted after the cap), keeping the score internally exact for
+    * the retained vocabulary.
     */
-  def jaccardPairs(docs: DataFrame, k: Int = 3, threshold: Double = 0.3): DataFrame = {
-    val s = docShingles(docs, k)
+  def jaccardPairs(docs: DataFrame, k: Int = 3, threshold: Double = 0.3,
+                   dfCap: Int = 0): DataFrame = {
+    val s = capDf(docShingles(docs, k), dfCap)
     val sizes = s.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val common = s.as("a").join(s.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -74,14 +95,13 @@ object Dedup {
   /** MinHash signatures: for each doc, `numPerms` minima of the permuted
     * shingle ids. Computed as `numPerms` min-aggregates in ONE groupBy (no
     * row explosion, map-side partial min) — the plan is a single shuffle on
-    * doc_id regardless of the permutation count.
+    * doc_id regardless of the permutation count, and id assignment is a
+    * map-only md5 projection (no dictionary join).
     */
   def minhashSignatures(docs: DataFrame, k: Int, numPerms: Int): DataFrame = {
-    val s = docShingles(docs, k)
-    val dict = shingleDict(s)
+    val s = docShingles(docs, k).withColumn("sid", strId(col("sh")))
     val aggs = (0 until numPerms).map(i => min(perm(i, col("sid"))).as(s"mh$i"))
-    s.join(dict, "sh")
-      .groupBy(col("doc_id"))
+    s.groupBy(col("doc_id"))
       .agg(aggs.head, aggs.tail: _*)
   }
 
@@ -89,7 +109,10 @@ object Dedup {
     * `numPerms/bands` rows; docs sharing any band signature become candidate
     * pairs; candidates are verified with exact Jaccard >= threshold.
     *
-    * The band join is the scale path: candidates ~ O(near-dups), not O(n^2).
+    * Scale shape: candidates ~ O(near-dups), not O(n^2), and the verify
+    * stage touches ONLY candidate docs — per-doc shingle sets are collected
+    * for the candidate universe and each pair is scored by one
+    * array_intersect, so no all-pairs-sharing-a-shingle join ever runs.
     * Emits (i, j, jc) with i < j — identical rows to `jaccardPairs` minus
     * LSH false negatives (probability (1-s^r)^b for true similarity s).
     */
@@ -110,54 +133,62 @@ object Dedup {
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .distinct()
 
-    // verify candidates with exact Jaccard (inverted-index count again,
-    // restricted to candidate pairs via semi join)
-    val s = docShingles(docs, k)
-    val sizes = s.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val common = s.as("sa").join(s.as("sb"),
-        col("sa.sh") === col("sb.sh") && col("sa.doc_id") < col("sb.doc_id"))
-      .groupBy(col("sa.doc_id").as("i"), col("sb.doc_id").as("j"))
-      .agg(count(lit(1)).as("common"))
-      .join(cands, Seq("i", "j"), "left_semi")
-    common
-      .join(sizes.withColumnRenamed("doc_id", "i").withColumnRenamed("n", "na"), "i")
-      .join(sizes.withColumnRenamed("doc_id", "j").withColumnRenamed("n", "nb"), "j")
-      .withColumn("jc",
-        col("common").cast(DoubleType) / (col("na") + col("nb") - col("common")))
+    // verify: shingle sets for candidate docs only, one array_intersect per
+    // candidate pair (LSH banding's work reduction actually reaches the
+    // verify stage — no full inverted-index self-join)
+    val candDocs = cands.select(col("i").as("doc_id"))
+      .union(cands.select(col("j").as("doc_id")))
+      .distinct()
+    val candShingleSets = docShingles(docs, k)
+      .join(candDocs, Seq("doc_id"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("sh")).as("shs"))
+    cands
+      .join(candShingleSets.select(col("doc_id").as("i"), col("shs").as("sa")), "i")
+      .join(candShingleSets.select(col("doc_id").as("j"), col("shs").as("sb")), "j")
+      .withColumn("common", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jc", col("common").cast(DoubleType) /
+        (size(col("sa")) + size(col("sb")) - col("common")))
       .filter(col("jc") >= threshold)
       .select(col("i"), col("j"), col("jc"))
   }
 
-  /** SimHash (16-bit): per distinct token, each bit's hash contributes +/-1;
-    * the signature bit is 1 iff the sum is positive. Computed as 16
-    * sum-aggregates in one groupBy, then packed into an int.
+  /** SimHash (64-bit): per distinct token, each bit's hash contributes +/-1;
+    * the signature bit is 1 iff the sum is positive. Computed as `bits`
+    * sum-aggregates in one groupBy (map-side partial sums, one shuffle on
+    * doc_id), then OR-packed into a long — bit 63 lands in the sign bit,
+    * which every downstream op (xor, bit_count, shift+mask) treats as a
+    * plain bit in both engines.
     */
-  def simhashSignatures(docs: DataFrame, bits: Int = 16): DataFrame = {
+  def simhashSignatures(docs: DataFrame, bits: Int = 64): DataFrame = {
+    require(bits >= 1 && bits <= 64, "signature is packed into one long")
     val t = docs.select(col("doc_id"),
-      explode(array_distinct(Text.tokens(col("text")))).as("tok"))
-    val dict = t.select(col("tok")).distinct()
-      .withColumn("tid", dense_rank().over(Window.orderBy(col("tok"))).cast("long"))
+        explode(array_distinct(Text.tokens(col("text")))).as("tok"))
+      .withColumn("tid", strId(col("tok")))
     val aggs = (0 until bits).map { j =>
       sum(when(perm(j, col("tid")) % 2 === 1, 1).otherwise(-1)).as(s"s$j")
     }
-    val sums = t.join(dict, "tok").groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    val sums = t.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
     val packed = (0 until bits).map { j =>
       when(col(s"s$j") > 0, lit(1L << j)).otherwise(0L)
-    }.reduce(_ + _)
+    }.reduce(_ bitwiseOR _)
     sums.select(col("doc_id"), packed.as("simhash"))
   }
 
   /** SimHash near-dup pairs with Hamming distance <= maxHamming, found via
-    * block banding: the 16 bits split into 4 blocks of 4; by pigeonhole any
+    * block banding: the 64 bits split into 4 blocks of 16; by pigeonhole any
     * pair within Hamming 3 shares at least one identical block, so the
     * banded join is EXACT for maxHamming <= 3 (no false negatives) while
-    * avoiding the O(n^2) cross product.
+    * avoiding the O(n^2) cross product. 16-bit blocks keep band-collision
+    * floods away at corpus scale (2^16 buckets per block vs 16 for the old
+    * 4-bit layout).
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4-block banding is exact only for hamming <= 3")
     val sig = simhashSignatures(docs)
     val blocks = (0 until 4).map { b =>
-      struct(lit(b).as("blk"), (shiftright(col("simhash"), 4 * b) % 16).as("v"))
+      struct(lit(b).as("blk"),
+        shiftright(col("simhash"), 16 * b).bitwiseAND(lit(65535L)).as("v"))
     }
     val banded = sig.select(col("doc_id"), col("simhash"),
         explode(array(blocks: _*)).as("bs"))

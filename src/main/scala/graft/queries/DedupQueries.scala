@@ -19,12 +19,14 @@ object DedupQueries {
   private val JaccTh = 0.3     // exact-Jaccard report threshold
   private val LshTh = 0.5      // LSH verify threshold
   private val MaxHamming = 3   // simhash Hamming radius
+  private val SimBits = 64     // simhash signature width
+  private val DfCap = 1000     // shingle document-frequency cap (skew guard)
 
   def d1Exact(s: SparkSession, dir: String): DataFrame =
     Dedup.exact(Tables.documents(s, dir))
 
   def d2JaccardPairs(s: SparkSession, dir: String): DataFrame =
-    Dedup.jaccardPairs(Tables.documents(s, dir), K, JaccTh)
+    Dedup.jaccardPairs(Tables.documents(s, dir), K, JaccTh, DfCap)
 
   def d3MinhashLsh(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashLsh(Tables.documents(s, dir), K, NumPerms, Bands, LshTh)
@@ -49,6 +51,10 @@ object DedupQueries {
        |    ELSE list_transform(range(1, len(tk) - ${K - 2}), i -> array_to_string(tk[i:i+${K - 1}], ' '))
        |    END)) AS sh
        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents)""".stripMargin
+
+  /** Portable map-only string id in [0, P) — twin of Dedup.strId. */
+  private def strIdSql(c: String): String =
+    s"(('0x' || substring(md5($c), 1, 15))::BIGINT % ${Dedup.P})"
 
   /** perm_i(id) with the Scala-side LCG constants folded into the text. */
   private def permSql(i: Int, idExpr: String): String =
@@ -77,13 +83,10 @@ object DedupQueries {
     }.mkString("\n  UNION ALL ")
     s"""WITH s AS (
        |  $shinglesSql
-       |), dict AS (
-       |  SELECT sh, CAST(dense_rank() OVER (ORDER BY sh) AS BIGINT) AS sid
-       |  FROM (SELECT DISTINCT sh FROM s)
        |), sig AS (
        |  SELECT doc_id,
        |    $mins
-       |  FROM s JOIN dict USING (sh) GROUP BY doc_id
+       |  FROM (SELECT doc_id, ${strIdSql("sh")} AS sid FROM s) GROUP BY doc_id
        |), banded AS (
        |  $bandSelects
        |), cands AS (
@@ -95,28 +98,26 @@ object DedupQueries {
   }
 
   private def simhashSql: String = {
-    val bits = 16
-    val sums = (0 until bits)
+    val sums = (0 until SimBits)
       .map(j => s"SUM(CASE WHEN ${permSql(j, "tid")} % 2 = 1 THEN 1 ELSE -1 END) AS s$j")
       .mkString(",\n    ")
-    val packed = (0 until bits)
-      .map(j => s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END")
-      .mkString(" + ")
+    // 1L << 63 folds to Long.MinValue — a representable BIGINT literal in
+    // both engines; OR-packing (not addition) keeps the sign bit a plain bit
+    val packed = (0 until SimBits)
+      .map(j => s"CASE WHEN s$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END")
+      .mkString(" | ")
     val blocks = (0 until 4)
-      .map(b => s"SELECT doc_id, simhash, $b AS blk, (simhash // ${1L << (4 * b)}) % 16 AS v FROM sig")
+      .map(b => s"SELECT doc_id, simhash, $b AS blk, (simhash >> ${16 * b}) & 65535 AS v FROM sig")
       .mkString("\n  UNION ALL ")
     s"""WITH t AS (
        |  SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS tok
        |  FROM documents
-       |), dict AS (
-       |  SELECT tok, CAST(dense_rank() OVER (ORDER BY tok) AS BIGINT) AS tid
-       |  FROM (SELECT DISTINCT tok FROM t)
        |), sums AS (
        |  SELECT doc_id,
        |    $sums
-       |  FROM t JOIN dict USING (tok) GROUP BY doc_id
+       |  FROM (SELECT doc_id, ${strIdSql("tok")} AS tid FROM t) GROUP BY doc_id
        |), sig AS (
-       |  SELECT doc_id, CAST($packed AS BIGINT) AS simhash FROM sums
+       |  SELECT doc_id, $packed AS simhash FROM sums
        |), banded AS (
        |  $blocks
        |)
@@ -132,8 +133,12 @@ object DedupQueries {
       """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY text""".stripMargin,
     "d2_jaccard_pairs" ->
-      s"""WITH s AS (
+      s"""WITH s0 AS (
          |  $shinglesSql
+         |), kept AS (
+         |  SELECT sh FROM s0 GROUP BY sh HAVING COUNT(*) <= $DfCap
+         |), s AS (
+         |  SELECT s0.doc_id, s0.sh FROM s0 JOIN kept USING (sh)
          |),
          |${jaccardTailSql("", JaccTh)}""".stripMargin,
     "d3_minhash_lsh" -> lshSql,
