@@ -1,0 +1,141 @@
+package graft.streaming
+
+import graft.dipa.Detect
+import graft.model.FlowStat
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** The §3.1 detection pipeline as a streaming query: `Dataset[FlowStat]` →
+  * `Dataset[DomainAlert]`, with flag-once alert emission.
+  *
+  * One keyed state machine per `domain` — the exact sharding of the
+  * reference, where each domain runs its own controller loop
+  * (`ryu/src/deployed_controller/DIPA_Controller.py:308-352`). Domains are
+  * independent keys in Spark's state store, so a 10k-domain deployment
+  * partitions across executors with no cross-key traffic; within a domain
+  * the poll snapshot (≤ ~10k flows, the reference's own W7 cap) is
+  * sequential by design, matching the 2 s poll loop.
+  *
+  * The per-poll scoring math is the same as the oracle-checked batch
+  * pipeline (`graft.dipa.Detect`); DetectionStreamSpec asserts
+  * streaming-vs-batch parity on identical fixtures.
+  */
+object DetectionStream {
+
+  /** An emitted collaboration alert: label is BOT, CNC, or the numeric
+    * compromise percentage (`DIPA_Controller.py:333-352`).
+    */
+  final case class DomainAlert(domain: String, poll_id: Long, ip: String, label: String)
+
+  final case class DetectConfig(
+      threshold: Double = 0.6,     // A3 (0.6 shipped / 0.8 thesis)
+      gateToFlagged: Boolean = true, // J6 suspicion gate
+      nHosts: Long = 8,            // A4 denominator (topology host count)
+      lockdownPct: Double = 50.0,  // A4/C5
+      maxFlows: Int = 10000)       // W7 bounded retention
+
+  /** Per-domain detection state: the streaming twins of the reference's
+    * controller dicts — `traf_dict` last-seen telnet counters, `bot_dict`
+    * flag set, `_newBots` alerted set (E1), previous CNC (E5), lockdown
+    * latch (C5). All bounded: `traf` by `maxFlows` (W7), the sets by the
+    * host population.
+    */
+  final case class DomainDetectState(
+      traf: Map[String, Long],
+      flagged: Set[String],
+      alerted: Set[String],
+      prevCnc: String,
+      lockdown: Boolean)
+
+  object DomainDetectState {
+    val init: DomainDetectState =
+      DomainDetectState(Map.empty, Set.empty, Set.empty, "", lockdown = false)
+  }
+
+  private def trafKey(src: String, dst: String): String = src + "|" + dst
+
+  /** One poll step: ingest the poll's flow rows into the counter state,
+    * re-score every telnet source, emit newly-suspected bots (E1
+    * flag-once), CNC changes (E5), and the one-shot lockdown broadcast
+    * (C5). Pure function — unit-testable without Spark.
+    */
+  def pollStep(cfg: DetectConfig)(st: DomainDetectState, pollId: Long,
+               rows: Seq[FlowStat]): (DomainDetectState, Seq[DomainAlert]) = {
+    val data = rows.filter(_.priority == 10)
+    // O3 — 48101 bot-loading surveillance flags
+    val flagged = st.flagged ++ data
+      .filter(f => f.udp_src.contains(48101) && f.udp_dst.contains(48101))
+      .flatMap(_.ipv4_src)
+    // A1 prelude — last-seen telnet counter per (src, dst)
+    var traf = st.traf
+    data.filter(_.tcp_dst.contains(23)).foreach { f =>
+      for (s <- f.ipv4_src; d <- f.ipv4_dst) {
+        val k = trafKey(s, d)
+        if (traf.contains(k) || traf.size < cfg.maxFlows) traf += (k -> f.packet_count)
+      }
+    }
+    // A1 — per-source totals
+    val totals = traf.toSeq
+      .map { case (k, v) => (k.split('|')(0), v) }
+      .groupBy(_._1).map { case (src, kvs) => src -> kvs.map(_._2).sum }
+    if (totals.isEmpty) (st.copy(traf = traf, flagged = flagged), Nil)
+    else {
+      // A2 — deterministic argmax (max total, min-IP tie-break)
+      val (cncIp, cncTotal) = totals.minBy { case (ip, t) => (-t, ip) }
+      // O13/J6/J8 + A3 — bias scores for non-CNC (gated) sources
+      val suspected = totals.iterator
+        .filter { case (src, _) => src != cncIp }
+        .filter { case (src, _) => !cfg.gateToFlagged || flagged.contains(src) }
+        .filter { case (_, t) => 1.0 - t.toDouble / (t + cncTotal) >= cfg.threshold }
+        .map(_._1).toSet
+      // E1 — flag-once bot alerts
+      val newBots = (suspected -- st.alerted).toSeq.sorted
+      val alerted = st.alerted ++ newBots
+      val botAlerts = newBots.map(ip => DomainAlert(rows.head.domain, pollId, ip, "BOT"))
+      // E5 — CNC alert only on change
+      val cncAlerts = if (cncIp != st.prevCnc)
+        Seq(DomainAlert(rows.head.domain, pollId, cncIp, "CNC")) else Nil
+      // A4/O12 + C5 — one-shot lockdown broadcast at >= lockdownPct
+      val pct = 100.0 * alerted.size / cfg.nHosts
+      val lockAlerts = if (!st.lockdown && pct >= cfg.lockdownPct)
+        Seq(DomainAlert(rows.head.domain, pollId, cncIp, pct.toString)) else Nil
+      (DomainDetectState(traf, flagged, alerted, cncIp, st.lockdown || lockAlerts.nonEmpty),
+        botAlerts ++ cncAlerts ++ lockAlerts)
+    }
+  }
+
+  /** Wire the per-domain machine over a (streaming or batch)
+    * `Dataset[FlowStat]`. Polls inside a micro-batch are replayed in
+    * `poll_id` order, so a batch containing several polls produces the
+    * same alert sequence as the polls arriving one micro-batch each.
+    */
+  def alerts(flows: Dataset[FlowStat], cfg: DetectConfig = DetectConfig()): Dataset[DomainAlert] = {
+    import flows.sparkSession.implicits._
+    flows.groupByKey(_.domain)
+      .flatMapGroupsWithState[DomainDetectState, DomainAlert](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (_: String, it: Iterator[FlowStat], gs: GroupState[DomainDetectState]) =>
+          var st = gs.getOption.getOrElse(DomainDetectState.init)
+          val out = Seq.newBuilder[DomainAlert]
+          it.toSeq.groupBy(_.poll_id).toSeq.sortBy(_._1).foreach { case (pollId, rows) =>
+            val (s2, as) = pollStep(cfg)(st, pollId, rows)
+            st = s2
+            out ++= as
+          }
+          gs.update(st)
+          out.result().iterator
+      }
+  }
+
+  /** §3.2 mitigation pipeline over a stream of decoded alerts:
+    * effectively-once dispatch under at-least-once delivery via
+    * `dropDuplicates` keyed state (the Pulsar-ack analog, SURVEY.md §7.5.2),
+    * then the C6 dispatch + J1 topology broadcast join. Works on a
+    * streaming or batch DataFrame of (domain, ip, label).
+    */
+  def mitigations(alerts: DataFrame, topology: DataFrame): DataFrame =
+    Detect.mitigations(
+      alerts.dropDuplicates("domain", "ip", "label").select(col("ip"), col("label")),
+      topology)
+}
