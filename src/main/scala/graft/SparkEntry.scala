@@ -22,6 +22,7 @@ object SparkEntry {
     Seq(
       (qq.Relational.queries, qq.Relational.oracle),
       (qq.EventAnalytics.queries, qq.EventAnalytics.oracle),
+      (qq.ControlAnalytics.queries, qq.ControlAnalytics.oracle),
       (qq.TextQueries.queries, qq.TextQueries.oracle),
       (qq.DedupQueries.queries, qq.DedupQueries.oracle),
       (qq.SimQueries.queries, qq.SimQueries.oracle)

@@ -1,0 +1,244 @@
+package graft.queries
+
+import graft.io.Tables
+import graft.ops.{Rankings, Windows}
+import graft.util.Exact
+import graft.util.Exact._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch twins of the reference's control-plane operators that the r1
+  * verdict flagged as missing §2 rows (SURVEY.md §2.2 O5/O7/O11, §2.4
+  * A8/A9, §2.6 E5, §2.7 C2/C4/C8, §2.5 W2, plus the true A6 timing merge
+  * with the all-domains barrier), instantiated over the `events` table.
+  *
+  * Each has a DuckDB oracle twin; the streaming forms of C2/C4/C8/E5 live
+  * in graft.streaming.StateMachines (same step semantics, keyed state).
+  */
+object ControlAnalytics {
+
+  private def ev(s: SparkSession, dir: String): DataFrame = Tables.events(s, dir)
+
+  private val order = Seq("ts_ns", "event_id")
+
+  /** O5 — LLDP / Unknown drop filter (`DIPA_Controller.py:249-251, 276`):
+    * discard event types outside the engine's protocol surface before any
+    * downstream work (the filter sits directly above the scan so Catalyst
+    * pushes it into the parquet reader).
+    */
+  def o5LldpDrop(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir).filter(!col("event_type").isin("error", "signup"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"))
+
+  /** O7 — rate-per-second projection (`TestCase_5/timeStamp.py:300`:
+    * `diff/3` over the 3 s poll interval) on the per-key counter delta.
+    */
+  def o7RatePerSec(s: SparkSession, dir: String): DataFrame =
+    Windows.delta(ev(s, dir), Seq("user_id"), order, "value", "delta")
+      .select(col("event_id"), col("user_id"), (col("delta") / 3.0d).as("rate"))
+
+  /** O11 — victim-host name decode (`TestCase_2/Controller1.py:468-473`):
+    * MAC characters [1], [4], [16] → host label ("0a:0a:…:01" → "AAh1").
+    * MACs are synthesized deterministically from user_id (the tables carry
+    * no MACs); the decode itself is the reference's char-slicing, as pure
+    * string expressions.
+    */
+  def o11MacHostDecode(s: SparkSession, dir: String): DataFrame = {
+    val mac = format_string("0a:%02x:00:00:00:%02x",
+      col("user_id") % 256, col("user_id") % 16)
+    ev(s, dir).select(col("user_id")).distinct()
+      .withColumn("mac", mac)
+      .withColumn("host_name",
+        concat(upper(substring(col("mac"), 2, 1)), upper(substring(col("mac"), 5, 1)),
+          lit("h"), conv(substring(col("mac"), 17, 1), 16, 10)))
+  }
+
+  /** A8 — all-below-threshold check (`Controller1.py:340`): per (key,
+    * type), is every observed rate at or below the peace threshold.
+    */
+  def a8AllBelow(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir).groupBy(col("user_id"), col("event_type"))
+      .agg(max(col("value")).as("max_value"))
+      .withColumn("all_below", col("max_value") <= 50.0d)
+
+  /** A9 — per-switch flow count (thesis §6.1: flow population drives the
+    * accuracy ceiling; counters `DIPA_Controller.py:134-136`).
+    */
+  def a9FlowCount(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_flows"))
+
+  /** C2 batch twin — longest peaceful streak per key
+    * (`Controller1.py:333-343` no-attack hysteresis; streaming form:
+    * StateMachines.ingress).
+    */
+  def c2PeaceStreak(s: SparkSession, dir: String): DataFrame =
+    Windows.longestStreak(ev(s, dir), Seq("user_id"), order,
+      col("value") <= 10.0d, "max_peace_streak")
+
+  /** C4 batch twin — escalation pressure: polls whose trailing-8 mean
+    * meets the QoS threshold (`TestCase_7/timeStamp2.py:348-359`;
+    * streaming form: StateMachines.escalation).
+    */
+  def c4EscalationCount(s: SparkSession, dir: String): DataFrame =
+    Windows.slidingMean(ev(s, dir), Seq("user_id"), order, "value", 8, "win_avg")
+      .filter(col("win_avg") >= 60.0d)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_escalations"))
+
+  /** C8 batch twin — last-write-wins learning table
+    * (`DIPA_Controller.py:257-260` `mac_to_port[dpid][src] = in_port`;
+    * streaming form: StateMachines.macLearning).
+    */
+  def c8LastWrite(s: SparkSession, dir: String): DataFrame =
+    Windows.lastPerKey(ev(s, dir), Seq("user_id", "event_type"), order)
+      .select(col("user_id"), col("event_type"), col("value").as("last_value"))
+
+  /** E5 batch twin — change detection (`demo3.py:284-296` CNC-change,
+    * intended flag-on-change semantics; streaming form:
+    * StateMachines.cncChanges): transitions of the per-key label sequence.
+    */
+  def e5ChangeCount(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(order.map(col): _*)
+    ev(s, dir).withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNotNull && col("prev") =!= col("event_type"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_changes"))
+  }
+
+  /** W2 — dropped-flow report order (`TestCase_5/timeStamp.py:318-319`:
+    * sort by source): deterministic ordered top-k by (src, value desc).
+    */
+  def w2SortBySrc(s: SparkSession, dir: String): DataFrame =
+    Rankings.topK(ev(s, dir).select(col("user_id"), col("event_id"), col("value")),
+      Seq(col("user_id").asc, col("value").desc, col("event_id").asc), 20)
+
+  /** A6 true form — cross-domain timing merge with the all-N barrier
+    * (`threaded_consumer.py:63-75`): per VM the latest (detect, latency)
+    * pair; aggregate min/max/mean of their sums ONLY once every VM has
+    * reported both components (`count_nonzero == 2N` gate). Here: click =
+    * detect, purchase = latency, user = VM.
+    */
+  def a6TimingMerge(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+    val last = Windows.lastPerKey(
+      e.filter(col("event_type").isin("click", "purchase")),
+      Seq("user_id", "event_type"), order)
+    val perVm = last.groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "click", col("value"))).as("detect_s"),
+           max(when(col("event_type") === "purchase", col("value"))).as("latency_s"),
+           count(lit(1)).as("n_reported"))
+      .filter(col("n_reported") === 2)
+      .withColumn("total", col("detect_s") + col("latency_s"))
+    val nVms = e.agg(countDistinct(col("user_id")).as("n_vms"))
+    perVm.agg(min(col("total")).as("min_total"),
+              max(col("total")).as("max_total"),
+              davg(col("total"), Exact.Fine).as("mean_total"),
+              count(lit(1)).as("n_complete"))
+      .crossJoin(broadcast(nVms))
+      .filter(col("n_complete") === col("n_vms"))
+      .select(col("min_total"), col("max_total"), col("mean_total"), col("n_complete"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "o5_lldp_drop" -> (o5LldpDrop _),
+    "o7_rate_per_sec" -> (o7RatePerSec _),
+    "o11_mac_host_decode" -> (o11MacHostDecode _),
+    "a8_all_below" -> (a8AllBelow _),
+    "a9_flow_count" -> (a9FlowCount _),
+    "c2_peace_streak" -> (c2PeaceStreak _),
+    "c4_escalation_count" -> (c4EscalationCount _),
+    "c8_last_write" -> (c8LastWrite _),
+    "e5_change_count" -> (e5ChangeCount _),
+    "w2_sort_by_src" -> (w2SortBySrc _),
+    "a6_timing_merge" -> (a6TimingMerge _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "o5_lldp_drop" ->
+      """SELECT event_type, COUNT(*) AS n_rows FROM events
+        |WHERE event_type NOT IN ('error', 'signup') GROUP BY event_type""".stripMargin,
+    "o7_rate_per_sec" ->
+      """SELECT event_id, user_id,
+        |  (value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)) / 3.0 AS rate
+        |FROM events""".stripMargin,
+    "o11_mac_host_decode" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |m AS (SELECT user_id,
+        |  printf('0a:%02x:00:00:00:%02x', user_id % 256, user_id % 16) AS mac FROM u)
+        |SELECT user_id, mac,
+        |  upper(substring(mac, 2, 1)) || upper(substring(mac, 5, 1)) || 'h'
+        |    || CAST(('0x' || substring(mac, 17, 1))::BIGINT AS VARCHAR) AS host_name
+        |FROM m""".stripMargin,
+    "a8_all_below" ->
+      """SELECT user_id, event_type, MAX(value) AS max_value,
+        |  MAX(value) <= 50.0 AS all_below
+        |FROM events GROUP BY user_id, event_type""".stripMargin,
+    "a9_flow_count" ->
+      """SELECT user_id, COUNT(*) AS n_flows FROM events GROUP BY user_id""".stripMargin,
+    "c2_peace_streak" ->
+      """WITH marked AS (
+        |  SELECT user_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events
+        |), islands AS (
+        |  SELECT user_id,
+        |    rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) AS isl
+        |  FROM marked WHERE value <= 10.0
+        |), runs AS (
+        |  SELECT user_id, isl, COUNT(*) AS len FROM islands GROUP BY user_id, isl
+        |)
+        |SELECT user_id, MAX(len) AS max_peace_streak FROM runs GROUP BY user_id""".stripMargin,
+    "c4_escalation_count" ->
+      """WITH means AS (
+        |  SELECT user_id,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) / COUNT(value) OVER w AS win_avg
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT user_id, COUNT(*) AS n_escalations FROM means
+        |WHERE win_avg >= 60.0 GROUP BY user_id""".stripMargin,
+    "c8_last_write" ->
+      """WITH ranked AS (
+        |  SELECT user_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events
+        |)
+        |SELECT user_id, event_type, value AS last_value FROM ranked WHERE rn = 1""".stripMargin,
+    "e5_change_count" ->
+      """WITH x AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events
+        |)
+        |SELECT user_id, COUNT(*) AS n_changes FROM x
+        |WHERE prev IS NOT NULL AND prev <> event_type GROUP BY user_id""".stripMargin,
+    "w2_sort_by_src" ->
+      """SELECT user_id, event_id, value FROM events
+        |ORDER BY user_id ASC, value DESC, event_id ASC LIMIT 20""".stripMargin,
+    "a6_timing_merge" ->
+      """WITH ranked AS (
+        |  SELECT user_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |), per_vm AS (
+        |  SELECT user_id,
+        |    MAX(CASE WHEN event_type = 'click' THEN value END) AS detect_s,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN value END) AS latency_s,
+        |    COUNT(*) AS n_reported
+        |  FROM ranked WHERE rn = 1 GROUP BY user_id
+        |  HAVING COUNT(*) = 2
+        |), agg AS (
+        |  SELECT MIN(detect_s + latency_s) AS min_total,
+        |    MAX(detect_s + latency_s) AS max_total,
+        |    CAST(SUM(CAST(detect_s + latency_s AS DECIMAL(28,6))) AS DOUBLE)
+        |      / COUNT(*) AS mean_total,
+        |    COUNT(*) AS n_complete
+        |  FROM per_vm
+        |)
+        |SELECT min_total, max_total, mean_total, n_complete FROM agg
+        |WHERE n_complete = (SELECT COUNT(DISTINCT user_id) FROM events)""".stripMargin
+  )
+}
