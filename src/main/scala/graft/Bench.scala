@@ -1,5 +1,17 @@
 package graft
+
+import graft.dipa.Detect
+import graft.fixtures.Fixtures
+import graft.streaming.DetectionStream
 import org.apache.spark.sql.SparkSession
+
+/** Per-round benchmark: every SparkEntry query at the configured SF, plus
+  * the BASELINE.md headline — one 7500-flow poll snapshot through the full
+  * detection pipeline (target ≪ 2 s, thesis §6.2.3 poll budget).
+  *
+  * Failures are recorded per query in the emitted JSON (never swallowed as
+  * a fake fast time).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -10,15 +22,42 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    GraftSession.tune(spark)
+    import spark.implicits._
+
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    def timed(name: String)(body: => Unit): (String, Double) = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try body
+      catch { case e: Throwable =>
+        errors += name -> e.toString.takeWhile(_ != '\n').take(200)
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    val queryTimes = SparkEntry.queries.map { case (name, fn) =>
+      timed(name) { fn(spark, sfDir).count(); () }
+    }
+
+    // BASELINE.md headline: full detection over a 7500-benign-flow,
+    // 500-bot poll history (fixture generation + caching excluded)
+    val sc = Fixtures.scenario(Fixtures.ScenarioParams(nBenignFlows = 7500, nBots = 500))
+    val flows = sc.flows.toDF().cache()
+    flows.count() // materialize outside the timed section
+    val detectTimes = Seq(
+      timed("detect_7500_batch") { Detect.detect(flows).count(); () },
+      timed("detect_7500_stream") {
+        DetectionStream.alerts(flows.as[graft.model.FlowStat]).count(); ()
+      })
+
+    val results = queryTimes.toSeq ++ detectTimes
+    def jq(s: String): String = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val qs = results.map { case (k, v) => jq(k) + ":" + v }.mkString("{", ",", "}")
+    val errJson =
+      if (errors.isEmpty) ""
+      else errors.map { case (k, v) => jq(k) + ":" + jq(v) }.mkString(",\"errors\":{", ",", "}")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
