@@ -25,7 +25,8 @@ object SparkEntry {
       (qq.ControlAnalytics.queries, qq.ControlAnalytics.oracle),
       (qq.TextQueries.queries, qq.TextQueries.oracle),
       (qq.DedupQueries.queries, qq.DedupQueries.oracle),
-      (qq.SimQueries.queries, qq.SimQueries.oracle)
+      (qq.SimQueries.queries, qq.SimQueries.oracle),
+      (qq.MultimodalQueries.queries, qq.MultimodalQueries.oracle)
     )
 
   /** One per implemented operator from SURVEY.md §2. */
