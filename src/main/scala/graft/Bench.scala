@@ -50,7 +50,26 @@ object Bench {
         DetectionStream.alerts(flows.as[graft.model.FlowStat]).count(); ()
       })
 
-    val results = queryTimes.toSeq ++ detectTimes
+    // sustained micro-batch run: one poll per trigger through the live
+    // streaming query; the per-poll mean must stay under the 2 s poll
+    // budget for the pipeline to keep up (BASELINE.md §Targets)
+    val polls = sc.flows.groupBy(_.poll_id).toSeq.sortBy(_._1).map(_._2)
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
+      graft.model.FlowStat](spark)
+    val q = DetectionStream.alerts(stream.toDS()).writeStream
+      .format("noop").outputMode("update").start()
+    val perPoll = polls.map { rows =>
+      val t0 = System.nanoTime()
+      stream.addData(rows)
+      q.processAllAvailable()
+      (System.nanoTime() - t0) / 1e9
+    }
+    q.stop()
+    val sustained = Seq(
+      "detect_poll_mean" -> perPoll.sum / perPoll.size,
+      "detect_poll_max" -> perPoll.max)
+
+    val results = queryTimes.toSeq ++ detectTimes ++ sustained
     def jq(s: String): String = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val qs = results.map { case (k, v) => jq(k) + ":" + v }.mkString("{", ",", "}")
     val errJson =

@@ -136,9 +136,9 @@ object Dedup {
     // verify: shingle sets for candidate docs only, one array_intersect per
     // candidate pair (LSH banding's work reduction actually reaches the
     // verify stage — no full inverted-index self-join)
-    val candDocs = cands.select(col("i").as("doc_id"))
-      .union(cands.select(col("j").as("doc_id")))
-      .distinct()
+    val candDocs = cands
+      .select(explode(array(col("i"), col("j"))).as("doc_id"))
+      .distinct() // one pass over cands for both pair sides (no union re-read)
     val candShingleSets = docShingles(docs, k)
       .join(candDocs, Seq("doc_id"), "left_semi")
       .groupBy(col("doc_id"))
