@@ -35,6 +35,11 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
 
+    // untimed warmup: JVM/codegen/session init otherwise lands on whichever
+    // query the map yields first, distorting its number
+    try SparkEntry.queries("q1_agg")(spark, sfDir).count()
+    catch { case _: Throwable => () }
+
     val queryTimes = SparkEntry.queries.map { case (name, fn) =>
       timed(name) { fn(spark, sfDir).count(); () }
     }
