@@ -33,7 +33,8 @@ object DetectionStream {
       gateToFlagged: Boolean = true, // J6 suspicion gate
       nHosts: Long = 8,            // A4 denominator (topology host count)
       lockdownPct: Double = 50.0,  // A4/C5
-      maxFlows: Int = 10000)       // W7 bounded retention
+      maxFlows: Int = 10000,       // W7 bounded retention
+      idleTimeoutMs: Option[Long] = None) // §4 state eviction for idle domains
 
   /** Per-domain detection state: the streaming twins of the reference's
     * controller dicts — `traf_dict` last-seen telnet counters, `bot_dict`
@@ -112,19 +113,28 @@ object DetectionStream {
     */
   def alerts(flows: Dataset[FlowStat], cfg: DetectConfig = DetectConfig()): Dataset[DomainAlert] = {
     import flows.sparkSession.implicits._
+    val timeoutConf =
+      if (cfg.idleTimeoutMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     flows.groupByKey(_.domain)
       .flatMapGroupsWithState[DomainDetectState, DomainAlert](
-        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        OutputMode.Update, timeoutConf) {
         (_: String, it: Iterator[FlowStat], gs: GroupState[DomainDetectState]) =>
-          var st = gs.getOption.getOrElse(DomainDetectState.init)
-          val out = Seq.newBuilder[DomainAlert]
-          it.toSeq.groupBy(_.poll_id).toSeq.sortBy(_._1).foreach { case (pollId, rows) =>
-            val (s2, as) = pollStep(cfg)(st, pollId, rows)
-            st = s2
-            out ++= as
+          if (gs.hasTimedOut) {
+            gs.remove() // idle domain: evict its counters/sets
+            Iterator.empty
+          } else {
+            var st = gs.getOption.getOrElse(DomainDetectState.init)
+            val out = Seq.newBuilder[DomainAlert]
+            it.toSeq.groupBy(_.poll_id).toSeq.sortBy(_._1).foreach { case (pollId, rows) =>
+              val (s2, as) = pollStep(cfg)(st, pollId, rows)
+              st = s2
+              out ++= as
+            }
+            gs.update(st)
+            cfg.idleTimeoutMs.foreach(gs.setTimeoutDuration)
+            out.result().iterator
           }
-          gs.update(st)
-          out.result().iterator
       }
   }
 

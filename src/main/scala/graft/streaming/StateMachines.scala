@@ -31,24 +31,44 @@ object StateMachines {
     * machines see a deterministic sequence even though Spark hands the
     * group iterator in arbitrary order. Works identically on batch
     * Datasets (state starts empty every run).
+    *
+    * `idleTimeoutMs` bounds state size (SURVEY.md §4 state-size control —
+    * the flow-TTL/deque-maxlen analog): a key with no input for that long
+    * is evicted from the state store on the next trigger. Without it a
+    * long-running query accumulates one state entry per key ever seen —
+    * fine for fixed port/domain populations, unbounded for ephemeral keys.
+    * A timeout-enabled query re-triggers to check timeouts even with no
+    * data, so run it on an interval trigger (Sources.pollTrigger) — the
+    * default as-fast-as-possible trigger would busy-spin empty batches.
     */
   def runMachine[K: Encoder, I, S: Encoder, O: Encoder](
-      ds: Dataset[I], key: I => K, order: I => Long, init: S)(
-      step: (S, I) => (S, Seq[O])): Dataset[O] =
+      ds: Dataset[I], key: I => K, order: I => Long, init: S,
+      idleTimeoutMs: Option[Long] = None)(
+      step: (S, I) => (S, Seq[O])): Dataset[O] = {
+    val timeoutConf =
+      if (idleTimeoutMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     ds.groupByKey(key)
-      .flatMapGroupsWithState[S, O](OutputMode.Update, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState[S, O](OutputMode.Update, timeoutConf) {
         (_: K, it: Iterator[I], gs: GroupState[S]) =>
-          val sorted = it.toSeq.sortBy(order)
-          var st = gs.getOption.getOrElse(init)
-          val out = Seq.newBuilder[O]
-          sorted.foreach { i =>
-            val (s2, os) = step(st, i)
-            st = s2
-            out ++= os
+          if (gs.hasTimedOut) {
+            gs.remove() // idle key: drop its state, emit nothing
+            Iterator.empty
+          } else {
+            val sorted = it.toSeq.sortBy(order)
+            var st = gs.getOption.getOrElse(init)
+            val out = Seq.newBuilder[O]
+            sorted.foreach { i =>
+              val (s2, os) = step(st, i)
+              st = s2
+              out ++= os
+            }
+            gs.update(st)
+            idleTimeoutMs.foreach(gs.setTimeoutDuration)
+            out.result().iterator
           }
-          gs.update(st)
-          out.result().iterator
       }
+  }
 
   // ---- C1 + C2 + C9: ingress-policy hysteresis ------------------------
 
@@ -94,10 +114,11 @@ object StateMachines {
 
   def ingress(obs: Dataset[PortRateObs],
               attackTh: Double = 100.0, peaceTh: Double = 10.0,
-              sustainedCount: Int = 5, peaceCount: Int = 5): Dataset[IngressCmd] = {
+              sustainedCount: Int = 5, peaceCount: Int = 5,
+              idleTimeoutMs: Option[Long] = None): Dataset[IngressCmd] = {
     import obs.sparkSession.implicits._
     runMachine(obs, (o: PortRateObs) => (o.domain, o.dpid, o.port), (_: PortRateObs).poll_id,
-      IngressState.init)(ingressStep(attackTh, peaceTh, sustainedCount, peaceCount))
+      IngressState.init, idleTimeoutMs)(ingressStep(attackTh, peaceTh, sustainedCount, peaceCount))
   }
 
   // ---- C3: sustained-pushback counter ---------------------------------

@@ -136,6 +136,29 @@ class StateMachinesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming: idle-timeout wiring leaves active-key semantics unchanged") {
+    import spark.implicits._
+    val in = MemoryStream[PortRateObs](spark)
+    // a ProcessingTimeTimeout query re-triggers to check timeouts even with
+    // no data, so it MUST run on an interval trigger (the reference's 2 s
+    // poll cadence, Sources.pollTrigger) — an as-fast-as-possible trigger
+    // would busy-spin empty micro-batches
+    val q = ingress(in.toDS(), idleTimeoutMs = Some(3600 * 1000L)).writeStream
+      .format("memory").queryName("ingress_ttl_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
+      .outputMode(OutputMode.Update()).start()
+    try {
+      in.addData(rateObs(200, 200, 200, 200, 200))
+      // processAllAvailable never latches under ProcessingTimeTimeout
+      // (shouldRunAnotherBatch stays true for timeout checks), so poll the
+      // sink with a deadline instead
+      val deadline = System.nanoTime() + 60L * 1000000000L
+      def rows() = spark.table("ingress_ttl_out").as[IngressCmd].collect()
+      while (rows().isEmpty && System.nanoTime() < deadline) Thread.sleep(200)
+      assert(rows().map(_.action).toSeq == Seq("APPLY")) // same firing as NoTimeout
+    } finally q.stop()
+  }
+
   test("streaming: batch mode runs the same machines (empty state per run)") {
     import spark.implicits._
     val cmds = escalation(
