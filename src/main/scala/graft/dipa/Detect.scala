@@ -54,13 +54,22 @@ object Detect {
   /** A1 — per-source telnet volume over the latest counter snapshot:
     * last packet_count per (domain, src, dst), summed per (domain, src)
     * (`DIPA_Controller.py:478-481`, cleaned per SURVEY §7.1).
+    *
+    * `quirkLastWriteOnly` replicates the reference's literal
+    * `traf_dict[src] = {dst: count}` bug — each write REPLACES the whole
+    * per-source map, so only the most recently seen (src, dst) counter
+    * survives. Off by default; exists for byte-exact parity experiments
+    * against the reference (SURVEY §7.1/§7.5 quirk-parity mode).
     */
-  def telnetTotals(flows: DataFrame): DataFrame =
-    Windows.lastPerKey(
-        dataFlows(flows).filter(Classify.isTelnet(col("tcp_dst"))),
-        Seq("domain", "ipv4_src", "ipv4_dst"), Seq("poll_id"))
+  def telnetTotals(flows: DataFrame, quirkLastWriteOnly: Boolean = false): DataFrame = {
+    val telnet = dataFlows(flows).filter(Classify.isTelnet(col("tcp_dst")))
+    val keys =
+      if (quirkLastWriteOnly) Seq("domain", "ipv4_src")
+      else Seq("domain", "ipv4_src", "ipv4_dst")
+    Windows.lastPerKey(telnet, keys, Seq("poll_id", "ipv4_dst"))
       .groupBy(col("domain"), col("ipv4_src"))
       .agg(sum(col("packet_count")).as("telnet_total"))
+  }
 
   /** A2 — CNC election: the source with the most telnet traffic per domain,
     * ties broken to the lowest IP (`DIPA_Controller.py:485`, §7.1).
@@ -99,8 +108,9 @@ object Detect {
     * is_suspected).
     */
   def detect(flows: DataFrame, threshold: Double = 0.6,
-             gateToFlagged: Boolean = true): DataFrame = {
-    val totals = telnetTotals(flows)
+             gateToFlagged: Boolean = true,
+             quirkLastWriteOnly: Boolean = false): DataFrame = {
+    val totals = telnetTotals(flows, quirkLastWriteOnly)
     val cnc = electCnc(totals)
     val flagged = flaggedSources(flows)
     biasScores(totals, cnc, flagged, gateToFlagged)

@@ -126,6 +126,23 @@ class DetectSpec extends SparkSpec {
       ("BLOCK_PORT", None, None)))
   }
 
+  test("quirk-parity mode: last-write-only traf_dict keeps one dst per source") {
+    // clean mode sums the CNC's flows to BOTH bots; quirk mode replicates
+    // the reference's `traf_dict[src] = {dst: count}` replacement bug, so
+    // only the most recent (src, dst) counter survives per source
+    val clean = Detect.telnetTotals(flows)
+      .filter(col("ipv4_src") === "10.0.0.4").select("telnet_total").as[Long].head()
+    val quirk = Detect.telnetTotals(flows, quirkLastWriteOnly = true)
+      .filter(col("ipv4_src") === "10.0.0.4").select("telnet_total").as[Long].head()
+    assert(clean == 900 + 800) // latest counters to .1 and .2
+    assert(quirk == 800)       // only the last-written dst (.2, highest in tie-break)
+    // detection still finds the same bots under the quirk (scores shift
+    // but stay over threshold in this scenario)
+    val qb = Detect.detect(flows, quirkLastWriteOnly = true)
+      .filter(col("is_suspected")).select("ipv4_src").as[String].collect().toSet
+    assert(qb == Set("10.0.0.1", "10.0.0.2"))
+  }
+
   test("attacker attribution joins rates to victims over threshold, hosts only; pushback = anti join") {
     val rates = Seq(
       ("d1", 1L, 1, "aa:v", 80.0),  // attacker at s1 port 1 (host .1)
