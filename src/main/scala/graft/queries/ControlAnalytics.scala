@@ -115,6 +115,49 @@ object ControlAnalytics {
     Rankings.topK(ev(s, dir).select(col("user_id"), col("event_id"), col("value")),
       Seq(col("user_id").asc, col("value").desc, col("event_id").asc), 20)
 
+  /** O6 — bitrate projection (`Controller1.py:516-518`): Kbit/s from the
+    * per-key byte-delta over the poll interval (value treated as bytes).
+    */
+  def o6Bitrate(s: SparkSession, dir: String): DataFrame =
+    Windows.delta(ev(s, dir), Seq("user_id"), order, "value", "delta")
+      .select(col("event_id"), col("user_id"),
+        (col("delta") * 8 / (lit(2.0) * 1000)).as("kbps"))
+
+  /** O8/O9 — wire codec round trip: encode fields as an `@`-joined string
+    * (with injected brace noise) and decode them back
+    * (`DIPA_Controller.py:333-352, 371-373`). The oracle replays the same
+    * encode+strip+split, so both directions are checked.
+    */
+  def o8WireRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import graft.dipa.Codec
+    val wire = ev(s, dir).select(col("event_id"),
+      concat(lit("{'"), Codec.encode(col("user_id"), col("event_type")), lit("'}"))
+        .as("value"))
+    wire.select(col("event_id"),
+      Codec.field(col("value"), 0).cast("long").as("ip_field"),
+      Codec.field(col("value"), 1).as("label_field"))
+  }
+
+  /** O10 — timestamp parse & latency: format the event time as the
+    * reference's wire format and parse it back; latency vs a fixed
+    * reference instant in exact integer microseconds
+    * (`threaded_consumer.py:55-57`).
+    */
+  def o10TsParse(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir).select(col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("wire_ts"))
+      .select(col("event_id"),
+        unix_micros(to_timestamp(col("wire_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+          .as("parsed_us"))
+
+  /** E4 — membership dedup (`DIPA_Controller.py:470-471`:
+    * `if src not in bot_dict` insert): first-seen row per member.
+    */
+  def e4MembershipDedup(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir).filter(col("event_type") === "error")
+      .groupBy(col("user_id"))
+      .agg(min(col("event_id")).as("first_event_id"))
+
   /** A6 true form — cross-domain timing merge with the all-N barrier
     * (`threaded_consumer.py:63-75`): per VM the latest (detect, latency)
     * pair; aggregate min/max/mean of their sums ONLY once every VM has
@@ -153,7 +196,11 @@ object ControlAnalytics {
     "c8_last_write" -> (c8LastWrite _),
     "e5_change_count" -> (e5ChangeCount _),
     "w2_sort_by_src" -> (w2SortBySrc _),
-    "a6_timing_merge" -> (a6TimingMerge _)
+    "a6_timing_merge" -> (a6TimingMerge _),
+    "o6_bitrate" -> (o6Bitrate _),
+    "o8_wire_roundtrip" -> (o8WireRoundtrip _),
+    "o10_ts_parse" -> (o10TsParse _),
+    "e4_membership_dedup" -> (e4MembershipDedup _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -239,6 +286,27 @@ object ControlAnalytics {
         |  FROM per_vm
         |)
         |SELECT min_total, max_total, mean_total, n_complete FROM agg
-        |WHERE n_complete = (SELECT COUNT(DISTINCT user_id) FROM events)""".stripMargin
+        |WHERE n_complete = (SELECT COUNT(DISTINCT user_id) FROM events)""".stripMargin,
+    "o6_bitrate" ->
+      """SELECT event_id, user_id,
+        |  (value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)) * 8 / (2.0 * 1000) AS kbps
+        |FROM events""".stripMargin,
+    "o8_wire_roundtrip" ->
+      """WITH w AS (
+        |  SELECT event_id,
+        |    '{''' || concat_ws('@', user_id, event_type) || '''}' AS value
+        |  FROM events
+        |), d AS (
+        |  SELECT event_id, string_split(regexp_replace(value, '[{}'']', '', 'g'), '@') AS f
+        |  FROM w
+        |)
+        |SELECT event_id, f[1]::BIGINT AS ip_field, f[2] AS label_field FROM d""".stripMargin,
+    "o10_ts_parse" ->
+      """SELECT event_id,
+        |  epoch_us(strptime(strftime(ts, '%Y-%m-%d %H:%M:%S.%f'), '%Y-%m-%d %H:%M:%S.%f')) AS parsed_us
+        |FROM events""".stripMargin,
+    "e4_membership_dedup" ->
+      """SELECT user_id, MIN(event_id) AS first_event_id FROM events
+        |WHERE event_type = 'error' GROUP BY user_id""".stripMargin
   )
 }
