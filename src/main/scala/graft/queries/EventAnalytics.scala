@@ -63,21 +63,40 @@ object EventAnalytics {
   /** A7/W5 — cross-domain anomaly statistics: per key the mean of the last
     * 5 observations, then mean/stddev across keys, emitted only when >= 2
     * keys reported ("collaborative mode", `threaded_consumer.py:82-100`).
+    *
+    * Engine-exactness: the per-key mean is kept as an EXACT decimal by
+    * scaling — the window holds n_k <= 5 rows and lcm(1..5) = 60, so
+    * `M = s * (60 / n_k)` is an integer multiple of the decimal sum `s`,
+    * never a rounded quotient. All aggregation happens over M and M*M in
+    * decimal (exact), and only the final few double ops (two divisions, a
+    * multiply, sqrt, /60) run in floating point — identical IEEE results
+    * on any engine. Casting a double `m*m` to decimal instead (the
+    * previous formulation) hits round-half TIES that Spark and DuckDB
+    * break differently (~1-ulp std divergence, seen at sf0.1).
     */
   def a7AnomalyStats(s: SparkSession, dir: String): DataFrame = {
     val e = ev(s, dir)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id"), col("event_type"))
       .orderBy(col("ts_ns").desc, col("event_id").desc)
-    val last5 = e.withColumn("__rn", row_number().over(w))
+    val mult = when(col("nk") === 1, 60).when(col("nk") === 2, 30)
+      .when(col("nk") === 3, 20).when(col("nk") === 4, 15).otherwise(12)
+    val scaled = e.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= 5)
       .groupBy(col("user_id"), col("event_type"))
-      .agg(davg(col("value")).as("m"))
-    last5.groupBy(col("event_type"))
+      .agg(sum(col("value").cast(Exact.Money)).as("s"), count(lit(1)).as("nk"))
+      .withColumn("M", col("s") * mult) // exact decimal: 60x the last-5 mean
+    scaled.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_users"),
-           davg(col("m"), Micro).as("mean_rate"),
-           Exact.dstddevPop(col("m"), Micro).as("std_rate"))
+           sum(col("M")).cast("double").as("S"),
+           sum(col("M") * col("M")).cast("double").as("S2"))
       .filter(col("n_users") >= 2)
+      .select(col("event_type"), col("n_users"),
+        (col("S") / col("n_users") / 60).as("mean_rate"),
+        (sqrt(greatest(
+          col("S2") / col("n_users") -
+            (col("S") / col("n_users")) * (col("S") / col("n_users")),
+          lit(0.0))) / 60).as("std_rate"))
   }
 
   /** A6 — gated min/max/mean merge (`threaded_consumer.py:63-75`): per
@@ -199,18 +218,21 @@ object EventAnalytics {
         |  SELECT user_id, event_type, value,
         |    row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
         |  FROM events
-        |), last5 AS (
+        |), scaled AS (
         |  SELECT user_id, event_type,
-        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(value) AS m
+        |    SUM(CAST(value AS DECIMAL(18,2)))
+        |      * (CASE COUNT(*) WHEN 1 THEN 60 WHEN 2 THEN 30 WHEN 3 THEN 20
+        |                       WHEN 4 THEN 15 ELSE 12 END) AS M
         |  FROM ranked WHERE rn <= 5 GROUP BY user_id, event_type
         |), agg AS (
         |  SELECT event_type, COUNT(*) AS n_users,
-        |    CAST(SUM(CAST(m AS DECIMAL(38,12))) AS DOUBLE) / COUNT(m) AS mean_rate,
-        |    CAST(SUM(CAST(m * m AS DECIMAL(38,12))) AS DOUBLE) / COUNT(m) AS ex2
-        |  FROM last5 GROUP BY event_type
+        |    CAST(SUM(M) AS DOUBLE) AS S,
+        |    CAST(SUM(M * M) AS DOUBLE) AS S2
+        |  FROM scaled GROUP BY event_type
         |)
-        |SELECT event_type, n_users, mean_rate,
-        |  SQRT(GREATEST(ex2 - (mean_rate) * (mean_rate), 0.0)) AS std_rate
+        |SELECT event_type, n_users,
+        |  S / n_users / 60 AS mean_rate,
+        |  SQRT(GREATEST(S2 / n_users - (S / n_users) * (S / n_users), 0.0)) / 60 AS std_rate
         |FROM agg WHERE n_users >= 2""".stripMargin,
     "a6_gated_minmax" ->
       """SELECT event_type, MIN(value) AS min_value, MAX(value) AS max_value,
