@@ -19,7 +19,10 @@ object Similarity {
 
   /** Deterministic dot product of two float-array columns, as double. A
     * sequential higher-order fold over a zipped array — no explode, no
-    * shuffle; index-ordered so the result is engine-independent.
+    * shuffle; index-ordered so the result is engine-independent. This is
+    * the session-less fallback; the query paths below use the codegen'd
+    * native expression (graft.functions.DotProduct), which computes the
+    * identical left-to-right accumulation inside whole-stage codegen.
     */
   def dotExact(a: Column, b: Column): Column =
     aggregate(
@@ -29,6 +32,14 @@ object Similarity {
 
   /** Exact L2 norm of a float-array column. */
   def normExact(a: Column): Column = sqrt(dotExact(a, a))
+
+  /** Native dot product bound to `df`'s session (registers the
+    * expression, idempotent). Bit-identical to `dotExact`.
+    */
+  private def nativeDot(df: DataFrame): (Column, Column) => Column = {
+    graft.functions.DotProduct.register(df.sparkSession)
+    graft.functions.DotProduct(_, _)
+  }
 
   /** Cosine similarity given precomputed norms. */
   def cosine(dot: Column, normA: Column, normB: Column): Column =
@@ -43,12 +54,13 @@ object Similarity {
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val dot = nativeDot(corpus)
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("qv"))
-      .withColumn("qn", normExact(col("qv")))
+      .withColumn("qn", sqrt(dot(col("qv"), col("qv"))))
     val c = corpus.select(col(idCol).as("c_id"), col(vecCol).as("cv"))
-      .withColumn("cn", normExact(col("cv")))
+      .withColumn("cn", sqrt(dot(col("cv"), col("cv"))))
     val scored = c.join(broadcast(q), col("q_id") =!= col("c_id"))
-      .withColumn("cos", cosine(dotExact(col("qv"), col("cv")), col("qn"), col("cn")))
+      .withColumn("cos", cosine(dot(col("qv"), col("cv")), col("qn"), col("cn")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -63,12 +75,13 @@ object Similarity {
     */
   def cosinePairsBlocked(vecs: DataFrame, blockCol: String, threshold: Double,
                          idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val dot = nativeDot(vecs)
     val v = vecs.select(col(idCol).as("id"), col(blockCol).as("blk"), col(vecCol).as("v"))
-      .withColumn("n", normExact(col("v")))
+      .withColumn("n", sqrt(dot(col("v"), col("v"))))
     v.as("a").join(v.as("b"),
         col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
       .withColumn("cos",
-        cosine(dotExact(col("a.v"), col("b.v")), col("a.n"), col("b.n")))
+        cosine(dot(col("a.v"), col("b.v")), col("a.n"), col("b.n")))
       .filter(col("cos") >= threshold)
       .select(col("a.id").as("i"), col("b.id").as("j"), col("cos"))
   }
@@ -105,15 +118,17 @@ object Similarity {
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int, planes: Int = 4,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val dot = nativeDot(corpus)
+    graft.functions.LshBucket.register(corpus.sparkSession, dim, planes)
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("qv"))
-      .withColumn("qb", lshBucket(col("qv"), dim, planes))
-      .withColumn("qn", normExact(col("qv")))
+      .withColumn("qb", graft.functions.LshBucket(col("qv")))
+      .withColumn("qn", sqrt(dot(col("qv"), col("qv"))))
     val c = corpus.select(col(idCol).as("c_id"), col(vecCol).as("cv"))
-      .withColumn("cb", lshBucket(col("cv"), dim, planes))
-      .withColumn("cn", normExact(col("cv")))
+      .withColumn("cb", graft.functions.LshBucket(col("cv")))
+      .withColumn("cn", sqrt(dot(col("cv"), col("cv"))))
     val scored = c.join(broadcast(q),
         col("qb") === col("cb") && col("q_id") =!= col("c_id"))
-      .withColumn("cos", cosine(dotExact(col("qv"), col("cv")), col("qn"), col("cn")))
+      .withColumn("cos", cosine(dot(col("qv"), col("cv")), col("qn"), col("cn")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

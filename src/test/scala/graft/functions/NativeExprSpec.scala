@@ -1,0 +1,68 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.sim.Similarity
+import org.apache.spark.sql.functions._
+
+/** Native codegen'd expressions: bit-identity with the higher-order-fold
+  * formulations they replace, null handling, and codegen survival.
+  */
+class NativeExprSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val vecs = Seq(
+    (0L, Array(0.1f, -0.2f, 0.3f, 0.4f)),
+    (1L, Array(1.5f, 2.5f, -3.5f, 0.001f)),
+    (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)),
+    (3L, null.asInstanceOf[Array[Float]])
+  ).toDF("id", "v")
+
+  test("graft_dot is bit-identical to the aggregate/zip_with fold") {
+    DotProduct.register(spark)
+    val both = vecs.filter(col("v").isNotNull).as("a")
+      .crossJoin(vecs.filter(col("v").isNotNull).as("b"))
+      .select(
+        DotProduct(col("a.v"), col("b.v")).as("native"),
+        Similarity.dotExact(col("a.v"), col("b.v")).as("fold"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("graft_dot: null input yields null") {
+    DotProduct.register(spark)
+    val n = vecs.select(DotProduct(col("v"), col("v")).as("d"))
+      .filter(col("d").isNull).count()
+    assert(n == 1)
+  }
+
+  test("graft_lsh_bucket matches the unrolled column formulation") {
+    LshBucket.register(spark, dim = 4, planes = 3)
+    val both = vecs.filter(col("v").isNotNull)
+      .select(
+        LshBucket(col("v")).as("native"),
+        Similarity.lshBucket(col("v"), 4, 3).as("unrolled"))
+      .collect()
+    both.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
+  test("native expressions run inside whole-stage codegen (no fallback)") {
+    DotProduct.register(spark)
+    // repartition forces a real exchange + project stage (a bare local
+    // relation short-circuits to LocalTableScanExec with no codegen), and
+    // the query must RUN first — under AQE the WholeStageCodegen spans
+    // only appear in the finalized adaptive plan
+    val df = vecs.filter(col("v").isNotNull).repartition(2)
+      .select(DotProduct(col("v"), col("v")).as("d"))
+    df.collect()
+    // the `*(n)` prefix marks a WholeStageCodegen span in simpleString
+    // form; a codegen-incapable expression would print an unstarred
+    // Project (fallback to interpreted projection)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [dotproductexpr"), plan)
+  }
+}
