@@ -158,6 +158,23 @@ object ControlAnalytics {
       .groupBy(col("user_id"))
       .agg(min(col("event_id")).as("first_event_id"))
 
+  /** O2 — the full getProtocol CASE ladder (`DIPA_Controller.py:149-195`)
+    * over synthesized (ip_proto, dst_port) columns — proto/port derived
+    * deterministically from the event keys in BOTH engines, so the oracle
+    * exercises every arm and the short-circuit order.
+    */
+  def o2ProtocolLadder(s: SparkSession, dir: String): DataFrame = {
+    val proto = when(col("user_id") % 3 === 0, 1)
+      .when(col("user_id") % 3 === 1, 6).otherwise(17)
+    val port = when(col("event_id") % 5 === 0, 80).when(col("event_id") % 5 === 1, 443)
+      .when(col("event_id") % 5 === 2, 23).when(col("event_id") % 5 === 3, 53)
+      .otherwise(4444)
+    ev(s, dir)
+      .select(graft.dipa.Classify.protocol(proto, port).as("protocol"))
+      .groupBy(col("protocol"))
+      .agg(count(lit(1)).as("n_rows"))
+  }
+
   /** A6 true form — cross-domain timing merge with the all-N barrier
     * (`threaded_consumer.py:63-75`): per VM the latest (detect, latency)
     * pair; aggregate min/max/mean of their sums ONLY once every VM has
@@ -200,7 +217,8 @@ object ControlAnalytics {
     "o6_bitrate" -> (o6Bitrate _),
     "o8_wire_roundtrip" -> (o8WireRoundtrip _),
     "o10_ts_parse" -> (o10TsParse _),
-    "e4_membership_dedup" -> (e4MembershipDedup _)
+    "e4_membership_dedup" -> (e4MembershipDedup _),
+    "o2_protocol_ladder" -> (o2ProtocolLadder _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -307,6 +325,28 @@ object ControlAnalytics {
         |FROM events""".stripMargin,
     "e4_membership_dedup" ->
       """SELECT user_id, MIN(event_id) AS first_event_id FROM events
-        |WHERE event_type = 'error' GROUP BY user_id""".stripMargin
+        |WHERE event_type = 'error' GROUP BY user_id""".stripMargin,
+    "o2_protocol_ladder" ->
+      """WITH x AS (
+        |  SELECT
+        |    CASE WHEN user_id % 3 = 0 THEN 1 WHEN user_id % 3 = 1 THEN 6 ELSE 17 END AS ip_proto,
+        |    CASE WHEN event_id % 5 = 0 THEN 80 WHEN event_id % 5 = 1 THEN 443
+        |         WHEN event_id % 5 = 2 THEN 23 WHEN event_id % 5 = 3 THEN 53
+        |         ELSE 4444 END AS dst_port
+        |  FROM events
+        |), labeled AS (
+        |  SELECT CASE
+        |    WHEN ip_proto = 1 THEN 'ICMP'
+        |    WHEN ip_proto = 6 AND dst_port = 80 THEN 'HTTP'
+        |    WHEN ip_proto = 6 AND dst_port = 443 THEN 'HTTPS'
+        |    WHEN ip_proto = 6 AND dst_port = 23 THEN 'Telnet'
+        |    WHEN ip_proto = 6 THEN 'TCP'
+        |    WHEN ip_proto = 17 AND dst_port = 53 THEN 'DNS'
+        |    WHEN ip_proto = 17 AND dst_port = 67 THEN 'DHCP'
+        |    WHEN ip_proto = 17 THEN 'UDP'
+        |    ELSE 'Unknown' END AS protocol
+        |  FROM x
+        |)
+        |SELECT protocol, COUNT(*) AS n_rows FROM labeled GROUP BY protocol""".stripMargin
   )
 }
