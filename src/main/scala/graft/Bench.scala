@@ -40,8 +40,26 @@ object Bench {
     try SparkEntry.queries("q1_agg")(spark, sfDir).count()
     catch { case _: Throwable => () }
 
+    // clearCache between queries: dedup persists its shingle frame; without
+    // the clear, a later query touching the same plan would read a cache the
+    // earlier query paid for, making per-query times order-dependent
     val queryTimes = SparkEntry.queries.map { case (name, fn) =>
-      timed(name) { fn(spark, sfDir).count(); () }
+      val t = timed(name) { fn(spark, sfDir).count(); () }
+      spark.catalog.clearCache()
+      t
+    }
+
+    // untimed: s3 recall vs the s1 exact ground truth — the scale gate for
+    // the multi-probe LSH geometry (target >= 0.9 at the bench sf)
+    val recall = try {
+      val s1 = SparkEntry.queries("s1_ann_topk")(spark, sfDir).select("q_id", "c_id")
+      val s3 = SparkEntry.queries("s3_lsh_topk")(spark, sfDir).select("q_id", "c_id")
+      val r = s3.join(s1, Seq("q_id", "c_id"), "left_semi").count().toDouble / s1.count()
+      spark.catalog.clearCache()
+      Seq("s3_recall" -> r)
+    } catch { case e: Throwable =>
+      errors += "s3_recall" -> e.toString.takeWhile(_ != '\n').take(200)
+      Seq("s3_recall" -> -1.0)
     }
 
     // BASELINE.md headline: full detection over a 7500-benign-flow,
@@ -59,6 +77,21 @@ object Bench {
     // streaming query; the per-poll mean must stay under the 2 s poll
     // budget for the pipeline to keep up (BASELINE.md §Targets)
     val polls = sc.flows.groupBy(_.poll_id).toSeq.sortBy(_._1).map(_._2)
+
+    // warm the streaming plan (state-store init, codegen, shuffle setup) on a
+    // throwaway query over the first poll: the thesis's no-backlog condition
+    // is "every poll under 2 s", so the timed max must not be the one-time
+    // plan/codegen cost the first trigger would otherwise pay
+    locally {
+      val warm = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
+        graft.model.FlowStat](spark)
+      val wq = DetectionStream.alerts(warm.toDS()).writeStream
+        .format("noop").outputMode("update").start()
+      warm.addData(polls.head)
+      wq.processAllAvailable()
+      wq.stop()
+    }
+
     val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
       graft.model.FlowStat](spark)
     val q = DetectionStream.alerts(stream.toDS()).writeStream
@@ -74,7 +107,7 @@ object Bench {
       "detect_poll_mean" -> perPoll.sum / perPoll.size,
       "detect_poll_max" -> perPoll.max)
 
-    val results = queryTimes.toSeq ++ detectTimes ++ sustained
+    val results = queryTimes.toSeq ++ recall ++ detectTimes ++ sustained
     def jq(s: String): String = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val qs = results.map { case (k, v) => jq(k) + ":" + v }.mkString("{", ",", "}")
     val errJson =

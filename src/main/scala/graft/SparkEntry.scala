@@ -23,6 +23,7 @@ object SparkEntry {
       (qq.Relational.queries, qq.Relational.oracle),
       (qq.EventAnalytics.queries, qq.EventAnalytics.oracle),
       (qq.ControlAnalytics.queries, qq.ControlAnalytics.oracle),
+      (qq.DetectQueries.queries, qq.DetectQueries.oracle),
       (qq.TextQueries.queries, qq.TextQueries.oracle),
       (qq.DedupQueries.queries, qq.DedupQueries.oracle),
       (qq.SimQueries.queries, qq.SimQueries.oracle),

@@ -4,6 +4,7 @@ import graft.text.Text
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.storage.StorageLevel
 
 /** Document deduplication for training-data pipelines: exact, n-gram
   * Jaccard, MinHash+LSH, SimHash. All pure DataFrame transforms.
@@ -74,10 +75,18 @@ object Dedup {
     * With `dfCap > 0`, Jaccard is computed over the capped shingle sets
     * (sizes counted after the cap), keeping the score internally exact for
     * the retained vocabulary.
+    *
+    * The shingle relation has 3-4 consumers (the df-cap pass, the per-doc
+    * sizes, and both sides of the inverted-index self-join), so it is
+    * persisted memory-and-disk: tokenize+shingle runs ONCE per corpus scan
+    * instead of once per consumer. At 100 TB the same persist spills the
+    * (doc_id, shingle) projection to local executor disk — still far
+    * cheaper than re-tokenizing the raw text four times.
     */
   def jaccardPairs(docs: DataFrame, k: Int = 3, threshold: Double = 0.3,
                    dfCap: Int = 0): DataFrame = {
-    val s = capDf(docShingles(docs, k), dfCap)
+    val s0 = docShingles(docs, k).persist(StorageLevel.MEMORY_AND_DISK)
+    val s = capDf(s0, dfCap)
     val sizes = s.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val common = s.as("a").join(s.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -98,8 +107,15 @@ object Dedup {
     * doc_id regardless of the permutation count, and id assignment is a
     * map-only md5 projection (no dictionary join).
     */
-  def minhashSignatures(docs: DataFrame, k: Int, numPerms: Int): DataFrame = {
-    val s = docShingles(docs, k).withColumn("sid", strId(col("sh")))
+  def minhashSignatures(docs: DataFrame, k: Int, numPerms: Int): DataFrame =
+    minhashSignaturesFrom(docShingles(docs, k), numPerms)
+
+  /** Signature aggregation over an existing (doc_id, sh) relation — lets
+    * callers that also need the shingles for verification (minhashLsh)
+    * share one persisted frame instead of re-tokenizing the corpus.
+    */
+  def minhashSignaturesFrom(shingles: DataFrame, numPerms: Int): DataFrame = {
+    val s = shingles.withColumn("sid", strId(col("sh")))
     val aggs = (0 until numPerms).map(i => min(perm(i, col("sid"))).as(s"mh$i"))
     s.groupBy(col("doc_id"))
       .agg(aggs.head, aggs.tail: _*)
@@ -120,7 +136,9 @@ object Dedup {
                  bands: Int = 8, threshold: Double = 0.5): DataFrame = {
     require(numPerms % bands == 0, "bands must divide numPerms")
     val r = numPerms / bands
-    val sig = minhashSignatures(docs, k, numPerms)
+    // one tokenize+shingle pass shared by signature build AND verify
+    val s0 = docShingles(docs, k).persist(StorageLevel.MEMORY_AND_DISK)
+    val sig = minhashSignaturesFrom(s0, numPerms)
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         concat_ws(",", (0 until r).map(j => col(s"mh${b * r + j}")): _*).as("sig"))
@@ -139,7 +157,7 @@ object Dedup {
     val candDocs = cands
       .select(explode(array(col("i"), col("j"))).as("doc_id"))
       .distinct() // one pass over cands for both pair sides (no union re-read)
-    val candShingleSets = docShingles(docs, k)
+    val candShingleSets = s0
       .join(candDocs, Seq("doc_id"), "left_semi")
       .groupBy(col("doc_id"))
       .agg(collect_set(col("sh")).as("shs"))

@@ -134,4 +134,76 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("q_id"), col("c_id"), col("cos"), col("rank"))
   }
+
+  /** All bucket-offset masks within Hamming `radius` of 0, over `planes`
+    * bits — the multi-probe sequence (probe the query's own bucket, then
+    * every bucket differing in <= radius sign bits).
+    */
+  def probeMasks(planes: Int, radius: Int): Seq[Long] =
+    (0L until (1L << planes)).filter(m => java.lang.Long.bitCount(m) <= radius)
+
+  /** Multi-table, multi-probe hyperplane-LSH top-k — the configuration that
+    * survives corpus growth (the single-table form above keeps its whole
+    * recall budget in one bucket draw, so its planes cannot rise past
+    * ~log2(corpus/bucket) without recall collapsing).
+    *
+    * `tables` independent hash tables of `planes` sign bits each are cut
+    * from ONE wide native bucket expression (planes*tables <= 63 sign bits,
+    * one codegen'd pass per vector); a corpus vector is indexed once per
+    * table. On the query side, each table bucket is expanded into every
+    * bucket within Hamming `probeRadius` (multi-probe: near-misses of a few
+    * sign bits are where near neighbors land). Candidates come from an
+    * EQUI-join on (table, bucket) — the corpus side is never theta-joined
+    * or rescanned per probe, so the plan is one broadcast hash join at
+    * bench scale and a plain shuffle join on (table, bucket) when the
+    * probe set outgrows broadcast.
+    *
+    * Shapes: corpus side = |C| * tables index rows (map-side explode, no
+    * shuffle before the join); probe side = |Q| * tables * |masks| slim
+    * (q_id, table, bucket) rows; scoring happens pre-dedup (a codegen'd
+    * dot per matched index row) so the only wide shuffle carries
+    * (q_id, c_id, cos) for the max-dedup + rank.
+    */
+  def lshTopKMulti(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
+                   planes: Int, tables: Int, probeRadius: Int,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(planes * tables <= 63, "wide bucket must fit one long")
+    val dot = nativeDot(corpus)
+    graft.functions.LshBucket.register(corpus.sparkSession, dim, planes * tables)
+    val mask = (1L << planes) - 1
+    def tableBucket(wide: Column, t: Int): Column =
+      shiftright(wide, planes * t).bitwiseAND(lit(mask))
+    def banded(wide: Column, as: String): Column =
+      explode(array((0 until tables).map(t =>
+        struct(lit(t).as("t"), tableBucket(wide, t).as(as))): _*))
+
+    val qv = queries.select(col(idCol).as("q_id"), col(vecCol).as("qv"))
+      .withColumn("qn", sqrt(dot(col("qv"), col("qv"))))
+      .withColumn("wide", graft.functions.LshBucket(col("qv")))
+    // slim probe rows: (q_id, t, bk) only — vectors rejoin after candidates
+    val probes = qv
+      .select(col("q_id"), banded(col("wide"), "qb").as("tb"))
+      .select(col("q_id"), col("tb.t").as("t"), col("tb.qb").as("qb"))
+      .select(col("q_id"), col("t"), col("qb"),
+        explode(typedLit(probeMasks(planes, probeRadius))).as("m"))
+      .select(col("q_id"), col("t"), col("qb").bitwiseXOR(col("m")).as("bk"))
+
+    val c = corpus.select(col(idCol).as("c_id"), col(vecCol).as("cv"))
+      .withColumn("cn", sqrt(dot(col("cv"), col("cv"))))
+      .withColumn("wide", graft.functions.LshBucket(col("cv")))
+      .select(col("c_id"), col("cv"), col("cn"), banded(col("wide"), "bk").as("tb"))
+      .select(col("c_id"), col("cv"), col("cn"),
+        col("tb.t").as("t"), col("tb.bk").as("bk"))
+
+    val scored = c.join(broadcast(probes), Seq("t", "bk"))
+      .filter(col("q_id") =!= col("c_id"))
+      .join(broadcast(qv.select(col("q_id"), col("qv"), col("qn"))), Seq("q_id"))
+      .withColumn("cos", cosine(dot(col("qv"), col("cv")), col("qn"), col("cn")))
+      .groupBy(col("q_id"), col("c_id"))
+      .agg(max(col("cos")).as("cos")) // a pair can match in several tables
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("c_id"), col("cos"), col("rank"))
+  }
 }
