@@ -55,4 +55,12 @@ object Sources {
     import spark.implicits._
     spark.readStream.text(dir).as[String]
   }
+
+  /** S5 with the log contract — the file-backed commit log with explicit
+    * offsets (`graft.collab.AlertLog`): (offset, value) rows, atomic
+    * segment publish, checkpointed consumption position. The closest
+    * no-broker analog of the reference's Pulsar subscription.
+    */
+  def alertLog(spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    graft.collab.AlertLog.stream(spark, dir)
 }
