@@ -107,7 +107,30 @@ object Bench {
       "detect_poll_mean" -> perPoll.sum / perPoll.size,
       "detect_poll_max" -> perPoll.max)
 
-    val results = queryTimes.toSeq ++ recall ++ detectTimes ++ sustained
+    // sf1 scale-cliff probe: the dedup/sim suite once at 10x the bench SF
+    // (generated on first run into target/sf1 — replica-disjoint vocab so
+    // output grows linearly; see ScaleProbe). A query whose sf1 time blows
+    // past ~15x its sf0.1 time has a scale bug the 100x cluster would hit.
+    val sf1Times: Seq[(String, Double)] =
+      if (sys.env.get("SPARK_GRAFT_SF1").contains("0")) Nil
+      else try {
+        val sf1Dir = new java.io.File("target/sf1").getAbsolutePath
+        graft.fixtures.ScaleProbe.ensure(spark, sfDir, sf1Dir)
+        Seq("d1_exact_dedup", "d2_jaccard_pairs", "d3_minhash_lsh",
+            "d4_simhash_pairs", "s1_ann_topk", "s2_cosine_pairs_blocked",
+            "s3_lsh_topk").map { name =>
+          val t = timed("sf1_" + name) {
+            SparkEntry.queries(name)(spark, sf1Dir).count(); ()
+          }
+          spark.catalog.clearCache()
+          t
+        }
+      } catch { case e: Throwable =>
+        errors += "sf1_probe" -> e.toString.takeWhile(_ != '\n').take(200)
+        Nil
+      }
+
+    val results = queryTimes.toSeq ++ recall ++ detectTimes ++ sustained ++ sf1Times
     def jq(s: String): String = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val qs = results.map { case (k, v) => jq(k) + ":" + v }.mkString("{", ",", "}")
     val errJson =

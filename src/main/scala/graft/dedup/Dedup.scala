@@ -41,10 +41,24 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
       .select(col(idCol), col("n_copies"))
 
+  /** Spread a compute-dense map stage across the cluster when the scan
+    * under-parallelizes. Parquet splits by BYTES (and only at row-group
+    * boundaries), so a small-but-heavy text corpus — e.g. one 15 MB file —
+    * lands in ONE task and serializes the whole tokenize/shingle stage on
+    * a single core. No-op when the scan already has >= default-parallelism
+    * partitions, which is every real multi-file corpus — so at 100 TB this
+    * adds nothing, and on pathological inputs it costs one small shuffle
+    * of raw text to unlock N-way parallelism for the expensive part.
+    */
+  private def widen(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   /** (doc_id, shingle) pairs, distinct per document. */
   def docShingles(docs: DataFrame, k: Int,
                   idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
+    widen(docs).select(col(idCol).as("doc_id"),
         explode(array_distinct(Text.shingles(Text.tokens(col(textCol)), k))).as("sh"))
 
   /** Drop shingles whose document frequency exceeds `dfCap` (0 = keep all).
@@ -180,7 +194,7 @@ object Dedup {
     */
   def simhashSignatures(docs: DataFrame, bits: Int = 64): DataFrame = {
     require(bits >= 1 && bits <= 64, "signature is packed into one long")
-    val t = docs.select(col("doc_id"),
+    val t = widen(docs).select(col("doc_id"),
         explode(array_distinct(Text.tokens(col("text")))).as("tok"))
       .withColumn("tid", strId(col("tok")))
     val aggs = (0 until bits).map { j =>

@@ -44,6 +44,36 @@ object Classify {
       .otherwise("Unknown")
   }
 
+  /** O2 — the protocol-determined OFPMatch template that `getProtocol`
+    * returns ALONGSIDE the label (`DIPA_Controller.py:174-195` returns a
+    * (label, proto_num, OFPMatch) 3-tuple): eth_type + ip_proto + the L4
+    * dst-port arm, reproduced faithfully including the reference's quirks
+    * — ICMP's `tcp_dst=2` placeholder and DNS's `udp_src=48101`
+    * surveillance match. Packet-identity match fields (in_port,
+    * ipv4_src/dst) come from the packet row itself; `proto_num` is the
+    * middle tuple element (10 = the Unknown placeholder), and Unknown's
+    * template matches in_port only (all protocol fields null).
+    */
+  def matchTemplate(label: Column, dstPort: Column): Column = {
+    val protoNum = when(label === "ICMP", 1)
+      .when(label.isin("HTTP", "HTTPS", "Telnet", "TCP"), 6)
+      .when(label.isin("DNS", "DHCP", "UDP"), 17)
+      .otherwise(10)
+    struct(
+      protoNum.as("proto_num"),
+      when(label =!= "Unknown", 0x0800).as("eth_type"),
+      when(label =!= "Unknown", protoNum).as("ip_proto"),
+      when(label === "ICMP", 2)
+        .when(label === "HTTP", 80)
+        .when(label === "HTTPS", 443)
+        .when(label === "Telnet", 23)
+        .when(label === "TCP", dstPort).as("tcp_dst"),
+      when(label === "DNS", 53)
+        .when(label === "DHCP", 67)
+        .when(label === "UDP", dstPort).as("udp_dst"),
+      when(label === "DNS", 48101).as("udp_src"))
+  }
+
   /** O3 — the Mirai bot-loading predicate: symmetric udp 48101 traffic flags
     * the source for surveillance (`DIPA_Controller.py:469-471`). Null match
     * fields (non-UDP flows) are simply not matched — null-safe by

@@ -64,6 +64,7 @@ object FlowInstall {
       .filter(col("protocol") =!= "Unknown")
       .select(col("domain"), col("dpid"), col("in_port"), col("eth_src"),
         col("eth_dst"), col("out_port"), col("protocol"),
+        Classify.matchTemplate(col("protocol"), col("l4_dst_port")).as("match_template"),
         lit(10).as("priority"), lit(60).as("idle_timeout_s"), lit(100).as("hard_timeout_s"))
   }
 

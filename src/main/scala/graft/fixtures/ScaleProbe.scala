@@ -1,0 +1,62 @@
+package graft.fixtures
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale-cliff probe data: a 10x replication of a source SF's `documents`
+  * and `embeddings` tables, built so per-query OUTPUT grows linearly —
+  * which is what makes superlinear RUNTIME growth attributable to the
+  * plan, not the workload:
+  *
+  *  - documents: replica r > 0 suffixes every token with `~r`, so token
+  *    and shingle vocabularies of different replicas are DISJOINT — each
+  *    replica reproduces the source corpus's near-dup structure exactly,
+  *    and no cross-replica near-dup pairs exist (a plain copy would add
+  *    ~45 bogus pairs per source doc and grow pair output quadratically).
+  *  - embeddings: replica r rotates the vector by r positions (norms and
+  *    within-replica cosines preserved) and offsets the block label, so
+  *    blocked-pair output is exactly 10x and ANN queries (vec_id < 8,
+  *    replica 0 only) search a genuinely 10x corpus.
+  */
+object ScaleProbe {
+
+  val Replicas = 10
+  val IdStride = 10000000L
+
+  /** Generate into `outDir` unless already generated from this `srcDir`. */
+  def ensure(spark: SparkSession, srcDir: String, outDir: String): Unit = {
+    val marker = Paths.get(outDir, "_PROBE_SRC")
+    if (Files.exists(marker) && new String(Files.readAllBytes(marker)) == srcDir) return
+    val reps = spark.range(Replicas).select(col("id").cast("int").as("r"))
+
+    spark.read.parquet(s"$srcDir/documents.parquet")
+      .crossJoin(broadcast(reps))
+      .select(
+        (col("doc_id") + col("r") * IdStride).as("doc_id"),
+        when(col("r") === 0, col("text"))
+          .otherwise(regexp_replace(col("text"), lit("(\\S+)"),
+            concat(lit("$1~"), col("r").cast("string"))))
+          .as("text"),
+        col("lang"), col("source"), col("n_chars"))
+      // multi-file output like any real corpus: a single small parquet
+      // file is one row group, i.e. a 1-task scan
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+
+    spark.read.parquet(s"$srcDir/embeddings.parquet")
+      .crossJoin(broadcast(reps))
+      .select(
+        (col("vec_id") + col("r") * IdStride).as("vec_id"),
+        concat(
+          slice(col("embedding"), col("r") + 1, lit(64) - col("r")),
+          slice(col("embedding"), lit(1), col("r"))).as("embedding"),
+        (col("label") + col("r") * 1000).as("label"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+
+    Files.write(marker, srcDir.getBytes)
+    ()
+  }
+}

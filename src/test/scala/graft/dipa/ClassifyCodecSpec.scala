@@ -32,6 +32,31 @@ class ClassifyCodecSpec extends SparkSpec {
       protoTrig = Some("1"))).collect()(0).getString(0) == "ICMP")
   }
 
+  test("match template mirrors getProtocol's OFPMatch per label, quirks included") {
+    val rows = Seq(
+      (Some(1), None: Option[Int]), (Some(6), Some(80)), (Some(6), Some(443)),
+      (Some(6), Some(23)), (Some(6), Some(9999)), (Some(17), Some(53)),
+      (Some(17), Some(67)), (Some(17), Some(9999)), (Some(99), Some(80)))
+    val df = rows.toDF("ip_proto", "dst_port")
+      .withColumn("label", Classify.protocol(col("ip_proto"), col("dst_port")))
+      .withColumn("t", Classify.matchTemplate(col("label"), col("dst_port")))
+      .select(col("label"), col("t.proto_num"), col("t.eth_type"),
+        col("t.tcp_dst"), col("t.udp_dst"), col("t.udp_src"))
+    val got = df.collect().map(r => (r.getString(0),
+      r.getInt(1),
+      Option(r.get(2)), Option(r.get(3)), Option(r.get(4)), Option(r.get(5)))).toSet
+    assert(got == Set(
+      ("ICMP", 1, Some(0x0800), Some(2), None, None),      // reference's tcp_dst=2 quirk
+      ("HTTP", 6, Some(0x0800), Some(80), None, None),
+      ("HTTPS", 6, Some(0x0800), Some(443), None, None),
+      ("Telnet", 6, Some(0x0800), Some(23), None, None),
+      ("TCP", 6, Some(0x0800), Some(9999), None, None),    // generic TCP matches its own port
+      ("DNS", 17, Some(0x0800), None, Some(53), Some(48101)), // udp_src=48101 quirk
+      ("DHCP", 17, Some(0x0800), None, Some(67), None),
+      ("UDP", 17, Some(0x0800), None, Some(9999), None),
+      ("Unknown", 10, None, None, None, None)))            // in_port-only match
+  }
+
   test("bot-loading predicate is null-safe (non-udp rows don't match)") {
     val df = Seq(
       (Some(48101), Some(48101), true),
