@@ -202,7 +202,57 @@ object ControlAnalytics {
       .select(col("min_total"), col("max_total"), col("mean_total"), col("n_complete"))
   }
 
+  /** C3 batch twin — sustained-pushback fire count (`Controller1.py:354-363`;
+    * streaming form: StateMachines.pushbackStep): within each maximal run
+    * of identical consecutive keys the machine fires on every
+    * (sustain+1)-th poll and resets, so a run of length L fires
+    * floor(L / (sustain+1)) times (sustain = 3 here).
+    */
+  def c3PushbackFires(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(order.map(col): _*)
+    val prev = lag(col("event_type"), 1).over(w)
+    ev(s, dir)
+      .withColumn("chg", when(prev.isNull || prev =!= col("event_type"), 1).otherwise(0))
+      .withColumn("grp", sum(col("chg")).over(w))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("run_len"))
+      .groupBy(col("user_id"))
+      .agg(sum(expr("run_len div 4")).as("n_fires"))
+  }
+
+  /** C5 batch twin — lockdown latch (`demo3.py:300-313` intended
+    * semantics; streaming form: StateMachines.latchStep): exactly one
+    * emission per key, at the FIRST observation crossing the threshold.
+    */
+  def c5FirstCross(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(order.map(col): _*)
+    ev(s, dir).filter(col("value") >= 90.0d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id").as("first_cross_event"),
+        col("value").as("cross_value"))
+  }
+
+  /** C7 batch twin — feedback-trigger fold (`DIPA_Controller.py:123-126,
+    * 270`; streaming form: StateMachines.triggerStep): each alert's
+    * non-empty options override the config, empty ones leave it — i.e.
+    * the final config is the LAST non-null override per key.
+    */
+  def c7TriggerFold(s: SparkSession, dir: String): DataFrame = {
+    val wAll = Window.partitionBy(col("user_id")).orderBy(order.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ev(s, dir).select(col("user_id"),
+        last(when(col("value") > 150.0d, col("event_type")), ignoreNulls = true)
+          .over(wAll).as("proto_trig"),
+        last(when(col("value") < 5.0d, col("event_type")), ignoreNulls = true)
+          .over(wAll).as("collab_trig"))
+      .distinct()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c3_pushback_fires" -> (c3PushbackFires _),
+    "c5_first_cross" -> (c5FirstCross _),
+    "c7_trigger_fold" -> (c7TriggerFold _),
     "o5_lldp_drop" -> (o5LldpDrop _),
     "o7_rate_per_sec" -> (o7RatePerSec _),
     "o11_mac_host_decode" -> (o11MacHostDecode _),
@@ -222,6 +272,37 @@ object ControlAnalytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "c3_pushback_fires" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(event_type) OVER w IS NULL
+        |           OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), grouped AS (
+        |  SELECT user_id,
+        |    SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS grp
+        |  FROM marked
+        |), runs AS (
+        |  SELECT user_id, grp, COUNT(*) AS run_len FROM grouped GROUP BY 1, 2
+        |)
+        |SELECT user_id, CAST(SUM(run_len // 4) AS BIGINT) AS n_fires
+        |FROM runs GROUP BY user_id""".stripMargin,
+    "c5_first_cross" ->
+      """WITH ranked AS (
+        |  SELECT user_id, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events WHERE value >= 90.0
+        |)
+        |SELECT user_id, event_id AS first_cross_event, value AS cross_value
+        |FROM ranked WHERE rn = 1""".stripMargin,
+    "c7_trigger_fold" ->
+      """SELECT DISTINCT user_id,
+        |  last_value(CASE WHEN value > 150.0 THEN event_type END IGNORE NULLS) OVER w AS proto_trig,
+        |  last_value(CASE WHEN value < 5.0 THEN event_type END IGNORE NULLS) OVER w AS collab_trig
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
     "o5_lldp_drop" ->
       """SELECT event_type, COUNT(*) AS n_rows FROM events
         |WHERE event_type NOT IN ('error', 'signup') GROUP BY event_type""".stripMargin,

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.dipa.Detect
+import graft.dipa.{Classify, Detect}
 import graft.io.Tables
 import graft.util.Exact._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -67,10 +67,72 @@ object DetectQueries {
     Detect.mitigations(alerts, topology)
   }
 
+  /** O1 — priority filter through the real dataFlows (priority == 10
+    * keeps data flows, skips installed block rules).
+    */
+  def o1PriorityFilter(s: SparkSession, dir: String): DataFrame = {
+    val flows = ev(s, dir).select(col("user_id"), col("event_id"),
+      when(col("event_id") % 3 === 0, 10).otherwise(100).as("priority"))
+    Detect.dataFlows(flows)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_data_flows"))
+  }
+
+  /** O3 — the symmetric udp/48101 bot-loading predicate, including the
+    * null arm (non-UDP flows never match).
+    */
+  def o3BotLoading(s: SparkSession, dir: String): DataFrame = {
+    val src = when(col("user_id") % 5 === 0, lit(null).cast("int"))
+      .when(col("user_id") % 4 === 0, 48101).otherwise(1000)
+    val dst = when(col("event_id") % 2 === 0, 48101).otherwise(53)
+    ev(s, dir).filter(Classify.isBotLoading(src, dst))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_loading"))
+  }
+
+  /** O4 — telnet predicate, strict (23) and with the alt mitigation port
+    * (2323) — both arms in one row.
+    */
+  def o4Telnet(s: SparkSession, dir: String): DataFrame = {
+    val dst = when(col("event_id") % 7 === 0, 23)
+      .when(col("event_id") % 7 === 1, 2323).otherwise(80)
+    ev(s, dir).agg(
+      count(when(Classify.isTelnet(dst), 1)).as("n_telnet"),
+      count(when(Classify.isTelnet(dst, includeAlt = true), 1)).as("n_telnet_alt"))
+  }
+
+  /** J4/J5 — attacker attribution through the real attributeAttackers:
+    * above-threshold rates toward victim MACs (semi-join), resolved to
+    * the attached host via the (dpid, port) topology broadcast join.
+    */
+  def j5Attribution(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+    val mac = concat(lit("aa:"), (col("event_id") % 7).cast("string"))
+    val rates = e.select(
+      col("event_type").as("domain"), (col("user_id") % 4).as("dpid"),
+      (col("user_id") % 3 + 1).as("in_port"), mac.as("eth_dst"),
+      col("value").as("rate"))
+    val victims = e.filter(col("value") > 150.0d)
+      .select(col("event_type").as("domain"), mac.as("eth_dst"))
+      .distinct()
+    val topology = e
+      .select((col("user_id") % 4).as("dpid"), (col("user_id") % 3 + 1).as("port"))
+      .distinct()
+      .select(col("dpid"), col("port"),
+        concat(lit("s"), col("dpid").cast("string")).as("switch_name"),
+        concat(lit("10.0.1."), (col("dpid") * 10 + col("port")).cast("string")).as("attached"),
+        lit(true).as("is_host"))
+    Detect.attributeAttackers(rates, victims, topology, threshold = 100.0)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j5_attribution" -> (j5Attribution _),
     "o13_bias_ratio" -> (o13BiasRatio _),
     "a3_suspected" -> (a3Suspected _),
-    "c6_dispatch" -> (c6Dispatch _)
+    "c6_dispatch" -> (c6Dispatch _),
+    "o1_priority_filter" -> (o1PriorityFilter _),
+    "o3_bot_loading" -> (o3BotLoading _),
+    "o4_telnet" -> (o4Telnet _)
   )
 
   private val scoresSql: String =
@@ -127,6 +189,49 @@ object DetectQueries {
         |  switch_name, port,
         |  CASE WHEN label = 'CNC' THEN 100 ELSE 10 END AS priority,
         |  60 AS idle_timeout_s, 100 AS hard_timeout_s
-        |FROM alerts LEFT JOIN topo ON ip = attached""".stripMargin
+        |FROM alerts LEFT JOIN topo ON ip = attached""".stripMargin,
+    "o1_priority_filter" ->
+      """SELECT user_id, COUNT(*) AS n_data_flows FROM events
+        |WHERE event_id % 3 = 0 GROUP BY user_id""".stripMargin,
+    "o3_bot_loading" ->
+      """WITH x AS (
+        |  SELECT user_id,
+        |    CASE WHEN user_id % 5 = 0 THEN NULL
+        |         WHEN user_id % 4 = 0 THEN 48101 ELSE 1000 END AS udp_src,
+        |    CASE WHEN event_id % 2 = 0 THEN 48101 ELSE 53 END AS udp_dst
+        |  FROM events
+        |)
+        |SELECT user_id, COUNT(*) AS n_loading FROM x
+        |WHERE udp_src = 48101 AND udp_dst = 48101 GROUP BY user_id""".stripMargin,
+    "o4_telnet" ->
+      """WITH x AS (
+        |  SELECT CASE WHEN event_id % 7 = 0 THEN 23
+        |              WHEN event_id % 7 = 1 THEN 2323 ELSE 80 END AS tcp_dst
+        |  FROM events
+        |)
+        |SELECT COUNT(CASE WHEN tcp_dst = 23 THEN 1 END) AS n_telnet,
+        |  COUNT(CASE WHEN tcp_dst = 23 OR tcp_dst = 2323 THEN 1 END) AS n_telnet_alt
+        |FROM x""".stripMargin,
+    "j5_attribution" ->
+      """WITH rates AS (
+        |  SELECT event_type AS domain, user_id % 4 AS dpid,
+        |    user_id % 3 + 1 AS in_port,
+        |    'aa:' || (event_id % 7) AS eth_dst, value AS rate
+        |  FROM events
+        |), victims AS (
+        |  SELECT DISTINCT event_type AS domain, 'aa:' || (event_id % 7) AS eth_dst
+        |  FROM events WHERE value > 150.0
+        |), topology AS (
+        |  SELECT dpid, port, 's' || dpid AS switch_name,
+        |    '10.0.1.' || (dpid * 10 + port) AS attached
+        |  FROM (SELECT DISTINCT user_id % 4 AS dpid, user_id % 3 + 1 AS port
+        |        FROM events)
+        |)
+        |SELECT r.domain, t.switch_name, t.port, t.attached AS attacker,
+        |  r.eth_dst, r.rate
+        |FROM rates r
+        |JOIN victims v ON v.domain = r.domain AND v.eth_dst = r.eth_dst
+        |JOIN topology t ON t.dpid = r.dpid AND t.port = r.in_port
+        |WHERE r.rate > 100.0""".stripMargin
   )
 }
