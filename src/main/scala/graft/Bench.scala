@@ -49,18 +49,24 @@ object Bench {
       t
     }
 
-    // untimed: s3 recall vs the s1 exact ground truth — the scale gate for
-    // the multi-probe LSH geometry (target >= 0.9 at the bench sf)
-    val recall = try {
-      val s1 = SparkEntry.queries("s1_ann_topk")(spark, sfDir).select("q_id", "c_id")
-      val s3 = SparkEntry.queries("s3_lsh_topk")(spark, sfDir).select("q_id", "c_id")
-      val r = s3.join(s1, Seq("q_id", "c_id"), "left_semi").count().toDouble / s1.count()
-      spark.catalog.clearCache()
-      Seq("s3_recall" -> r)
-    } catch { case e: Throwable =>
-      errors += "s3_recall" -> e.toString.takeWhile(_ != '\n').take(200)
-      Seq("s3_recall" -> -1.0)
-    }
+    // untimed: ANN recall vs the s1 exact ground truth — the scale gate for
+    // the multi-probe LSH geometry (target >= 0.9 at the bench sf); the IVF
+    // number is reported for transparency (on this near-uniform corpus IVF
+    // cells can't concentrate true neighbors, so its recall is the honest
+    // cost of probing nprobe/C of the corpus)
+    val recall = Seq("s3_recall" -> "s3_lsh_topk", "s4_recall" -> "s4_ivf_topk")
+      .map { case (metric, query) =>
+        try {
+          val s1 = SparkEntry.queries("s1_ann_topk")(spark, sfDir).select("q_id", "c_id")
+          val a = SparkEntry.queries(query)(spark, sfDir).select("q_id", "c_id")
+          val r = a.join(s1, Seq("q_id", "c_id"), "left_semi").count().toDouble / s1.count()
+          spark.catalog.clearCache()
+          metric -> r
+        } catch { case e: Throwable =>
+          errors += metric -> e.toString.takeWhile(_ != '\n').take(200)
+          metric -> -1.0
+        }
+      }
 
     // BASELINE.md headline: full detection over a 7500-benign-flow,
     // 500-bot poll history (fixture generation + caching excluded)
@@ -118,7 +124,7 @@ object Bench {
         graft.fixtures.ScaleProbe.ensure(spark, sfDir, sf1Dir)
         Seq("d1_exact_dedup", "d2_jaccard_pairs", "d3_minhash_lsh",
             "d4_simhash_pairs", "s1_ann_topk", "s2_cosine_pairs_blocked",
-            "s3_lsh_topk").map { name =>
+            "s3_lsh_topk", "s4_ivf_topk").map { name =>
           val t = timed("sf1_" + name) {
             SparkEntry.queries(name)(spark, sf1Dir).count(); ()
           }

@@ -52,10 +52,24 @@ object SimQueries {
       .withColumn("rank", col("rank").cast("long"))
   }
 
+  /** s4 IVF geometry: centroids sampled at a fixed id stride (corpus/125
+    * cells — grows with the corpus, as an IVF cell count must), queries
+    * probe their 4 nearest cells.
+    */
+  val CentPred = "vec_id % 125 = 0"
+  val NProbe = 4
+
+  def s4IvfTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Similarity.ivfTopK(e.filter(QueryPred), e, K, CentPred, NProbe)
+      .withColumn("rank", col("rank").cast("long"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_ann_topk" -> (s1AnnTopK _),
     "s2_cosine_pairs_blocked" -> (s2CosinePairsBlocked _),
-    "s3_lsh_topk" -> (s3LshTopK _)
+    "s3_lsh_topk" -> (s3LshTopK _),
+    "s4_ivf_topk" -> (s4IvfTopK _)
   )
 
   // ---- generated DuckDB twins ----------------------------------------
@@ -148,9 +162,52 @@ object SimQueries {
        |SELECT q_id, c_id, cos, "rank" FROM ranked WHERE "rank" <= $K""".stripMargin
   }
 
+  /** IVF twin of Similarity.ivfTopK at the same (CentPred, NProbe): the
+    * row_number argmax here equals the Spark side's max_by with the
+    * (ccos desc, cid asc) tie-break.
+    */
+  private def ivfSql: String =
+    s"""WITH v AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(${dotSql("embedding", "embedding")}) AS n
+       |  FROM embeddings
+       |), cents AS (
+       |  SELECT vec_id AS cid, embedding AS cv, n AS cn FROM v WHERE $CentPred
+       |), cassign AS (
+       |  SELECT vec_id, cid AS cell FROM (
+       |    SELECT v.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |        ${dotSql("v.embedding", "c.cv")} / (v.n * c.cn) DESC, c.cid ASC) AS rn
+       |    FROM v CROSS JOIN cents c)
+       |  WHERE rn = 1
+       |), q AS (
+       |  SELECT vec_id AS q_id, embedding AS qv, n AS qn FROM v WHERE $QueryPred
+       |), qprobe AS (
+       |  SELECT q_id, cid AS cell FROM (
+       |    SELECT q.q_id, c.cid,
+       |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+       |        ${dotSql("q.qv", "c.cv")} / (q.qn * c.cn) DESC, c.cid ASC) AS rn
+       |    FROM q CROSS JOIN cents c)
+       |  WHERE rn <= $NProbe
+       |), scored AS (
+       |  SELECT q.q_id, v.vec_id AS c_id,
+       |    ${dotSql("q.qv", "v.embedding")} / (q.qn * v.n) AS cos
+       |  FROM v
+       |  JOIN cassign a ON a.vec_id = v.vec_id
+       |  JOIN qprobe p ON p.cell = a.cell
+       |  JOIN q ON q.q_id = p.q_id
+       |  WHERE q.q_id <> v.vec_id
+       |), ranked AS (
+       |  SELECT q_id, c_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS BIGINT) AS "rank"
+       |  FROM scored
+       |)
+       |SELECT q_id, c_id, cos, "rank" FROM ranked WHERE "rank" <= $K""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "s1_ann_topk" -> topKSql,
     "s3_lsh_topk" -> lshMultiSql,
+    "s4_ivf_topk" -> ivfSql,
     "s2_cosine_pairs_blocked" ->
       s"""WITH v AS (
          |  SELECT vec_id, label, embedding,

@@ -206,4 +206,55 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("q_id"), col("c_id"), col("cos"), col("rank"))
   }
+
+  /** IVF-flat ANN: a coarse quantizer of seeded centroids (corpus rows at
+    * fixed ids — the sampled-centroid init every IVF build starts from),
+    * each corpus vector assigned to its single nearest cell, queries
+    * probing their `nprobe` nearest cells. Exact within probed cells; a
+    * query touches ~nprobe/C of the corpus.
+    *
+    * Scale shape: the centroid table is broadcast (C is small by
+    * construction), corpus cell assignment is a map-side `max_by`
+    * aggregation — no window, no sort — and the candidate join is a
+    * broadcast hash join on the cell id. Complements `lshTopKMulti`:
+    * IVF wins when the corpus is clustered (cells match density), LSH
+    * when it isn't.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              centroidPred: String, nprobe: Int,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val dot = nativeDot(corpus)
+    val cents = broadcast(corpus.filter(centroidPred)
+      .select(col(idCol).as("cid"), col(vecCol).as("cv0"))
+      .withColumn("cn0", sqrt(dot(col("cv0"), col("cv0")))))
+
+    val c = corpus.select(col(idCol).as("c_id"), col(vecCol).as("v"))
+      .withColumn("n", sqrt(dot(col("v"), col("v"))))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("v"))
+      .withColumn("n", sqrt(dot(col("v"), col("v"))))
+
+    // argmax centroid per corpus vector: max cosine, min-cid tie-break —
+    // a partial-aggregating max_by, not a window (no per-key sort at scale)
+    val cCell = c.crossJoin(cents)
+      .withColumn("ccos", cosine(dot(col("v"), col("cv0")), col("n"), col("cn0")))
+      .groupBy(col("c_id"))
+      .agg(first(col("v")).as("v"), first(col("n")).as("n"),
+        max_by(col("cid"), struct(col("ccos"), (-col("cid")).as("nc"))).as("cell"))
+
+    val wq = Window.partitionBy(col("q_id")).orderBy(col("ccos").desc, col("cid").asc)
+    val qCells = q.crossJoin(cents)
+      .withColumn("ccos", cosine(dot(col("v"), col("cv0")), col("n"), col("cn0")))
+      .withColumn("crn", row_number().over(wq))
+      .filter(col("crn") <= nprobe)
+      .select(col("q_id"), col("cid").as("cell"))
+
+    val scored = cCell.join(broadcast(qCells), Seq("cell"))
+      .filter(col("q_id") =!= col("c_id"))
+      .join(broadcast(q.select(col("q_id"), col("v").as("qv"), col("n").as("qn"))), Seq("q_id"))
+      .withColumn("cos", cosine(dot(col("qv"), col("v")), col("qn"), col("n")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("c_id"), col("cos"), col("rank"))
+  }
 }
