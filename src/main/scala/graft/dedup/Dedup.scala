@@ -55,6 +55,20 @@ object Dedup {
     if (df.rdd.getNumPartitions < p) df.repartition(p) else df
   }
 
+  /** Streaming exact dedup — dedup-at-ingest: first-seen documents pass,
+    * later exact copies are dropped across micro-batches via keyed state
+    * on a content hash. The 100 TB ingest shape: new corpus slices dedup
+    * incrementally as they arrive instead of re-scanning everything seen
+    * so far; the state entry is a 16-byte digest per distinct document,
+    * not the text, checkpointed and sharded by Spark's state store. Works
+    * identically on a batch frame (state starts empty). For unbounded
+    * streams pair with `withWatermark` so the state can expire.
+    */
+  def exactStream(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.withColumn("__fp", md5(col(textCol)))
+      .dropDuplicates("__fp")
+      .drop("__fp")
+
   /** (doc_id, shingle) pairs, distinct per document. */
   def docShingles(docs: DataFrame, k: Int,
                   idCol: String = "doc_id", textCol: String = "text"): DataFrame =
