@@ -124,7 +124,7 @@ object Bench {
         graft.fixtures.ScaleProbe.ensure(spark, sfDir, sf1Dir)
         Seq("d1_exact_dedup", "d2_jaccard_pairs", "d3_minhash_lsh",
             "d4_simhash_pairs", "s1_ann_topk", "s2_cosine_pairs_blocked",
-            "s3_lsh_topk", "s4_ivf_topk").map { name =>
+            "s3_lsh_topk", "s4_ivf_topk", "s5_lsh_pairs").map { name =>
           val t = timed("sf1_" + name) {
             SparkEntry.queries(name)(spark, sf1Dir).count(); ()
           }

@@ -59,6 +59,15 @@ object SimQueries {
   val CentPred = "vec_id % 125 = 0"
   val NProbe = 4
 
+  /** s5: corpus-wide near-dup pairs via the LSH index (no blocking key);
+    * low threshold so the banded candidate set is non-trivially exercised
+    * on this near-uniform corpus.
+    */
+  val PairTh = 0.2
+
+  def s5LshPairs(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosinePairsLsh(emb(s, dir), PairTh, Dim, Planes, NTables)
+
   def s4IvfTopK(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     Similarity.ivfTopK(e.filter(QueryPred), e, K, CentPred, NProbe)
@@ -69,7 +78,8 @@ object SimQueries {
     "s1_ann_topk" -> (s1AnnTopK _),
     "s2_cosine_pairs_blocked" -> (s2CosinePairsBlocked _),
     "s3_lsh_topk" -> (s3LshTopK _),
-    "s4_ivf_topk" -> (s4IvfTopK _)
+    "s4_ivf_topk" -> (s4IvfTopK _),
+    "s5_lsh_pairs" -> (s5LshPairs _)
   )
 
   // ---- generated DuckDB twins ----------------------------------------
@@ -204,10 +214,37 @@ object SimQueries {
        |)
        |SELECT q_id, c_id, cos, "rank" FROM ranked WHERE "rank" <= $K""".stripMargin
 
+  /** Pairs twin of Similarity.cosinePairsLsh: same wide bucket, banded
+    * self-join on (table, bucket), max-dedup, threshold.
+    */
+  private def lshPairsSql: String = {
+    val bmask = (1L << Planes) - 1
+    val tablesList = (0 until NTables).mkString(", ")
+    s"""WITH v AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(${dotSql("embedding", "embedding")}) AS n,
+       |    ${wideBucketSql("embedding", Planes * NTables)} AS wb
+       |  FROM embeddings
+       |), tt AS (SELECT unnest([$tablesList]) AS t),
+       |banded AS (
+       |  SELECT vec_id AS id, embedding AS v, n, t,
+       |    ((wb >> ($Planes * t)) & $bmask) AS bk
+       |  FROM v CROSS JOIN tt
+       |), pairs AS (
+       |  SELECT a.id AS i, b.id AS j,
+       |    MAX(${dotSql("a.v", "b.v")} / (a.n * b.n)) AS cos
+       |  FROM banded a
+       |  JOIN banded b ON a.t = b.t AND a.bk = b.bk AND a.id < b.id
+       |  GROUP BY a.id, b.id
+       |)
+       |SELECT i, j, cos FROM pairs WHERE cos >= $PairTh""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "s1_ann_topk" -> topKSql,
     "s3_lsh_topk" -> lshMultiSql,
     "s4_ivf_topk" -> ivfSql,
+    "s5_lsh_pairs" -> lshPairsSql,
     "s2_cosine_pairs_blocked" ->
       s"""WITH v AS (
          |  SELECT vec_id, label, embedding,

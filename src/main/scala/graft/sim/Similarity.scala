@@ -207,6 +207,42 @@ object Similarity {
       .select(col("q_id"), col("c_id"), col("cos"), col("rank"))
   }
 
+  /** Embedding near-dup PAIRS above a cosine threshold via the same
+    * multi-table hyperplane index as `lshTopKMulti` — the self-join form
+    * for corpus-wide near-dup sweeps when no blocking key exists
+    * (`cosinePairsBlocked` needs one). Candidates are same-(table, bucket)
+    * pairs with i < j, scored once per index hit and deduped by max. No
+    * probe expansion: near-duplicates (cos ~ 1) agree on almost every
+    * sign bit, so they collide in >= 1 of the `tables` tables with high
+    * probability — the regime where banding alone carries recall, unlike
+    * the weak-similarity top-k setting. One shuffle on (table, bucket),
+    * quadratic only within buckets (~corpus/2^planes each at any scale).
+    */
+  def cosinePairsLsh(vecs: DataFrame, threshold: Double, dim: Int,
+                     planes: Int, tables: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(planes * tables <= 63, "wide bucket must fit one long")
+    val dot = nativeDot(vecs)
+    graft.functions.LshBucket.register(vecs.sparkSession, dim, planes * tables)
+    val mask = (1L << planes) - 1
+    val v = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("n", sqrt(dot(col("v"), col("v"))))
+      .withColumn("wide", graft.functions.LshBucket(col("v")))
+      .select(col("id"), col("v"), col("n"),
+        explode(array((0 until tables).map(t => struct(lit(t).as("t"),
+          shiftright(col("wide"), planes * t).bitwiseAND(lit(mask)).as("bk"))): _*)).as("tb"))
+      .select(col("id"), col("v"), col("n"),
+        col("tb.t").as("t"), col("tb.bk").as("bk"))
+    v.as("a").join(v.as("b"),
+        col("a.t") === col("b.t") && col("a.bk") === col("b.bk") &&
+          col("a.id") < col("b.id"))
+      .withColumn("pcos",
+        cosine(dot(col("a.v"), col("b.v")), col("a.n"), col("b.n")))
+      .groupBy(col("a.id").as("i"), col("b.id").as("j"))
+      .agg(max(col("pcos")).as("cos")) // a pair can collide in several tables
+      .filter(col("cos") >= threshold)
+  }
+
   /** IVF-flat ANN: a coarse quantizer of seeded centroids (corpus rows at
     * fixed ids — the sampled-centroid init every IVF build starts from),
     * each corpus vector assigned to its single nearest cell, queries
