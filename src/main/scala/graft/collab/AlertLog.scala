@@ -77,18 +77,23 @@ object AlertLog {
   }
 
   /** Tail the log as a stream of (offset, value). Quote handling is
-    * disabled: frames are opaque single-line strings, not CSV.
+    * disabled: frames are opaque single-line strings, not CSV. Creates
+    * the directory so a consumer may subscribe before the first publish.
     */
-  def stream(spark: SparkSession, dir: String): DataFrame =
+  def stream(spark: SparkSession, dir: String): DataFrame = {
+    Files.createDirectories(Paths.get(dir))
     spark.readStream.schema(Schema)
       .option("sep", "\t").option("quote", "")
       .csv(s"$dir/*.seg")
+  }
 
   /** Batch replay of the whole log (audits, backfills, tests). */
-  def read(spark: SparkSession, dir: String): DataFrame =
+  def read(spark: SparkSession, dir: String): DataFrame = {
+    Files.createDirectories(Paths.get(dir))
     spark.read.schema(Schema)
       .option("sep", "\t").option("quote", "")
       .csv(s"$dir/*.seg")
+  }
 
   /** `foreachBatch` producer hook: publish a wire frame batch (column
     * `value`) as one segment. The collect is the single-writer append a
