@@ -125,7 +125,25 @@ object DetectQueries {
     Detect.attributeAttackers(rates, victims, topology, threshold = 100.0)
   }
 
+  /** A1 quirk-parity mode — the reference's literal `traf_dict[src] =
+    * {dst: count}` bug (each write REPLACES the whole per-source map, so
+    * only the most recent (src, dst) counter survives; SURVEY §7.1/§7.5).
+    * Runs the real telnetTotals with `quirkLastWriteOnly = true` over a
+    * flows-shaped frame; integer packet counts, so the sum is exact.
+    */
+  def a1QuirkSnapshot(s: SparkSession, dir: String): DataFrame = {
+    val flows = ev(s, dir).select(
+      col("event_type").as("domain"),
+      col("user_id").as("ipv4_src"),
+      (col("event_id") % 13).as("ipv4_dst"),
+      col("event_id").as("poll_id"),
+      ((col("event_id") * 7) % 1000).as("packet_count"),
+      lit(10).as("priority"), lit(23).as("tcp_dst"))
+    Detect.telnetTotals(flows, quirkLastWriteOnly = true)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a1_quirk_snapshot" -> (a1QuirkSnapshot _),
     "j5_attribution" -> (j5Attribution _),
     "o13_bias_ratio" -> (o13BiasRatio _),
     "a3_suspected" -> (a3Suspected _),
@@ -158,6 +176,19 @@ object DetectQueries {
       |WHERE t.ipv4_src <> c.cnc_ip""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "a1_quirk_snapshot" ->
+      """WITH flows AS (
+        |  SELECT event_type AS domain, user_id AS ipv4_src,
+        |    event_id % 13 AS ipv4_dst, event_id AS poll_id,
+        |    (event_id * 7) % 1000 AS packet_count
+        |  FROM events
+        |), ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY domain, ipv4_src
+        |    ORDER BY poll_id DESC, ipv4_dst DESC) AS rn
+        |  FROM flows
+        |)
+        |SELECT domain, ipv4_src, CAST(SUM(packet_count) AS BIGINT) AS telnet_total
+        |FROM ranked WHERE rn = 1 GROUP BY domain, ipv4_src""".stripMargin,
     "o13_bias_ratio" -> scoresSql,
     "a3_suspected" ->
       s"""SELECT * FROM ($scoresSql)
