@@ -51,6 +51,7 @@ object Dedup {
     * of raw text to unlock N-way parallelism for the expensive part.
     */
   private def widen(df: DataFrame): DataFrame = {
+    if (df.isStreaming) return df // micro-batches are already split; .rdd is illegal here
     val p = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < p) df.repartition(p) else df
   }

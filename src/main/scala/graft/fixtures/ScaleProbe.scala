@@ -39,7 +39,8 @@ object ScaleProbe {
           .otherwise(regexp_replace(col("text"), lit("(\\S+)"),
             concat(lit("$1~"), col("r").cast("string"))))
           .as("text"),
-        col("lang"), col("source"), col("n_chars"))
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
       // multi-file output like any real corpus: a single small parquet
       // file is one row group, i.e. a 1-task scan
       .repartition(32)
