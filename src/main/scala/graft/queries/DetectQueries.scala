@@ -7,13 +7,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Oracle rows for the detection-pipeline operators that are pure
-  * relational transforms (flagged spec-only in round 2): O13 bias-ratio,
-  * A3 suspected-bot thresholding, C6 mitigation dispatch
-  * (`DIPA_Controller.py:485-497` scoring, `:377-413` dispatch). The
-  * queries call the REAL graft.dipa.Detect operators over flows-shaped
-  * frames synthesized deterministically from the events table — domain =
-  * event_type, source = user_id — so the oracle checks the exact code the
-  * streaming pipeline runs, not a re-derivation.
+  * relational transforms: O1/O3/O4 predicates, O13 bias-ratio, A3
+  * suspected-bot thresholding, C6 mitigation dispatch, J4/J5 attacker
+  * attribution, and the A1 quirk-parity snapshot mode
+  * (`DIPA_Controller.py:459-497` scoring, `:377-413` dispatch,
+  * `Controller1.py:476-503` attribution). The queries call the REAL
+  * graft.dipa operators over flows-shaped frames synthesized
+  * deterministically from the events table — domain = event_type,
+  * source = user_id — so the oracle checks the exact code the streaming
+  * pipeline runs, not a re-derivation.
   */
 object DetectQueries {
 
