@@ -62,11 +62,21 @@ object TextQueries {
       .orderBy(col("n").desc, col("tok").asc)
       .limit(20)
 
+  /** Subword (BPE-ish pre-tokenizer) vs whitespace token counts per doc —
+    * the LLM-token-budget proxy. Map-only projection like t1.
+    */
+  def t5BpeTokens(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      Text.bpeTokenCount(col("text")).cast("long").as("n_bpe_tokens"),
+      Text.tokenCount(col("text")).cast("long").as("n_ws_tokens"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_token_stats" -> (t1TokenStats _),
     "t2_quality" -> (t2Quality _),
     "t3_lang_confusion" -> (t3LangConfusion _),
-    "t4_token_topk" -> (t4TokenTopK _)
+    "t4_token_topk" -> (t4TokenTopK _),
+    "t5_bpe_tokens" -> (t5BpeTokens _)
   )
 
   /** DuckDB lambda twin of Text.tokens. */
@@ -115,6 +125,11 @@ object TextQueries {
     "t4_token_topk" ->
       s"""SELECT tok, COUNT(*) AS n
          |FROM (SELECT unnest($toksSql) AS tok FROM documents)
-         |GROUP BY tok ORDER BY n DESC, tok ASC LIMIT 20""".stripMargin
+         |GROUP BY tok ORDER BY n DESC, tok ASC LIMIT 20""".stripMargin,
+    "t5_bpe_tokens" ->
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '${Text.BpePattern.replace("'", "''")}')) AS BIGINT) AS n_bpe_tokens,
+         |  CAST(len($toksSql) AS BIGINT) AS n_ws_tokens
+         |FROM documents""".stripMargin
   )
 }

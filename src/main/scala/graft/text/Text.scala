@@ -21,6 +21,23 @@ object Text {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** GPT-style pre-tokenization regex (the public GPT-2 pattern shape:
+    * contraction suffixes, space-prefixed letter runs, digit runs,
+    * punctuation runs, residual whitespace), restricted to ASCII classes
+    * so Java regex and RE2 (DuckDB) split identically — non-Latin runs
+    * fall into the symbol class as whole tokens. Subword token COUNTS
+    * from this are the cheap proxy for LLM token budgeting before a real
+    * BPE vocabulary is involved.
+    */
+  val BpePattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+"
+
+  /** Subword tokens under the BPE-ish pre-tokenizer (whole-match runs). */
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit(BpePattern), lit(0))
+
+  def bpeTokenCount(text: Column): Column = size(bpeTokens(text))
+
   /** Word k-shingles: overlapping k-grams joined by a single space.
     * Documents shorter than k tokens yield an empty array.
     */
