@@ -7,7 +7,18 @@ import org.apache.spark.sql.SparkSession
 
 /** Per-round benchmark: every SparkEntry query at the configured SF, plus
   * the BASELINE.md headline — one 7500-flow poll snapshot through the full
-  * detection pipeline (target ≪ 2 s, thesis §6.2.3 poll budget).
+  * detection pipeline (target ≪ 2 s, thesis §6.2.3 poll budget) and a 10×
+  * (75 000-flow / 5 000-bot) detection scale probe.
+  *
+  * Timing discipline (round-4 hardening): each query is timed as the MIN of
+  * `SPARK_GRAFT_TRIALS` (default 3) fresh invocations with the SQL cache
+  * cleared between trials, so a GC pause or a competing process inflates at
+  * most one trial instead of the recorded number. The 1-minute /proc/loadavg
+  * is recorded before and after the suite into the JSON (`load_before`/
+  * `load_after`, with `bench_cpus` for scale): a run whose loadavg is well
+  * above this JVM's own core budget was contended, and its numbers should be
+  * read with that in mind. BENCH_r03 recorded 5–13× inflation from exactly
+  * such a contended run.
   *
   * Failures are recorded per query in the emitted JSON (never swallowed as
   * a fake fast time).
@@ -16,6 +27,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val trials = sys.env.getOrElse("SPARK_GRAFT_TRIALS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -25,14 +37,41 @@ object Bench {
     GraftSession.tune(spark)
     import spark.implicits._
 
+    def loadavg1m(): Double =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.split("\\s+")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    val loadBefore = loadavg1m()
+    val wallStart = System.nanoTime()
+
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    def timed(name: String)(body: => Unit): (String, Double) = {
-      val t0 = System.nanoTime()
-      try body
-      catch { case e: Throwable =>
-        errors += name -> e.toString.takeWhile(_ != '\n').take(200)
+
+    /** Min over `n` fresh runs of `body`; first failure aborts the trials
+      * and is recorded (the failed trial's elapsed time is reported only if
+      * no trial succeeded). `clear` drops the SQL cache between trials so a
+      * query that persists intermediates (dedup's shingle frame) pays its
+      * full cost every trial — set it false for the detect benches, whose
+      * input fixture is deliberately cached outside the timed section.
+      */
+    def timed(name: String, n: Int = trials, clear: Boolean = true)(
+        body: => Unit): (String, Double) = {
+      var best = Double.MaxValue
+      var firstElapsed = -1.0
+      var failed = false
+      var i = 0
+      while (i < n && !failed) {
+        val t0 = System.nanoTime()
+        try body
+        catch { case e: Throwable =>
+          errors += name -> e.toString.takeWhile(_ != '\n').take(200)
+          failed = true
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (firstElapsed < 0) firstElapsed = dt
+        if (!failed) best = best.min(dt)
+        if (clear) spark.catalog.clearCache()
+        i += 1
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> (if (best == Double.MaxValue) firstElapsed else best)
     }
 
     // untimed warmup: JVM/codegen/session init otherwise lands on whichever
@@ -40,20 +79,13 @@ object Bench {
     try SparkEntry.queries("q1_agg")(spark, sfDir).count()
     catch { case _: Throwable => () }
 
-    // clearCache between queries: dedup persists its shingle frame; without
-    // the clear, a later query touching the same plan would read a cache the
-    // earlier query paid for, making per-query times order-dependent
     val queryTimes = SparkEntry.queries.map { case (name, fn) =>
-      val t = timed(name) { fn(spark, sfDir).count(); () }
-      spark.catalog.clearCache()
-      t
+      timed(name) { fn(spark, sfDir).count(); () }
     }
 
     // untimed: ANN recall vs the s1 exact ground truth — the scale gate for
-    // the multi-probe LSH geometry (target >= 0.9 at the bench sf); the IVF
-    // number is reported for transparency (on this near-uniform corpus IVF
-    // cells can't concentrate true neighbors, so its recall is the honest
-    // cost of probing nprobe/C of the corpus)
+    // the multi-probe LSH geometry and the Lloyd-refined IVF (target >= 0.9
+    // at the bench sf)
     val recall = Seq("s3_recall" -> "s3_lsh_topk", "s4_recall" -> "s4_ivf_topk")
       .map { case (metric, query) =>
         try {
@@ -74,49 +106,76 @@ object Bench {
     val flows = sc.flows.toDF().cache()
     flows.count() // materialize outside the timed section
     val detectTimes = Seq(
-      timed("detect_7500_batch") { Detect.detect(flows).count(); () },
-      timed("detect_7500_stream") {
+      timed("detect_7500_batch", clear = false) { Detect.detect(flows).count(); () },
+      timed("detect_7500_stream", clear = false) {
         DetectionStream.alerts(flows.as[graft.model.FlowStat]).count(); ()
       })
 
     // sustained micro-batch run: one poll per trigger through the live
     // streaming query; the per-poll mean must stay under the 2 s poll
-    // budget for the pipeline to keep up (BASELINE.md §Targets)
-    val polls = sc.flows.groupBy(_.poll_id).toSeq.sortBy(_._1).map(_._2)
-
-    // warm the streaming plan (state-store init, codegen, shuffle setup) on a
-    // throwaway query over the first poll: the thesis's no-backlog condition
-    // is "every poll under 2 s", so the timed max must not be the one-time
-    // plan/codegen cost the first trigger would otherwise pay
-    locally {
-      val warm = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
+    // budget for the pipeline to keep up (BASELINE.md §Targets). This is a
+    // sustained latency distribution, not a repeatable unit of work, so it
+    // stays single-pass (mean/max over polls) rather than min-of-N.
+    def sustainedPolls(label: String, allFlows: Seq[graft.model.FlowStat])
+        : Seq[(String, Double)] = {
+      val polls = allFlows.groupBy(_.poll_id).toSeq.sortBy(_._1).map(_._2)
+      // warm the streaming plan (state-store init, codegen, shuffle setup) on
+      // a throwaway query over the first poll: the thesis's no-backlog
+      // condition is "every poll under 2 s", so the timed max must not be the
+      // one-time plan/codegen cost the first trigger would otherwise pay
+      locally {
+        val warm = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
+          graft.model.FlowStat](spark)
+        val wq = DetectionStream.alerts(warm.toDS()).writeStream
+          .format("noop").outputMode("update").start()
+        warm.addData(polls.head)
+        wq.processAllAvailable()
+        wq.stop()
+      }
+      val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
         graft.model.FlowStat](spark)
-      val wq = DetectionStream.alerts(warm.toDS()).writeStream
+      val q = DetectionStream.alerts(stream.toDS()).writeStream
         .format("noop").outputMode("update").start()
-      warm.addData(polls.head)
-      wq.processAllAvailable()
-      wq.stop()
+      val perPoll = polls.map { rows =>
+        val t0 = System.nanoTime()
+        stream.addData(rows)
+        q.processAllAvailable()
+        (System.nanoTime() - t0) / 1e9
+      }
+      q.stop()
+      Seq(s"${label}_mean" -> perPoll.sum / perPoll.size,
+          s"${label}_max" -> perPoll.max)
     }
+    val sustained = sustainedPolls("detect_poll", sc.flows)
 
-    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
-      graft.model.FlowStat](spark)
-    val q = DetectionStream.alerts(stream.toDS()).writeStream
-      .format("noop").outputMode("update").start()
-    val perPoll = polls.map { rows =>
-      val t0 = System.nanoTime()
-      stream.addData(rows)
-      q.processAllAvailable()
-      (System.nanoTime() - t0) / 1e9
-    }
-    q.stop()
-    val sustained = Seq(
-      "detect_poll_mean" -> perPoll.sum / perPoll.size,
-      "detect_poll_max" -> perPoll.max)
+    // detection scale probe (10× flows, 10× bots): a 75 000-benign-flow /
+    // 5 000-bot scenario through the same batch pipeline and the same
+    // sustained streaming run. Poll cost should scale ~linearly in flows —
+    // a superlinear jump here is a plan bug the 100 TB cluster would hit.
+    // Skip with SPARK_GRAFT_DETECT10X=0.
+    val detect10x: Seq[(String, Double)] =
+      if (sys.env.get("SPARK_GRAFT_DETECT10X").contains("0")) Nil
+      else try {
+        val sc10 = Fixtures.scenario(
+          Fixtures.ScenarioParams(nBenignFlows = 75000, nBots = 5000))
+        val flows10 = sc10.flows.toDF().cache()
+        flows10.count()
+        val batch = timed("detect_75k_batch", clear = false) {
+          Detect.detect(flows10).count(); ()
+        }
+        val polls10 = sustainedPolls("detect_75k_poll", sc10.flows)
+        flows10.unpersist()
+        batch +: polls10
+      } catch { case e: Throwable =>
+        errors += "detect_75k" -> e.toString.takeWhile(_ != '\n').take(200)
+        Nil
+      }
 
     // sf1 scale-cliff probe: the dedup/sim suite once at 10x the bench SF
     // (generated on first run into target/sf1 — replica-disjoint vocab so
     // output grows linearly; see ScaleProbe). A query whose sf1 time blows
     // past ~15x its sf0.1 time has a scale bug the 100x cluster would hit.
+    // Single-trial by design: the probe reads ratios, not absolute gates.
     val sf1Times: Seq[(String, Double)] =
       if (sys.env.get("SPARK_GRAFT_SF1").contains("0")) Nil
       else try {
@@ -125,25 +184,30 @@ object Bench {
         Seq("d1_exact_dedup", "d2_jaccard_pairs", "d3_minhash_lsh",
             "d4_simhash_pairs", "s1_ann_topk", "s2_cosine_pairs_blocked",
             "s3_lsh_topk", "s4_ivf_topk", "s5_lsh_pairs").map { name =>
-          val t = timed("sf1_" + name) {
+          timed("sf1_" + name, n = 1) {
             SparkEntry.queries(name)(spark, sf1Dir).count(); ()
           }
-          spark.catalog.clearCache()
-          t
         }
       } catch { case e: Throwable =>
         errors += "sf1_probe" -> e.toString.takeWhile(_ != '\n').take(200)
         Nil
       }
 
-    val results = queryTimes.toSeq ++ recall ++ detectTimes ++ sustained ++ sf1Times
+    val loadAfter = loadavg1m()
+    val wallSec = (System.nanoTime() - wallStart) / 1e9
+
+    val results = queryTimes.toSeq ++ recall ++ detectTimes ++ sustained ++
+      detect10x ++ sf1Times
     def jq(s: String): String = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val qs = results.map { case (k, v) => jq(k) + ":" + v }.mkString("{", ",", "}")
     val errJson =
       if (errors.isEmpty) ""
       else errors.map { case (k, v) => jq(k) + ":" + jq(v) }.mkString(",\"errors\":{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}""")
+    val sentinel = s""","trials":$trials,"load_before":$loadBefore,"load_after":$loadAfter,""" +
+      s""""bench_cpus":"$cpus","host_cores":${Runtime.getRuntime.availableProcessors},""" +
+      s""""wall_sec":$wallSec"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson$sentinel,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
