@@ -100,6 +100,43 @@ object Bench {
         }
       }
 
+    // untimed: clustered-fixture ANN gates. Recall on the near-uniform
+    // corpus above says more about the fixture than the index (no cell
+    // structure to exploit), so both index paths are ALSO gated on the
+    // PlantedClusters corpus — where we report recall vs the brute-force
+    // ground truth AND the candidate fraction actually examined
+    // (target: recall >= 0.9 at candidate fraction <= 0.2).
+    val clusteredGates: Seq[(String, Double)] = try {
+      import graft.queries.SimQueries
+      import graft.sim.Similarity
+      val e = SimQueries.clustered(spark, sfDir).cache()
+      val q = e.filter(SimQueries.QueryPred)
+      val nQ = q.count()
+      val nPairs = (nQ * (e.count() - 1)).toDouble
+      val truth = Similarity.bruteForceTopK(q, e, SimQueries.K)
+        .select("q_id", "c_id").cache()
+      val nTruth = truth.count().toDouble
+      def gates(tag: String, scored: org.apache.spark.sql.DataFrame): Seq[(String, Double)] = {
+        val sc = scored.cache()
+        val cand = sc.count().toDouble
+        val hits = Similarity.rankTopK(sc, SimQueries.K).select("q_id", "c_id")
+          .join(truth, Seq("q_id", "c_id"), "left_semi").count().toDouble
+        sc.unpersist()
+        Seq(s"${tag}_recall" -> hits / nTruth, s"${tag}_cand_frac" -> cand / nPairs)
+      }
+      val out =
+        gates("s3c", Similarity.lshMultiScored(q, e, SimQueries.Dim,
+          SimQueries.Planes, SimQueries.NTables, SimQueries.ProbeRClustered)) ++
+        gates("s4c", Similarity.ivfRefinedScored(q, e,
+          SimQueries.ClusterCentPred, SimQueries.NProbe, SimQueries.Dim))
+      truth.unpersist(); e.unpersist()
+      spark.catalog.clearCache()
+      out
+    } catch { case e: Throwable =>
+      errors += "clustered_gates" -> e.toString.takeWhile(_ != '\n').take(200)
+      Nil
+    }
+
     // BASELINE.md headline: full detection over a 7500-benign-flow,
     // 500-bot poll history (fixture generation + caching excluded)
     val sc = Fixtures.scenario(Fixtures.ScenarioParams(nBenignFlows = 7500, nBots = 500))
@@ -196,8 +233,8 @@ object Bench {
     val loadAfter = loadavg1m()
     val wallSec = (System.nanoTime() - wallStart) / 1e9
 
-    val results = queryTimes.toSeq ++ recall ++ detectTimes ++ sustained ++
-      detect10x ++ sf1Times
+    val results = queryTimes.toSeq ++ recall ++ clusteredGates ++ detectTimes ++
+      sustained ++ detect10x ++ sf1Times
     def jq(s: String): String = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val qs = results.map { case (k, v) => jq(k) + ":" + v }.mkString("{", ",", "}")
     val errJson =

@@ -15,23 +15,29 @@ import org.apache.spark.sql.functions.col
   */
 object SimQueries {
 
-  private val Dim = 64
-  private val K = 5
+  val Dim = 64
+  val K = 5
   private val CosTh = 0.3
-  private val QueryPred = "vec_id < 8"
+  val QueryPred = "vec_id < 8"
 
-  /** s3 LSH geometry: 5 tables x 12 planes (one 60-bit wide native bucket),
-    * multi-probe Hamming <= 5. 2^12 buckets/table keeps per-table candidate
-    * lists ~corpus/4096 at any corpus size; recall comes from the OR over
-    * tables and the probe expansion, not from coarse buckets. Measured vs
-    * the s1 ground truth in Bench (`s3_recall` = 0.90 at sf0.1): this
-    * corpus's true top-5 neighbors sit at cos 0.33-0.45 — near-random
-    * directions — so hitting 0.9 recall costs a ~2/3 candidate fraction
-    * here; on a corpus with genuinely close neighbors (higher cos), the
-    * same geometry prunes harder at the same recall, and ProbeR is the
-    * single knob that trades the two.
+  /** s3 LSH geometry. `Planes` is DERIVED, not pinned: the sizing rule is
+    * planes = log2(corpus / target bucket occupancy)
+    * ([[Similarity.planesFor]]), evaluated here at the bench corpus
+    * (`embeddings` at sf0.1 = 2000 vectors, target occupancy 1) — a
+    * 100 TB caller plugs in THEIR corpus size; at fixed planes the
+    * candidate count grows linearly with the corpus. 5 tables of
+    * 2^11 buckets (one 55-bit wide native bucket), multi-probe
+    * Hamming <= 5; recall comes from the OR over tables and the probe
+    * expansion, not from coarse buckets. Measured vs the s1 ground truth
+    * in Bench (`s3_recall`, ≈0.9 at sf0.1): this corpus's true top-5
+    * neighbors sit at cos 0.33-0.45 — near-random directions — so 0.9
+    * recall costs a large candidate fraction here; on a corpus with
+    * genuinely close neighbors the same geometry prunes hard at the same
+    * recall (measured: `s3c_*` on the PlantedClusters fixture), and ProbeR
+    * is the knob that trades the two.
     */
-  val Planes = 12
+  val BenchCorpus = 2000L
+  val Planes = Similarity.planesFor(BenchCorpus, targetBucket = 1)
   val NTables = 5
   val ProbeR = 5
 
@@ -74,12 +80,45 @@ object SimQueries {
       .withColumn("rank", col("rank").cast("long"))
   }
 
+  /** s6 clustered-IVF geometry: the PlantedClusters fixture (32 planted
+    * clusters derived in-engine from `embeddings.vec_id`), centroids
+    * seeded at id stride 37 — PRIME, and coprime to the 32-cluster cycle,
+    * so the seeds sweep every cluster residue (a stride sharing a factor
+    * with KC would seed a subset of clusters forever) — then one Lloyd
+    * sweep snaps the seeds onto the planted structure. This is the fixture
+    * where IVF recall is a meaningful gate (Bench `s4c_recall` /
+    * `s4c_cand_frac`): cells can match real density, unlike the
+    * near-uniform corpus where 0.6 recall was the honest ceiling.
+    */
+  val ClusterCentPred = "vec_id % 37 = 0"
+
+  /** Probe radius for the clustered-gate LSH measurement: within-cluster
+    * neighbors (cos ≈ 0.94) flip each sign bit with p ≈ 0.11, so even at
+    * radius 1 the OR over 5 tables keeps recall ≥ 0.99 while the candidate
+    * fraction stays ≈ cluster-share (~0.05) — radius 5 is for the
+    * near-uniform corpus where neighbors are barely directional.
+    */
+  val ProbeRClustered = 1
+
+  /** The planted clustered corpus over this dir's embedding ids. */
+  def clustered(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir).select(col("vec_id"),
+      graft.sim.PlantedClusters.vecCol(col("vec_id")).as("embedding"))
+
+  def s6IvfRefined(s: SparkSession, dir: String): DataFrame = {
+    val e = clustered(s, dir)
+    Similarity.ivfTopKRefined(e.filter(QueryPred), e, K, ClusterCentPred,
+        NProbe, Dim)
+      .withColumn("rank", col("rank").cast("long"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_ann_topk" -> (s1AnnTopK _),
     "s2_cosine_pairs_blocked" -> (s2CosinePairsBlocked _),
     "s3_lsh_topk" -> (s3LshTopK _),
     "s4_ivf_topk" -> (s4IvfTopK _),
-    "s5_lsh_pairs" -> (s5LshPairs _)
+    "s5_lsh_pairs" -> (s5LshPairs _),
+    "s6_ivf_refined" -> (s6IvfRefined _)
   )
 
   // ---- generated DuckDB twins ----------------------------------------
@@ -214,6 +253,76 @@ object SimQueries {
        |)
        |SELECT q_id, c_id, cos, "rank" FROM ranked WHERE "rank" <= $K""".stripMargin
 
+  /** Twin of Similarity.ivfTopKRefined on the PlantedClusters corpus: the
+    * clustered vectors are derived from vec_id by the SAME center/noise LCG
+    * (PlantedClusters.sqlVec — bit-identical FLOATs), the Lloyd sweep's
+    * centroid means are exact because every component is a multiple of
+    * 1/1024 (scaled BIGINT sums — order-independent on both engines), and
+    * the two argmax assignments use the (cos DESC, cid ASC) tie-break that
+    * equals the Spark side's max_by struct.
+    */
+  private def ivfRefinedSql: String = {
+    val sumList = (1 to Dim)
+      .map(k => s"CAST(sum(CAST(embedding[$k] * 1024 AS BIGINT)) AS BIGINT)")
+      .mkString("[", ",\n    ", "]")
+    s"""WITH cvec AS (
+       |  SELECT vec_id, ${graft.sim.PlantedClusters.sqlVec("vec_id")} AS embedding
+       |  FROM embeddings
+       |), v AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(${dotSql("embedding", "embedding")}) AS n
+       |  FROM cvec
+       |), c0 AS (
+       |  SELECT vec_id AS cid, embedding AS cv, n AS cn FROM v WHERE $ClusterCentPred
+       |), a0 AS (
+       |  SELECT vec_id, cid AS cell FROM (
+       |    SELECT v.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |        ${dotSql("v.embedding", "c.cv")} / (v.n * c.cn) DESC, c.cid ASC) AS rn
+       |    FROM v CROSS JOIN c0 c)
+       |  WHERE rn = 1
+       |), ref AS (
+       |  SELECT cell, count(*) AS cnt,
+       |    $sumList AS sums
+       |  FROM v JOIN a0 USING (vec_id) GROUP BY cell
+       |), cents AS (
+       |  SELECT cell AS cid,
+       |    list_transform(sums, s -> (s::DOUBLE / (cnt * 1024.0))::FLOAT) AS cv
+       |  FROM ref
+       |), cn AS (
+       |  SELECT cid, cv, sqrt(${dotSql("cv", "cv")}) AS cn FROM cents
+       |), q AS (
+       |  SELECT vec_id AS q_id, embedding AS qv, n AS qn FROM v WHERE $QueryPred
+       |), cassign AS (
+       |  SELECT vec_id, cid AS cell FROM (
+       |    SELECT v.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |        ${dotSql("v.embedding", "c.cv")} / (v.n * c.cn) DESC, c.cid ASC) AS rn
+       |    FROM v CROSS JOIN cn c)
+       |  WHERE rn = 1
+       |), qprobe AS (
+       |  SELECT q_id, cid AS cell FROM (
+       |    SELECT q.q_id, c.cid,
+       |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+       |        ${dotSql("q.qv", "c.cv")} / (q.qn * c.cn) DESC, c.cid ASC) AS rn
+       |    FROM q CROSS JOIN cn c)
+       |  WHERE rn <= $NProbe
+       |), scored AS (
+       |  SELECT q.q_id, v.vec_id AS c_id,
+       |    ${dotSql("q.qv", "v.embedding")} / (q.qn * v.n) AS cos
+       |  FROM v
+       |  JOIN cassign a ON a.vec_id = v.vec_id
+       |  JOIN qprobe p ON p.cell = a.cell
+       |  JOIN q ON q.q_id = p.q_id
+       |  WHERE q.q_id <> v.vec_id
+       |), ranked AS (
+       |  SELECT q_id, c_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS BIGINT) AS "rank"
+       |  FROM scored
+       |)
+       |SELECT q_id, c_id, cos, "rank" FROM ranked WHERE "rank" <= $K""".stripMargin
+  }
+
   /** Pairs twin of Similarity.cosinePairsLsh: same wide bucket, banded
     * self-join on (table, bucket), max-dedup, threshold.
     */
@@ -245,6 +354,7 @@ object SimQueries {
     "s3_lsh_topk" -> lshMultiSql,
     "s4_ivf_topk" -> ivfSql,
     "s5_lsh_pairs" -> lshPairsSql,
+    "s6_ivf_refined" -> ivfRefinedSql,
     "s2_cosine_pairs_blocked" ->
       s"""WITH v AS (
          |  SELECT vec_id, label, embedding,

@@ -86,11 +86,6 @@ object Similarity {
       .select(col("a.id").as("i"), col("b.id").as("j"), col("cos"))
   }
 
-  /** Random-hyperplane LSH bucket id: `planes` sign bits of dot products
-    * with deterministic pseudo-random hyperplanes (components derived from a
-    * hash of (plane, dimension) — no stored plane matrix, recomputable on
-    * any executor).
-    */
   /** Hyperplane component for (plane, dimension): pseudo-random in
     * [-0.5, 0.5), derived from an LCG of the flat index — shared with the
     * oracle-SQL generator so both engines use bit-identical planes.
@@ -100,6 +95,14 @@ object Similarity {
     h.toDouble / 2147483647.0 - 0.5
   }
 
+  /** Random-hyperplane LSH bucket id as an UNROLLED column expression:
+    * `planes` sign bits of dot products with the [[planeComp]] hyperplanes.
+    * Test-only twin of the codegen'd native expression
+    * (graft.functions.LshBucket) — NativeExprSpec pins the native expr
+    * against this unrolled form. Every query path uses the native expr:
+    * this one builds planes*dim interpreted sub-expressions, which is the
+    * shape round 2 flagged as a scale-killer.
+    */
   def lshBucket(vec: Column, dim: Int, planes: Int): Column = {
     val bits = (0 until planes).map { p =>
       val comps = (0 until dim).map(d => planeComp(p, d, dim))
@@ -110,37 +113,40 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
-  /** LSH-bucketed approximate top-k: queries only scored against corpus
-    * vectors in the same hyperplane bucket. `planes` trades recall for
-    * candidate count (~corpus/2^planes per bucket). The scale path for ANN
-    * when brute force stops fitting: one shuffle on bucket id, quadratic
-    * only within buckets.
+  /** Plane count for a hyperplane-LSH table sized to its corpus:
+    * ceil(log2(corpusSize / targetBucket)) sign bits put the EXPECTED
+    * bucket occupancy near `targetBucket` on a direction-uniform corpus
+    * (clustered corpora concentrate mass in few buckets — size against the
+    * largest expected cluster instead). This is the knob a 100 TB caller
+    * must derive, not pin: at fixed planes, bucket occupancy — and with it
+    * the candidate count — grows linearly with the corpus. SimQueries
+    * derives its bench geometry through this helper; recall is re-measured
+    * per-round against the brute-force ground truth (`s3_recall`).
+    * Clamped to [1, 20] — beyond 20 planes (10^6 buckets/table) add tables
+    * or shard the corpus rather than sharpening one draw.
     */
-  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int, planes: Int = 4,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val dot = nativeDot(corpus)
-    graft.functions.LshBucket.register(corpus.sparkSession, dim, planes)
-    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("qv"))
-      .withColumn("qb", graft.functions.LshBucket(col("qv")))
-      .withColumn("qn", sqrt(dot(col("qv"), col("qv"))))
-    val c = corpus.select(col(idCol).as("c_id"), col(vecCol).as("cv"))
-      .withColumn("cb", graft.functions.LshBucket(col("cv")))
-      .withColumn("cn", sqrt(dot(col("cv"), col("cv"))))
-    val scored = c.join(broadcast(q),
-        col("qb") === col("cb") && col("q_id") =!= col("c_id"))
-      .withColumn("cos", cosine(dot(col("qv"), col("cv")), col("qn"), col("cn")))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("c_id"), col("cos"), col("rank"))
+  def planesFor(corpusSize: Long, targetBucket: Long = 1): Int = {
+    require(corpusSize >= 1 && targetBucket >= 1, "sizes must be positive")
+    val p = math.ceil(math.log(corpusSize.toDouble / targetBucket) / math.log(2.0)).toInt
+    p.max(1).min(20)
   }
 
   /** All bucket-offset masks within Hamming `radius` of 0, over `planes`
     * bits — the multi-probe sequence (probe the query's own bucket, then
-    * every bucket differing in <= radius sign bits).
+    * every bucket differing in <= radius sign bits). Generated
+    * combinatorially (sum of C(planes, r<=radius) masks), never by
+    * scanning 2^planes candidates — planes=32 with radius 2 yields 529
+    * masks, not a 4-billion-iteration driver spin.
     */
-  def probeMasks(planes: Int, radius: Int): Seq[Long] =
-    (0L until (1L << planes)).filter(m => java.lang.Long.bitCount(m) <= radius)
+  def probeMasks(planes: Int, radius: Int): Seq[Long] = {
+    require(planes >= 1 && planes <= 62, "planes must fit a positive long")
+    require(radius >= 0, "radius must be non-negative")
+    def combos(from: Int, left: Int, acc: Long): Vector[Long] =
+      if (left == 0) Vector(acc)
+      else (from to planes - left).toVector
+        .flatMap(b => combos(b + 1, left - 1, acc | (1L << b)))
+    (0 to radius.min(planes)).flatMap(r => combos(0, r, 0L))
+  }
 
   /** Multi-table, multi-probe hyperplane-LSH top-k — the configuration that
     * survives corpus growth (the single-table form above keeps its whole
@@ -154,9 +160,10 @@ object Similarity {
     * bucket within Hamming `probeRadius` (multi-probe: near-misses of a few
     * sign bits are where near neighbors land). Candidates come from an
     * EQUI-join on (table, bucket) — the corpus side is never theta-joined
-    * or rescanned per probe, so the plan is one broadcast hash join at
-    * bench scale and a plain shuffle join on (table, bucket) when the
-    * probe set outgrows broadcast.
+    * or rescanned per probe: one broadcast hash join while the probe set
+    * is small (`hintBroadcast` true, the default), a plain shuffle hash
+    * join on (table, bucket) when the caller's query set outgrows
+    * broadcast and passes false (see [[lshMultiScored]]).
     *
     * Shapes: corpus side = |C| * tables index rows (map-side explode, no
     * shuffle before the join); probe side = |Q| * tables * |masks| slim
@@ -166,11 +173,33 @@ object Similarity {
     */
   def lshTopKMulti(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
                    planes: Int, tables: Int, probeRadius: Int,
-                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                   hintBroadcast: Boolean = true,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    rankTopK(lshMultiScored(queries, corpus, dim, planes, tables, probeRadius,
+      hintBroadcast, idCol, vecCol), k)
+
+  /** The deduped candidate relation behind [[lshTopKMulti]]: one
+    * (q_id, c_id, cos) row per scored candidate pair. Exposed so recall
+    * gates can also measure the CANDIDATE FRACTION — count / (|Q|·(|C|-1))
+    * is the share of the corpus an index actually examined, the honest
+    * denominator under any recall number.
+    *
+    * `hintBroadcast` (default true) hints `broadcast()` on the probe rows
+    * and the query vectors — correct while |Q|·tables·|masks| stays
+    * driver-small. Spark honors the hint REGARDLESS of size, so a caller
+    * with a large query set must pass false, which leaves a plain shuffle
+    * hash join on (t, bk) for AQE to plan — same results, no driver OOM.
+    */
+  def lshMultiScored(queries: DataFrame, corpus: DataFrame, dim: Int,
+                     planes: Int, tables: Int, probeRadius: Int,
+                     hintBroadcast: Boolean = true,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(planes * tables <= 63, "wide bucket must fit one long")
     val dot = nativeDot(corpus)
     graft.functions.LshBucket.register(corpus.sparkSession, dim, planes * tables)
     val mask = (1L << planes) - 1
+    def maybeBroadcast(df: DataFrame): DataFrame =
+      if (hintBroadcast) broadcast(df) else df
     def tableBucket(wide: Column, t: Int): Column =
       shiftright(wide, planes * t).bitwiseAND(lit(mask))
     def banded(wide: Column, as: String): Column =
@@ -195,12 +224,19 @@ object Similarity {
       .select(col("c_id"), col("cv"), col("cn"),
         col("tb.t").as("t"), col("tb.bk").as("bk"))
 
-    val scored = c.join(broadcast(probes), Seq("t", "bk"))
+    c.join(maybeBroadcast(probes), Seq("t", "bk"))
       .filter(col("q_id") =!= col("c_id"))
-      .join(broadcast(qv.select(col("q_id"), col("qv"), col("qn"))), Seq("q_id"))
+      .join(maybeBroadcast(qv.select(col("q_id"), col("qv"), col("qn"))), Seq("q_id"))
       .withColumn("cos", cosine(dot(col("qv"), col("cv")), col("qn"), col("cn")))
       .groupBy(col("q_id"), col("c_id"))
       .agg(max(col("cos")).as("cos")) // a pair can match in several tables
+  }
+
+  /** Rank a (q_id, c_id, cos) relation to per-query top-k, ties broken by
+    * c_id — the shared tail of every ANN variant (public so a measured
+    * scored relation can be ranked without recomputing the index).
+    */
+  def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -258,10 +294,31 @@ object Similarity {
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               centroidPred: String, nprobe: Int,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    ivfTopKFrom(queries, corpus, k,
+      corpus.filter(centroidPred).select(col(idCol).as("cid"), col(vecCol).as("cv0")),
+      nprobe, idCol, vecCol)
+
+  /** IVF-flat top-k against an explicit centroid table (cid, cv0) — the
+    * entry point once centroids come from [[refineCentroids]] instead of a
+    * sampling predicate.
+    */
+  def ivfTopKFrom(queries: DataFrame, corpus: DataFrame, k: Int,
+                  centroids: DataFrame, nprobe: Int,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    rankTopK(ivfScoredFrom(queries, corpus, centroids, nprobe, idCol, vecCol), k)
+
+  /** The scored candidate relation behind [[ivfTopKFrom]] — one
+    * (q_id, c_id, cos) row per (query, corpus vector in a probed cell)
+    * pair. Exposed, like [[lshMultiScored]], so recall gates can log the
+    * candidate fraction alongside the recall they report.
+    */
+  def ivfScoredFrom(queries: DataFrame, corpus: DataFrame,
+                    centroids: DataFrame, nprobe: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val dot = nativeDot(corpus)
-    val cents = broadcast(corpus.filter(centroidPred)
-      .select(col(idCol).as("cid"), col(vecCol).as("cv0"))
+    val cents = broadcast(centroids
+      .select(col("cid"), col("cv0"))
       .withColumn("cn0", sqrt(dot(col("cv0"), col("cv0")))))
 
     val c = corpus.select(col(idCol).as("c_id"), col(vecCol).as("v"))
@@ -284,13 +341,77 @@ object Similarity {
       .filter(col("crn") <= nprobe)
       .select(col("q_id"), col("cid").as("cell"))
 
-    val scored = cCell.join(broadcast(qCells), Seq("cell"))
+    cCell.join(broadcast(qCells), Seq("cell"))
       .filter(col("q_id") =!= col("c_id"))
       .join(broadcast(q.select(col("q_id"), col("v").as("qv"), col("n").as("qn"))), Seq("q_id"))
       .withColumn("cos", cosine(dot(col("qv"), col("v")), col("qn"), col("n")))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("c_id"), col("cos"), col("rank"))
+      .select(col("q_id"), col("c_id"), col("cos"))
+  }
+
+  /** One Lloyd refinement step: assign every corpus vector to its nearest
+    * (max-cosine) current centroid, then replace each nonempty cell's
+    * centroid with the componentwise mean of its members. The assignment is
+    * the same broadcast-centroids + map-side `max_by` aggregation as the
+    * query path; the mean is computed as `dim` LONG sum-aggregates in ONE
+    * groupBy (map-side partial sums, one shuffle on the cell id) over
+    * components scaled by `gridScale` — so the aggregation is
+    * order-independent: exact when components are multiples of
+    * 1/gridScale (the [[PlantedClusters]] fixture — which is what makes
+    * the refined index oracle-checkable in DuckDB), and a deterministic
+    * grid-quantized mean otherwise (for a coarse quantizer, determinism
+    * across 1000-executor reruns is worth more than the last float ulp).
+    * Cells that attract no vectors disappear — standard k-means behavior.
+    */
+  def refineCentroids(corpus: DataFrame, centroids: DataFrame, dim: Int,
+                      gridScale: Int = 1024,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val dot = nativeDot(corpus)
+    val cents = broadcast(centroids
+      .select(col("cid"), col("cv0"))
+      .withColumn("cn0", sqrt(dot(col("cv0"), col("cv0")))))
+    val assigned = corpus
+      .select(col(idCol).as("c_id"), col(vecCol).as("v"))
+      .withColumn("n", sqrt(dot(col("v"), col("v"))))
+      .crossJoin(cents)
+      .withColumn("ccos", cosine(dot(col("v"), col("cv0")), col("n"), col("cn0")))
+      .groupBy(col("c_id"))
+      .agg(first(col("v")).as("v"),
+        max_by(col("cid"), struct(col("ccos"), (-col("cid")).as("nc"))).as("cell"))
+    val sums = (0 until dim).map(d =>
+      sum((element_at(col("v"), d + 1) * gridScale).cast("long")).as(s"s$d"))
+    assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("cnt"), sums: _*)
+      .select(col("cell").as("cid"),
+        array((0 until dim).map(d =>
+          (col(s"s$d").cast(DoubleType) / (col("cnt") * lit(gridScale.toDouble)))
+            .cast("float")): _*).as("cv0"))
+  }
+
+  /** IVF-flat with Lloyd-refined centroids: seed cells from `centroidPred`
+    * (a sampling predicate — the init every IVF build starts from), run
+    * `refineIters` refinement sweeps, then query as [[ivfTopKFrom]]. Each
+    * sweep is one corpus pass (broadcast centroids, two shuffles); one
+    * sweep is usually enough to snap sampled seeds onto cluster structure
+    * when the corpus has any — see PlantedClusters for the gate fixture.
+    */
+  def ivfTopKRefined(queries: DataFrame, corpus: DataFrame, k: Int,
+                     centroidPred: String, nprobe: Int, dim: Int,
+                     refineIters: Int = 1, gridScale: Int = 1024,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    rankTopK(ivfRefinedScored(queries, corpus, centroidPred, nprobe, dim,
+      refineIters, gridScale, idCol, vecCol), k)
+
+  /** Scored relation behind [[ivfTopKRefined]] (for recall + candidate-
+    * fraction measurement).
+    */
+  def ivfRefinedScored(queries: DataFrame, corpus: DataFrame,
+                       centroidPred: String, nprobe: Int, dim: Int,
+                       refineIters: Int = 1, gridScale: Int = 1024,
+                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    var cents = corpus.filter(centroidPred)
+      .select(col(idCol).as("cid"), col(vecCol).as("cv0"))
+    for (_ <- 0 until refineIters)
+      cents = refineCentroids(corpus, cents, dim, gridScale, idCol, vecCol)
+    ivfScoredFrom(queries, corpus, cents, nprobe, idCol, vecCol)
   }
 }

@@ -61,4 +61,63 @@ class SimilaritySpec extends SparkSpec {
     val b = brute.select("q_id", "c_id", "rank").collect().map(_.toSeq).toSet
     assert(a == b)
   }
+
+  test("probeMasks enumerates exactly the masks within the Hamming radius") {
+    // combinatorial generator == brute-force popcount filter (small planes)
+    for (planes <- Seq(3, 5, 8); radius <- 0 to 3) {
+      val expected = (0L until (1L << planes))
+        .filter(m => java.lang.Long.bitCount(m) <= radius).toSet
+      val got = Similarity.probeMasks(planes, radius)
+      assert(got.toSet == expected, s"planes=$planes radius=$radius")
+      assert(got.size == got.toSet.size, "no duplicate masks")
+    }
+    // no 2^planes scan: wide geometry returns instantly with C(32,<=2) masks
+    assert(Similarity.probeMasks(32, 2).size == 1 + 32 + 32 * 31 / 2)
+  }
+
+  test("planesFor follows the log2 sizing rule and clamps") {
+    assert(Similarity.planesFor(2000, 1) == 11)   // bench geometry
+    assert(Similarity.planesFor(2048, 1) == 11)
+    assert(Similarity.planesFor(2049, 1) == 12)
+    assert(Similarity.planesFor(1L << 40, 1024) == 20) // clamp high
+    assert(Similarity.planesFor(1, 1) == 1)            // clamp low
+  }
+
+  test("one Lloyd sweep snaps stride-sampled seeds onto planted clusters") {
+    val spk = spark
+    // 1480 ids -> 40 stride-37 seeds; 37 mod 32 = 5 is coprime to 32, so
+    // the first 32 seeds already cover every cluster residue (18 seeds on
+    // 32 clusters would instead force merged cells and a mixed mean)
+    val ids = spk.range(0, 1480).toDF("vec_id")
+    val planted = ids.select(col("vec_id"),
+      PlantedClusters.vecCol(col("vec_id")).as("embedding"))
+    // seeds at a stride coprime to KC sweep every cluster residue
+    val seeds = planted.filter("vec_id % 37 = 0")
+      .select(col("vec_id").as("cid"), col("embedding").as("cv0"))
+    val refined = Similarity.refineCentroids(planted, seeds, PlantedClusters.Dim)
+    // every refined centroid must align with ONE true center (cos > 0.98):
+    // a mean over same-cluster members stays near that cluster's center,
+    // while a seed left unrefined sits at cos ~0.94 and a mixed-cluster
+    // mean would land between centers
+    val centers = PlantedClusters.centers.map(_.map(_ / 1024.0).toArray)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val refinedVecs = refined.collect().map(r =>
+      r.getAs[Seq[Float]]("cv0").map(_.toDouble).toArray)
+    assert(refinedVecs.nonEmpty)
+    refinedVecs.foreach { rv =>
+      val best = centers.map(c => cos(rv, c.toArray)).max
+      assert(best > 0.98, s"refined centroid aligned at only cos=$best")
+    }
+    // and the refined index must recover planted-cluster neighbors:
+    // full recall at nprobe=4 on a corpus with 32 clean clusters
+    val q = planted.filter("vec_id < 8")
+    val truth = Similarity.bruteForceTopK(q, planted, 5).select("q_id", "c_id")
+    val got = Similarity.ivfTopKRefined(q, planted, 5, "vec_id % 37 = 0",
+        nprobe = 4, dim = PlantedClusters.Dim).select("q_id", "c_id")
+    val hits = got.join(truth, Seq("q_id", "c_id"), "left_semi").count()
+    assert(hits >= 36, s"clustered recall ${hits / 40.0} < 0.9") // 40 truth rows
+  }
 }
