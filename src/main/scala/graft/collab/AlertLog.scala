@@ -1,6 +1,6 @@
 package graft.collab
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{Files, Path, Paths}
 
 import scala.jdk.CollectionConverters._
 
@@ -61,18 +61,41 @@ object AlertLog {
   /** Append frames as one atomically-published segment; returns the base
     * offset. Frames must be single-line and tab-free (the wire codec's
     * `@`-joined strings are — `graft.dipa.Codec`).
+    *
+    * Publication is a hard LINK, not a rename: `Files.createLink` fails
+    * atomically if the target exists, whereas `ATOMIC_MOVE` on Linux
+    * silently REPLACES it — so two producers racing to the same base
+    * offset (the single-writer constraint violated) now surface as an
+    * `IllegalStateException` on the loser instead of one producer's
+    * frames vanishing. The linked file is fully written before it becomes
+    * visible, so readers still never observe a partial segment.
     */
-  def append(dir: String, frames: Seq[String]): Long = {
+  def append(dir: String, frames: Seq[String]): Long =
+    publish(dir, nextOffset(dir), frames)
+
+  /** [[append]] at an explicit base offset — the claim-or-fail step,
+    * separated so the lost-the-race arm (a stale base) is testable.
+    */
+  private[collab] def publish(dir: String, base: Long, frames: Seq[String]): Long = {
     require(frames.nonEmpty, "empty publish")
     require(frames.forall(f => !f.contains('\t') && !f.contains('\n') && !f.contains('\r')),
       "wire frames must be single-line and tab-free")
     val d = Files.createDirectories(Paths.get(dir))
-    val base = nextOffset(dir)
     val name = f"$base%020d-${frames.size}.seg"
     val tmp = d.resolve("_" + name + ".tmp")
     val lines = frames.zipWithIndex.map { case (v, i) => s"${base + i}\t$v" }
     Files.write(tmp, lines.asJava)
-    Files.move(tmp, d.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+    try Files.createLink(d.resolve(name), tmp)
+    catch {
+      case e: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp)
+        throw new IllegalStateException(
+          s"concurrent producer collision on $dir at base offset $base — " +
+            "one log directory is one totally-ordered partition with a " +
+            "single writer; route concurrent publishers through one sink",
+          e)
+    }
+    Files.delete(tmp)
     base
   }
 

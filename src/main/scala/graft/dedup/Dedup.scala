@@ -111,6 +111,13 @@ object Dedup {
     * instead of once per consumer. At 100 TB the same persist spills the
     * (doc_id, shingle) projection to local executor disk — still far
     * cheaper than re-tokenizing the raw text four times.
+    *
+    * The RESULT is persisted and eagerly materialized, and the heavyweight
+    * shingle intermediate is released before returning (disk-backed blocks
+    * are not LRU-evicted, so a never-unpersisted intermediate accumulates
+    * executor disk across calls in a long-lived session). Call
+    * `.unpersist()` on the returned frame when done with it — it is
+    * near-dup pairs, orders of magnitude smaller than the corpus.
     */
   def jaccardPairs(docs: DataFrame, k: Int = 3, threshold: Double = 0.3,
                    dfCap: Int = 0): DataFrame = {
@@ -121,13 +128,17 @@ object Dedup {
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .agg(count(lit(1)).as("common"))
-    common
+    val out = common
       .join(sizes.withColumnRenamed("doc_id", "i").withColumnRenamed("n", "na"), "i")
       .join(sizes.withColumnRenamed("doc_id", "j").withColumnRenamed("n", "nb"), "j")
       .withColumn("jc",
         col("common").cast(DoubleType) / (col("na") + col("nb") - col("common")))
       .filter(col("jc") >= threshold)
       .select(col("i"), col("j"), col("jc"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    out.count() // materialize while the shingle frame is still pinned
+    s0.unpersist(false)
+    out
   }
 
   /** MinHash signatures: for each doc, `numPerms` minima of the permuted
@@ -165,7 +176,9 @@ object Dedup {
                  bands: Int = 8, threshold: Double = 0.5): DataFrame = {
     require(numPerms % bands == 0, "bands must divide numPerms")
     val r = numPerms / bands
-    // one tokenize+shingle pass shared by signature build AND verify
+    // one tokenize+shingle pass shared by signature build AND verify;
+    // released before returning (same discipline as jaccardPairs — the
+    // returned pairs frame is persisted+materialized, caller unpersists)
     val s0 = docShingles(docs, k).persist(StorageLevel.MEMORY_AND_DISK)
     val sig = minhashSignaturesFrom(s0, numPerms)
     val bandCols = (0 until bands).map { b =>
@@ -190,7 +203,7 @@ object Dedup {
       .join(candDocs, Seq("doc_id"), "left_semi")
       .groupBy(col("doc_id"))
       .agg(collect_set(col("sh")).as("shs"))
-    cands
+    val out = cands
       .join(candShingleSets.select(col("doc_id").as("i"), col("shs").as("sa")), "i")
       .join(candShingleSets.select(col("doc_id").as("j"), col("shs").as("sb")), "j")
       .withColumn("common", size(array_intersect(col("sa"), col("sb"))))
@@ -198,6 +211,10 @@ object Dedup {
         (size(col("sa")) + size(col("sb")) - col("common")))
       .filter(col("jc") >= threshold)
       .select(col("i"), col("j"), col("jc"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    out.count() // materialize while the shingle frame is still pinned
+    s0.unpersist(false)
+    out
   }
 
   /** SimHash (64-bit): per distinct token, each bit's hash contributes +/-1;

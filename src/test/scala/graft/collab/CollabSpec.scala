@@ -8,6 +8,8 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 
+import scala.jdk.CollectionConverters._
+
 /** Multi-domain collaboration: wire codec round-trips (with brace noise),
   * the TC2-shaped two-domain exchange, and a file-backed streaming
   * exchange standing in for the Pulsar topics.
@@ -132,6 +134,24 @@ class CollabSpec extends SparkSpec {
       .map(r => (r.getAs[Long]("offset"), r.getAs[String]("value"))).sortBy(_._1)
     assert(log.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L))
     assert(log.count(_._2 == "10.0.0.5@BOT") == 2)
+  }
+
+  test("commit log: a producer collision fails loudly instead of losing frames") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-race").toString
+    assert(AlertLog.append(dir, Seq("10.0.0.5@BOT")) == 0)
+    assert(AlertLog.append(dir, Seq("10.0.0.6@BOT")) == 1)
+    // the check-then-act race: this producer read nextOffset() == 1 before
+    // the segment above appeared, and now publishes at the stale base
+    val e = intercept[IllegalStateException] {
+      AlertLog.publish(dir, 1L, Seq("10.0.0.4@CNC"))
+    }
+    assert(e.getMessage.contains("collision"))
+    // the winner's frames survived untouched, and no temp debris remains
+    val log = AlertLog.read(spark, dir).collect().map(_.getAs[String]("value"))
+    assert(log.toSet == Set("10.0.0.5@BOT", "10.0.0.6@BOT"))
+    val s = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+    try assert(s.iterator().asScala.forall(_.getFileName.toString.endsWith(".seg")))
+    finally s.close()
   }
 
   test("TC2 streaming replay: per-poll exchange over the commit log + C3 pushback") {
