@@ -4,16 +4,18 @@ import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Multimodal columns for training-data pipelines: image/audio/video
-  * treated as opaque `binary` payloads with typed metadata, plus a
-  * deterministic STUB decode/feature-extract stage with the real Spark
-  * plumbing (schema, partitioning, batch shape) that a codec-backed
-  * implementation would drop into.
+  * treated as opaque `binary` payloads with typed metadata, a REAL PNG
+  * IHDR header decode (fixed-offset column expressions + the
+  * mapPartitions decode stage), and a deterministic STUB
+  * feature-extract with the real Spark plumbing (schema, partitioning,
+  * batch shape) that a codec-backed implementation would drop into.
   *
   * The synthetic corpus carries no real media, so payloads are
   * materialized from `documents.text` prefixed with genuine container
-  * magic bytes (PNG/JPEG/RIFF-WAV/MP4-ftyp) chosen per source — the
-  * MIME sniffer then works on real magic signatures, and every derived
-  * statistic is integer-exact and DuckDB-checkable.
+  * headers — PNG docs get a spec-valid signature + IHDR chunk (real
+  * CRC-32), the rest magic bytes (JPEG/RIFF-WAV/MP4-ftyp) — so the MIME
+  * sniffer and the PNG dimension parse work on real structures, and every
+  * derived statistic is integer-exact and DuckDB-checkable.
   */
 object Multimodal {
 
@@ -26,17 +28,85 @@ object Multimodal {
   /** Deterministic source → modality assignment (source number mod 4). */
   def modality(source: Column): Column = substring(source, 4, 10).cast("int") % 4
 
-  /** Opaque binary payload: modality magic + UTF-8 content. At 100 TB the
-    * payload column is real media read straight from parquet/lance; this
-    * synthesizer exists only because the test corpus is text.
+  // ---- PNG IHDR synthesis (real chunk layout, png spec §11.2.2) --------
+
+  /** Square PNG dimension for a doc: 16·(1 + doc_id % 16) ∈ {16..256} —
+    * 16 distinct sizes, so the 16 IHDR CRCs are compile-time constants
+    * both engines can emit (CRC-32 is not expressible as SQL arithmetic).
     */
-  def payload(source: Column, text: Column): Column =
+  def pngDimInt(i: Int): Int = 16 * (i % 16 + 1)
+  def pngDim(docId: Column): Column = (lit(16) * (docId % 16 + 1)).cast("int")
+
+  /** IHDR length+type: 13-byte data, "IHDR". */
+  val IhdrLenType: Array[Byte] =
+    Array[Byte](0, 0, 0, 13) ++ "IHDR".getBytes("US-ASCII")
+
+  /** bit depth 8, color type 2 (truecolor), compression/filter/interlace 0. */
+  val IhdrTail: Array[Byte] = Array[Byte](8, 2, 0, 0, 0)
+
+  /** Real CRC-32 over chunk type + data for a square d×d IHDR. */
+  def ihdrCrc(d: Int): Array[Byte] = {
+    val buf = java.nio.ByteBuffer.allocate(17)
+    buf.put("IHDR".getBytes("US-ASCII")).putInt(d).putInt(d).put(IhdrTail)
+    val crc = new java.util.zip.CRC32()
+    crc.update(buf.array())
+    java.nio.ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array()
+  }
+
+  /** The 16 CRCs, indexed by doc_id % 16. */
+  val IhdrCrcs: Seq[Array[Byte]] = (0 until 16).map(i => ihdrCrc(pngDimInt(i)))
+
+  /** Big-endian 4-byte encoding of a non-negative int column. */
+  private def beInt4(c: Column): Column = unhex(lpad(hex(c), 8, "0"))
+
+  /** A spec-valid PNG signature + IHDR chunk (length, type, dimensions,
+    * depth/color, REAL CRC) for a doc — the header every conforming PNG
+    * reader parses width/height from.
+    */
+  def pngHeader(docId: Column): Column =
+    concat(lit(PngMagic), lit(IhdrLenType),
+      beInt4(pngDim(docId)), beInt4(pngDim(docId)), lit(IhdrTail),
+      element_at(typedLit(IhdrCrcs), (docId % 16 + 1).cast("int")))
+
+  /** Opaque binary payload: modality header + UTF-8 content. PNG docs get
+    * the full signature+IHDR header above (so header decode is real);
+    * other modalities carry magic only. At 100 TB the payload column is
+    * real media read straight from parquet/lance; this synthesizer exists
+    * only because the test corpus is text.
+    */
+  def payload(docId: Column, source: Column, text: Column): Column =
     concat(
-      when(modality(source) === 0, lit(PngMagic))
+      when(modality(source) === 0, pngHeader(docId))
         .when(modality(source) === 1, lit(JpegMagic))
         .when(modality(source) === 2, lit(WavMagic))
         .otherwise(lit(Mp4Magic)),
       encode(text, "UTF-8"))
+
+  // ---- PNG IHDR parsing (column expressions over the byte prefix) ------
+
+  /** Big-endian unsigned int from `len` bytes at 1-based `off`. */
+  private def beField(payload: Column, off: Int, len: Int): Column =
+    conv(hex(substring(payload, off, len)), 16, 10).cast("long")
+
+  /** True iff the payload starts with the PNG signature and an IHDR chunk
+    * at the spec offset (bytes 13-16 = "IHDR").
+    */
+  def isPngIhdr(payload: Column): Column =
+    hex(substring(payload, 1, 8)) === "89504E470D0A1A0A" &&
+      hex(substring(payload, 13, 4)) === "49484452"
+
+  /** IHDR fields as columns — width/height at bytes 17/21, depth and
+    * color type at 25/26 (null when the payload is not a PNG). These are
+    * fixed-offset byte reads, codegen'd, reading only the binary prefix.
+    */
+  def pngWidth(payload: Column): Column =
+    when(isPngIhdr(payload), beField(payload, 17, 4))
+  def pngHeight(payload: Column): Column =
+    when(isPngIhdr(payload), beField(payload, 21, 4))
+  def pngBitDepth(payload: Column): Column =
+    when(isPngIhdr(payload), beField(payload, 25, 1))
+  def pngColorType(payload: Column): Column =
+    when(isPngIhdr(payload), beField(payload, 26, 1))
 
   /** Magic-byte MIME sniff — a pure column expression over the payload
     * prefix (codegen'd; the scan only reads the binary column, and at
@@ -55,7 +125,8 @@ object Multimodal {
     * counts and byte totals, one shuffle on the sniffed mime.
     */
   def mediaStats(docs: DataFrame): DataFrame = {
-    val p = docs.select(col("doc_id"), payload(col("source"), col("text")).as("payload"))
+    val p = docs.select(col("doc_id"),
+        payload(col("doc_id"), col("source"), col("text")).as("payload"))
       .withColumn("mime", sniffMime(col("payload")))
     val len = octet_length(col("payload")).cast("long")
     p.groupBy(col("mime"))
@@ -79,23 +150,37 @@ object Multimodal {
 
   val FeatureDim = 8
 
-  /** STUB — deterministic fake decode. A real implementation would bind an
-    * image/audio codec here (the container ships none) and amortize codec
-    * init per partition, which is exactly what this mapPartitions shape
-    * provides: one iterator pass per partition, no per-row setup, no
-    * driver-side collection, schema fixed by the MediaFeatures encoder.
-    * The fake is a pure function of the payload bytes so tests are golden.
+  /** Big-endian int from 4 payload bytes at 0-based offset. */
+  private def beInt(p: Array[Byte], off: Int): Int =
+    ((p(off) & 0xff) << 24) | ((p(off + 1) & 0xff) << 16) |
+      ((p(off + 2) & 0xff) << 8) | (p(off + 3) & 0xff)
+
+  /** Decode stage. PNG headers are decoded for REAL — width/height read
+    * from the IHDR chunk exactly as any conforming reader does (and as
+    * javax.imageio's PNG plugin would; MultimodalSpec runs this parser
+    * over ImageIO-encoded files to prove it). The remaining modalities
+    * (JPEG/WAV/MP4 — codec-less in this container) keep the clearly-
+    * labelled deterministic FAKE for dimensions, and the feature vector is
+    * the deterministic chunk-sum fake for all modalities. The Spark shape
+    * is the real one either way: one iterator pass per partition (codec
+    * init amortizes here), no per-row setup, no driver-side collection,
+    * schema fixed by the MediaFeatures encoder.
     */
-  def decodeStub(blobs: Dataset[MediaBlob]): Dataset[MediaFeatures] = {
+  def decode(blobs: Dataset[MediaBlob]): Dataset[MediaFeatures] = {
     import blobs.sparkSession.implicits._
     blobs.mapPartitions { it =>
-      // per-partition "codec init" would happen here
+      // per-partition codec init would happen here
       it.map { b =>
         val body = b.payload.drop(8)
-        val h = body.foldLeft(17L)((a, x) => (a * 31 + (x & 0xff)) % 1000003L)
-        // fake dimensions derived from content (real codec: parsed header)
-        val width = 64 + (h % 512).toInt
-        val height = 64 + ((h / 512) % 512).toInt
+        val (width, height) =
+          if (b.mime == "image/png" && b.payload.length >= 26 &&
+              new String(b.payload.slice(12, 16), "US-ASCII") == "IHDR")
+            (beInt(b.payload, 16), beInt(b.payload, 20)) // the real header
+          else {
+            // FAKE dimensions for codec-less modalities
+            val h = body.foldLeft(17L)((a, x) => (a * 31 + (x & 0xff)) % 1000003L)
+            (64 + (h % 512).toInt, 64 + ((h / 512) % 512).toInt)
+          }
         // fake embedding: 8 chunk byte-sums, L2-normalized
         val chunks = Array.fill(FeatureDim)(0L)
         var i = 0
@@ -111,7 +196,7 @@ object Multimodal {
   def toBlobs(docs: DataFrame): Dataset[MediaBlob] = {
     import docs.sparkSession.implicits._
     docs.select(col("doc_id"),
-        payload(col("source"), col("text")).as("payload"))
+        payload(col("doc_id"), col("source"), col("text")).as("payload"))
       .withColumn("mime", sniffMime(col("payload")))
       .select(col("doc_id"), col("mime"), col("payload"))
       .as[MediaBlob]

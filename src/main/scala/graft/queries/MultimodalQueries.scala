@@ -7,17 +7,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
 /** Multimodal-column queries over the `documents` table (payloads are
-  * synthesized binary — container magic + UTF-8 body — because the test
-  * corpus ships no real media; the sniffing/statistics path is the real
-  * one). Oracle twin builds identical blobs in DuckDB.
+  * synthesized binary — container headers + UTF-8 body — because the test
+  * corpus ships no real media; the sniffing/parsing/statistics paths are
+  * the real ones). Oracle twins rebuild identical blobs in DuckDB from
+  * ONE shared payload-SQL generator, so every m-row replays the exact
+  * byte layout the Spark side synthesizes.
   *
   * m2 proves the full multimodal → embedding → ANN pipeline end-to-end:
-  * blobs → decode (the per-partition-init `mapPartitions` stage; the
-  * feature math is the deterministic stub) → `graft.sim` brute-force
-  * top-k over the decoded feature vectors. The DuckDB twin replays the
-  * byte-level chunk-sum feature extraction (hex-parsing the identical
-  * payload blob) and the same index-ordered double folds, so the cosine
-  * scores — not just the neighbor sets — hash-match.
+  * blobs → decode (the per-partition-init `mapPartitions` stage; PNG
+  * dimensions are the real IHDR parse, the feature math is the
+  * deterministic stub) → `graft.sim` brute-force top-k over the decoded
+  * feature vectors. m3 checks the real decode: IHDR width/height/depth/
+  * color parsed by fixed-offset byte reads on both engines.
   */
 object MultimodalQueries {
 
@@ -25,7 +26,7 @@ object MultimodalQueries {
     Multimodal.mediaStats(Tables.documents(s, dir))
 
   def m2DecodeAnn(s: SparkSession, dir: String): DataFrame = {
-    val feats = Multimodal.decodeStub(
+    val feats = Multimodal.decode(
         Multimodal.toBlobs(Tables.documents(s, dir)))
       .toDF()
       .select(col("doc_id"), col("feature"))
@@ -35,22 +36,57 @@ object MultimodalQueries {
       .withColumn("rank", col("rank").cast("long"))
   }
 
+  def m3PngIhdr(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    docs.select(col("doc_id"),
+        Multimodal.payload(col("doc_id"), col("source"), col("text")).as("payload"))
+      .filter(Multimodal.isPngIhdr(col("payload")))
+      .select(col("doc_id"),
+        Multimodal.pngWidth(col("payload")).as("width"),
+        Multimodal.pngHeight(col("payload")).as("height"),
+        Multimodal.pngBitDepth(col("payload")).as("bit_depth"),
+        Multimodal.pngColorType(col("payload")).as("color_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_media_stats" -> (m1MediaStats _),
-    "m2_decode_ann" -> (m2DecodeAnn _)
+    "m2_decode_ann" -> (m2DecodeAnn _),
+    "m3_png_ihdr" -> (m3PngIhdr _)
   )
+
+  // ---- generated DuckDB twins ----------------------------------------
+
+  private def blobLit(bytes: Array[Byte]): String =
+    bytes.map(b => f"\\x$b%02X").mkString("'", "", "'::BLOB")
+
+  /** The payload CTE both engines agree on: PNG docs get signature +
+    * length/type + dimensions (big-endian from doc_id) + depth/color +
+    * the doc's precomputed IHDR CRC; other modalities magic only; then
+    * the UTF-8 text body.
+    */
+  private def payloadSql: String = {
+    val crcList = Multimodal.IhdrCrcs.map(blobLit).mkString("[", ", ", "]")
+    // NOTE: no line may start with "||" — this snippet is interpolated into
+    // templates that apply stripMargin again, which would eat the first '|'
+    s"""SELECT doc_id,
+       |    CASE (substring(source, 4)::INT % 4)
+       |      WHEN 0 THEN ${blobLit(Multimodal.PngMagic)} ||
+       |        ${blobLit(Multimodal.IhdrLenType)} ||
+       |        unhex(lpad(hex(16 * (doc_id % 16 + 1)), 8, '0')) ||
+       |        unhex(lpad(hex(16 * (doc_id % 16 + 1)), 8, '0')) ||
+       |        ${blobLit(Multimodal.IhdrTail)} ||
+       |        ($crcList)[(doc_id % 16)::INT + 1]
+       |      WHEN 1 THEN ${blobLit(Multimodal.JpegMagic)}
+       |      WHEN 2 THEN ${blobLit(Multimodal.WavMagic)}
+       |      ELSE ${blobLit(Multimodal.Mp4Magic)}
+       |    END || encode(text) AS payload
+       |  FROM documents""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
     "m1_media_stats" ->
-      """WITH p AS (
-        |  SELECT doc_id,
-        |    CASE (substring(source, 4)::INT % 4)
-        |      WHEN 0 THEN '\x89\x50\x4E\x47\x0D\x0A\x1A\x0A'::BLOB
-        |      WHEN 1 THEN '\xFF\xD8\xFF\xE0'::BLOB
-        |      WHEN 2 THEN '\x52\x49\x46\x46'::BLOB
-        |      ELSE '\x00\x00\x00\x18\x66\x74\x79\x70'::BLOB
-        |    END || encode(text) AS payload
-        |  FROM documents
+      s"""WITH p AS (
+        |  $payloadSql
         |), s AS (
         |  SELECT doc_id, payload,
         |    CASE
@@ -67,20 +103,13 @@ object MultimodalQueries {
         |  CAST(MIN(octet_length(payload)) AS BIGINT) AS min_bytes,
         |  CAST(MAX(octet_length(payload)) AS BIGINT) AS max_bytes
         |FROM s GROUP BY mime""".stripMargin,
-    // decodeStub twin: payload bytes after the 8-byte header, hex-parsed;
+    // decode twin: payload bytes after the 8-byte signature, hex-parsed;
     // 8 chunk byte-sums; L2-normalized to FLOAT with the same double ops
-    // and index order as the Scala stub; then the s1 brute-force ANN shape
-    // over the decoded features.
+    // and index order as the Scala stage; then the s1 brute-force ANN
+    // shape over the decoded features.
     "m2_decode_ann" ->
-      """WITH p AS (
-        |  SELECT doc_id,
-        |    CASE (substring(source, 4)::INT % 4)
-        |      WHEN 0 THEN '\x89\x50\x4E\x47\x0D\x0A\x1A\x0A'::BLOB
-        |      WHEN 1 THEN '\xFF\xD8\xFF\xE0'::BLOB
-        |      WHEN 2 THEN '\x52\x49\x46\x46'::BLOB
-        |      ELSE '\x00\x00\x00\x18\x66\x74\x79\x70'::BLOB
-        |    END || encode(text) AS payload
-        |  FROM documents
+      s"""WITH p AS (
+        |  $payloadSql
         |), b AS (
         |  SELECT doc_id, substring(hex(payload), 17) AS hx FROM p
         |), idx AS (
@@ -120,6 +149,22 @@ object MultimodalQueries {
         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS BIGINT) AS "rank"
         |  FROM scored
         |)
-        |SELECT q_id, c_id, cos, "rank" FROM ranked WHERE "rank" <= 5""".stripMargin
+        |SELECT q_id, c_id, cos, "rank" FROM ranked WHERE "rank" <= 5""".stripMargin,
+    // IHDR parse twin: the same fixed-offset big-endian byte reads over
+    // the same blob (width/height at bytes 17/21, depth/color at 25/26).
+    "m3_png_ihdr" ->
+      s"""WITH p AS (
+        |  $payloadSql
+        |), h AS (
+        |  SELECT doc_id, hex(payload) AS hx FROM p
+        |)
+        |SELECT doc_id,
+        |  ('0x' || substring(hx, 33, 8))::BIGINT AS width,
+        |  ('0x' || substring(hx, 41, 8))::BIGINT AS height,
+        |  ('0x' || substring(hx, 49, 2))::BIGINT AS bit_depth,
+        |  ('0x' || substring(hx, 51, 2))::BIGINT AS color_type
+        |FROM h
+        |WHERE left(hx, 16) = '89504E470D0A1A0A'
+        |  AND substring(hx, 25, 8) = '49484452'""".stripMargin
   )
 }
