@@ -62,12 +62,34 @@ object Dedup {
     * incrementally as they arrive instead of re-scanning everything seen
     * so far; the state entry is a 16-byte digest per distinct document,
     * not the text, checkpointed and sharded by Spark's state store. Works
-    * identically on a batch frame (state starts empty). For unbounded
-    * streams pair with `withWatermark` so the state can expire.
+    * identically on a batch frame (state starts empty).
+    *
+    * STATE GROWS WITHOUT BOUND on an unbounded stream: `dropDuplicates`
+    * state only expires when the event-time column is part of the dedup
+    * subset — a watermark alone does NOT evict it. That is the correct
+    * semantics for global corpus dedup over a finite backfill; for an
+    * unbounded stream use [[exactStreamWithinWatermark]], which bounds
+    * the state at the price of a bounded suppression window.
     */
   def exactStream(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.withColumn("__fp", md5(col(textCol)))
       .dropDuplicates("__fp")
+      .drop("__fp")
+
+  /** Streaming exact dedup with BOUNDED state for unbounded streams:
+    * `dropDuplicatesWithinWatermark` keeps a fingerprint's state only
+    * until the event-time watermark passes its last sighting + `delay`,
+    * then evicts it. Consequence (documented, inherent to bounded state):
+    * a duplicate whose first sighting has already expired is RE-ADMITTED —
+    * dedup is exact within the watermark window and best-effort beyond
+    * it. DedupStreamSpec pins both properties (bounded state-store rows
+    * across advancing micro-batches; the expired-key re-admission).
+    */
+  def exactStreamWithinWatermark(docs: DataFrame, eventTimeCol: String,
+                                 delay: String, textCol: String = "text"): DataFrame =
+    docs.withColumn("__fp", md5(col(textCol)))
+      .withWatermark(eventTimeCol, delay)
+      .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
 
   /** (doc_id, shingle) pairs, distinct per document. */

@@ -32,6 +32,45 @@ class DedupStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("exactStreamWithinWatermark: bounded state, exact dedup inside the window") {
+    def ts(s: Long) = new java.sql.Timestamp(1735689600000L + s * 1000)
+    val in = MemoryStream[(Long, java.sql.Timestamp, String)](spark)
+    val q = Dedup.exactStreamWithinWatermark(
+        in.toDS().toDF("doc_id", "ts", "text"), "ts", "10 seconds")
+      .writeStream.format("memory").queryName("wm_dedup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData((1L, ts(0), "alpha"), (2L, ts(0), "beta"))
+      q.processAllAvailable()
+      // duplicate within the watermark window -> suppressed
+      in.addData((3L, ts(5), "alpha"))
+      q.processAllAvailable()
+      assert(spark.table("wm_dedup").count() == 2)
+
+      // march event time across many micro-batches, one fresh doc each:
+      // with eviction, state rows stay bounded by the keys still inside
+      // the watermark window instead of growing by one per distinct doc
+      var maxState = 0L
+      for (i <- 1 to 8) {
+        in.addData((10L + i, ts(100L * i), s"doc$i"))
+        q.processAllAvailable()
+        maxState = math.max(maxState,
+          q.lastProgress.stateOperators.head.numRowsTotal)
+      }
+      assert(maxState <= 4,
+        s"state grew to $maxState rows — eviction is not happening")
+
+      // the documented re-admission: "alpha"'s fingerprint expired long
+      // ago (watermark is ~790s past its sighting), so the duplicate
+      // passes — bounded state trades exactness beyond the window
+      in.addData((99L, ts(900), "alpha"))
+      q.processAllAvailable()
+      val alphas = spark.table("wm_dedup").collect()
+        .count(_.getAs[String]("text") == "alpha")
+      assert(alphas == 2, "an expired-key duplicate must be re-admitted")
+    } finally q.stop()
+  }
+
   test("exactStream on a batch frame keeps one row per distinct text") {
     val docs = Seq((1L, "x"), (2L, "y"), (3L, "x"), (4L, "x")).toDF("doc_id", "text")
     val out = Dedup.exactStream(docs).collect()
