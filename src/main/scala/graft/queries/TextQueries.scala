@@ -71,12 +71,23 @@ object TextQueries {
       Text.bpeTokenCount(col("text")).cast("long").as("n_bpe_tokens"),
       Text.tokenCount(col("text")).cast("long").as("n_ws_tokens"))
 
+  /** REAL merges-table BPE token counts (the step past t5's pre-token
+    * proxy): letter runs encoded under Text.Merges in learned rank order,
+    * other pre-tokens count 1. Still a map-only projection.
+    */
+  def t6BpeMerges(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      Text.bpeTokenCount(col("text")).cast("long").as("n_pre"),
+      Text.bpeMergeTokenCount(col("text")).cast("long").as("n_bpe"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_token_stats" -> (t1TokenStats _),
     "t2_quality" -> (t2Quality _),
     "t3_lang_confusion" -> (t3LangConfusion _),
     "t4_token_topk" -> (t4TokenTopK _),
-    "t5_bpe_tokens" -> (t5BpeTokens _)
+    "t5_bpe_tokens" -> (t5BpeTokens _),
+    "t6_bpe_merges" -> (t6BpeMerges _)
   )
 
   /** DuckDB lambda twin of Text.tokens. */
@@ -130,6 +141,27 @@ object TextQueries {
       s"""SELECT doc_id,
          |  CAST(len(regexp_extract_all(text, '${Text.BpePattern.replace("'", "''")}')) AS BIGINT) AS n_bpe_tokens,
          |  CAST(len($toksSql) AS BIGINT) AS n_ws_tokens
-         |FROM documents""".stripMargin
+         |FROM documents""".stripMargin,
+    "t6_bpe_merges" -> t6Sql
   )
+
+  /** Twin of Text.bpeMergeTokenCount: the same wrapped-symbol encode as a
+    * chain of literal replaces in merge rank order (generated from the
+    * shared Text.Merges list), split on the ")(" boundary for the symbol
+    * count. regexp_replace's backreference is \\1 in DuckDB (RE2) vs $1
+    * in Spark; both wrap each char identically.
+    */
+  private def t6Sql: String = {
+    val pat = Text.BpePattern.replace("'", "''")
+    val enc = Text.Merges.foldLeft("regexp_replace(ltrim(t), '(.)', '(\\1)', 'g')") {
+      case (acc, (a, b)) => s"replace($acc, '($a)($b)', '($a$b)')"
+    }
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT) AS n_pre,
+       |  CAST(COALESCE(list_sum(list_transform(regexp_extract_all(text, '$pat'),
+       |    t -> CASE WHEN regexp_full_match(t, ' ?[A-Za-z]+')
+       |      THEN len(string_split($enc, ')('))
+       |      ELSE 1 END)), 0) AS BIGINT) AS n_bpe
+       |FROM documents""".stripMargin
+  }
 }

@@ -38,6 +38,60 @@ object Text {
 
   def bpeTokenCount(text: Column): Column = size(bpeTokens(text))
 
+  /** A small merges table in learned rank order (classic BPE: most
+    * frequent English pairs first; every merge's parts are constructible
+    * from earlier merges). The ENCODER below is the real algorithm for
+    * any such table — swap in a learned vocabulary's merges file to get
+    * its token counts; this built-in list exists so the operator is
+    * exercisable without shipping a vocabulary.
+    */
+  val Merges: Seq[(String, String)] = Seq(
+    "t" -> "h", "i" -> "n", "a" -> "n", "e" -> "r", "o" -> "n", "r" -> "e",
+    "a" -> "t", "e" -> "n", "o" -> "r", "th" -> "e", "an" -> "d",
+    "in" -> "g", "i" -> "s", "i" -> "t", "o" -> "u", "a" -> "l", "e" -> "s",
+    "e" -> "d", "o" -> "f", "t" -> "o", "s" -> "t", "a" -> "r", "l" -> "e",
+    "s" -> "e", "m" -> "e", "d" -> "e", "h" -> "e", "c" -> "h", "w" -> "h",
+    "l" -> "l", "v" -> "e", "u" -> "s", "n" -> "t", "e" -> "a", "r" -> "o",
+    "h" -> "a", "th" -> "er", "o" -> "o", "s" -> "s", "t" -> "t")
+
+  /** Merges-table BPE encode of a letter-run word — the real algorithm
+    * (Sennrich-style: apply each merge rule everywhere, in learned rank
+    * order), as a pure column expression. Symbols are wrapped —
+    * "the" starts as "(t)(h)(e)" — so a literal replace of "(a)(b)" with
+    * "(ab)" can never match across a symbol boundary and adjacent
+    * occurrences share no characters (left-to-right non-overlapping
+    * replace stays correct on runs like "(a)(b)(a)(b)"). One chained
+    * codegen'd expression, no UDF, map-only at any scale.
+    */
+  def bpeEncode(word: Column, merges: Seq[(String, String)] = Merges): Column = {
+    val wrapped = regexp_replace(word, "(.)", "($1)")
+    merges.foldLeft(wrapped) { case (c, (a, b)) =>
+      replace(c, lit(s"($a)($b)"), lit(s"($a$b)"))
+    }
+  }
+
+  /** Token count of a word under the merges table: symbols in the encode
+    * (split on the ")(" boundary — one fewer string scan than counting
+    * parens twice).
+    */
+  def bpeSymbolCount(word: Column, merges: Seq[(String, String)] = Merges): Column =
+    size(split(bpeEncode(word, merges), "\\)\\("))
+
+  /** REAL token count of a document under the merges table: pre-tokenize
+    * with [[BpePattern]], BPE-encode each letter run (the leading space
+    * folds into the word GPT-Ġ-style, so it adds no symbol), count every
+    * other pre-token (digits/punctuation/whitespace runs) as one token.
+    * This is the step past [[bpeTokenCount]]'s pre-token proxy: actual
+    * vocabulary-dependent token budgeting.
+    */
+  def bpeMergeTokenCount(text: Column,
+                         merges: Seq[(String, String)] = Merges): Column =
+    aggregate(
+      transform(bpeTokens(text), t =>
+        when(t.rlike("^ ?[A-Za-z]+$"), bpeSymbolCount(ltrim(t), merges))
+          .otherwise(lit(1))),
+      lit(0), (acc, x) => acc + x)
+
   /** Word k-shingles: overlapping k-grams joined by a single space.
     * Documents shorter than k tokens yield an empty array.
     */
