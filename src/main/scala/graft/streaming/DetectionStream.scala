@@ -3,7 +3,7 @@ package graft.streaming
 import graft.dipa.Detect
 import graft.model.FlowStat
 import org.apache.spark.sql.{DataFrame, Dataset}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, current_timestamp}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** The §3.1 detection pipeline as a streaming query: `Dataset[FlowStat]` →
@@ -143,9 +143,40 @@ object DetectionStream {
     * `dropDuplicates` keyed state (the Pulsar-ack analog, SURVEY.md §7.5.2),
     * then the C6 dispatch + J1 topology broadcast join. Works on a
     * streaming or batch DataFrame of (domain, ip, label).
+    *
+    * Suppression here is FOREVER (state never expires) — right for tests
+    * and bounded replays, unbounded state on an unbounded alert stream.
+    * Production streams should use [[mitigationsWithTtl]], whose bounded
+    * window also matches the reference's rule lifetimes.
     */
   def mitigations(alerts: DataFrame, topology: DataFrame): DataFrame =
     Detect.mitigations(
       alerts.dropDuplicates("domain", "ip", "label").select(col("ip"), col("label")),
       topology)
+
+  /** [[mitigations]] with a suppression TTL and BOUNDED state: duplicate
+    * alerts are suppressed only while the (domain, ip, label) key's state
+    * is inside the watermark window, then the key is evicted and the next
+    * occurrence dispatches again. That re-dispatch is the DESIRED
+    * semantics, not a compromise: the reference's mitigation rules expire
+    * (the lockdown telnet block lasts 100 s — `DIPA_Controller.py:409-415`
+    * — and OpenFlow rules carry timeouts), so an attack still alerting
+    * after the TTL must re-install its rule. Default `ttl` matches the
+    * reference's 100 s; `eventTimeCol` lets transports that stamp arrival
+    * time use it (tests pin eviction deterministically through it) —
+    * otherwise rows are stamped with the batch's processing time.
+    */
+  def mitigationsWithTtl(alerts: DataFrame, topology: DataFrame,
+                         ttl: String = "100 seconds",
+                         eventTimeCol: Option[String] = None): DataFrame = {
+    val stamped = eventTimeCol match {
+      case Some(c) => alerts.withColumnRenamed(c, "__seen")
+      case None => alerts.withColumn("__seen", current_timestamp())
+    }
+    Detect.mitigations(
+      stamped.withWatermark("__seen", ttl)
+        .dropDuplicatesWithinWatermark("domain", "ip", "label")
+        .select(col("ip"), col("label")),
+      topology)
+  }
 }

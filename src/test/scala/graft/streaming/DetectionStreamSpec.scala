@@ -125,6 +125,44 @@ class DetectionStreamSpec extends SparkSpec {
     assert(byAction("DROP_TELNET").getAs[Int]("priority") == 100)
     assert(byAction.contains("LOCKDOWN"))
   }
+
+  test("mitigationsWithTtl: bounded suppression, rule re-install after expiry") {
+    import spark.implicits._
+    def ts(s: Long) = new Timestamp(T0.getTime + s * 1000)
+    val topo = Seq(("s1", 1L, 1, "10.0.0.1", true))
+      .toDF("switch_name", "dpid", "port", "attached", "is_host")
+    val in = MemoryStream[(Timestamp, String, String, String)](spark)
+    val seen = mutable.ArrayBuffer[(String, String)]()
+    val q = DetectionStream.mitigationsWithTtl(
+        in.toDS().toDF("at", "domain", "ip", "label"), topo,
+        ttl = "100 seconds", eventTimeCol = Some("at"))
+      .writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        seen.synchronized {
+          seen ++= b.collect().map(r =>
+            (r.getAs[String]("action"), r.getAs[String]("target_ip")))
+        }
+        ()
+      }.start()
+    try {
+      in.addData((ts(0), "d0", "10.0.0.1", "BOT"))
+      q.processAllAvailable()
+      // redelivery inside the TTL window: suppressed
+      in.addData((ts(50), "d0", "10.0.0.1", "BOT"))
+      q.processAllAvailable()
+      assert(seen.synchronized(seen.count(_ == ("RATE_LIMIT", "10.0.0.1"))) == 1)
+      // march the watermark past the key's expiry (0 + 100 s)
+      in.addData((ts(300), "d0", "10.0.0.9", "BOT"))
+      q.processAllAvailable()
+      // the attack is still alerting after the rule lifetime: re-dispatch
+      in.addData((ts(310), "d0", "10.0.0.1", "BOT"))
+      q.processAllAvailable()
+      assert(seen.synchronized(seen.count(_ == ("RATE_LIMIT", "10.0.0.1"))) == 2,
+        "an expired suppression must re-install the rule")
+      // and the state store stays bounded (evicted keys are gone)
+      assert(q.lastProgress.stateOperators.head.numRowsTotal <= 3)
+    } finally q.stop()
+  }
 }
 
 object DetectionStreamSpec {
