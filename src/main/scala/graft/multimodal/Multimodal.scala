@@ -13,9 +13,12 @@ import org.apache.spark.sql.functions._
   * The synthetic corpus carries no real media, so payloads are
   * materialized from `documents.text` prefixed with genuine container
   * headers — PNG docs get a spec-valid signature + IHDR chunk (real
-  * CRC-32), the rest magic bytes (JPEG/RIFF-WAV/MP4-ftyp) — so the MIME
-  * sniffer and the PNG dimension parse work on real structures, and every
-  * derived statistic is integer-exact and DuckDB-checkable.
+  * CRC-32), WAV docs a complete RIFF/fmt/data header (real little-endian
+  * PCM geometry a conforming reader parses — MultimodalSpec proves it
+  * through javax.sound.sampled), the rest magic bytes (JPEG/MP4-ftyp) —
+  * so the MIME sniffer and the PNG/WAV header decodes work on real
+  * structures, and every derived statistic is integer-exact and
+  * DuckDB-checkable.
   */
 object Multimodal {
 
@@ -68,17 +71,72 @@ object Multimodal {
       beInt4(pngDim(docId)), beInt4(pngDim(docId)), lit(IhdrTail),
       element_at(typedLit(IhdrCrcs), (docId % 16 + 1).cast("int")))
 
+  // ---- WAV RIFF/fmt synthesis (canonical 44-byte PCM header) -----------
+
+  /** Per-doc PCM geometry: channels cycle mod 2, sample rate mod 5, bit
+    * depth mod 4 — jointly a 20-period cycle of fmt chunks, so the static
+    * header block (everything but the two byte-length fields) is one of 20
+    * precomputed byte arrays indexable by `doc_id % 20` on both engines.
+    */
+  val WavRates: Seq[Int] = Seq(8000, 16000, 22050, 44100, 48000)
+  val WavBitDepths: Seq[Int] = Seq(8, 16, 24, 32)
+  def wavChannelsInt(i: Int): Int = 1 + i % 2
+  def wavRateInt(i: Int): Int = WavRates(i % 5)
+  def wavBitsInt(i: Int): Int = WavBitDepths(i % 4)
+
+  private def le2(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+  private def le4(v: Long): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+  /** Header bytes 8..39 for `doc_id % 20`: "WAVE", the complete 16-byte
+    * PCM fmt chunk (format 1, channels, sample rate, byte rate, block
+    * align, bits per sample — all little-endian per the RIFF spec), and
+    * the "data" chunk tag. Only the RIFF size (bytes 4-7) and data size
+    * (bytes 40-43) depend on the body and are encoded per row.
+    */
+  val WavStaticBlocks: Seq[Array[Byte]] = (0 until 20).map { i =>
+    val ch = wavChannelsInt(i); val sr = wavRateInt(i); val bits = wavBitsInt(i)
+    val blockAlign = ch * bits / 8
+    "WAVE".getBytes("US-ASCII") ++ "fmt ".getBytes("US-ASCII") ++
+      le4(16L) ++ le2(1) ++ le2(ch) ++ le4(sr.toLong) ++
+      le4(sr.toLong * blockAlign) ++ le2(blockAlign) ++ le2(bits) ++
+      "data".getBytes("US-ASCII")
+  }
+
+  /** Little-endian 4-byte encoding of a non-negative int column (byte
+    * reversal of the big-endian hex form — pure string/binary exprs).
+    */
+  private def leInt4(c: Column): Column = {
+    val h = lpad(hex(c), 8, "0")
+    unhex(concat(substring(h, 7, 2), substring(h, 5, 2),
+      substring(h, 3, 2), substring(h, 1, 2)))
+  }
+
+  /** A spec-valid RIFF/WAVE PCM header (44 bytes, the canonical layout
+    * every WAV reader parses) for a doc; the UTF-8 body plays the role of
+    * the sample data, so the declared data size is exact.
+    */
+  def wavHeader(docId: Column, text: Column): Column = {
+    val len = octet_length(encode(text, "UTF-8"))
+    concat(lit(WavMagic), leInt4(len + 36),
+      element_at(typedLit(WavStaticBlocks), (docId % 20 + 1).cast("int")),
+      leInt4(len))
+  }
+
   /** Opaque binary payload: modality header + UTF-8 content. PNG docs get
-    * the full signature+IHDR header above (so header decode is real);
-    * other modalities carry magic only. At 100 TB the payload column is
-    * real media read straight from parquet/lance; this synthesizer exists
-    * only because the test corpus is text.
+    * the full signature+IHDR header above and WAV docs a complete RIFF/
+    * fmt/data header (so header decode is real for both); JPEG/MP4 carry
+    * magic only. At 100 TB the payload column is real media read straight
+    * from parquet/lance; this synthesizer exists only because the test
+    * corpus is text.
     */
   def payload(docId: Column, source: Column, text: Column): Column =
     concat(
       when(modality(source) === 0, pngHeader(docId))
         .when(modality(source) === 1, lit(JpegMagic))
-        .when(modality(source) === 2, lit(WavMagic))
+        .when(modality(source) === 2, wavHeader(docId, text))
         .otherwise(lit(Mp4Magic)),
       encode(text, "UTF-8"))
 
@@ -107,6 +165,41 @@ object Multimodal {
     when(isPngIhdr(payload), beField(payload, 25, 1))
   def pngColorType(payload: Column): Column =
     when(isPngIhdr(payload), beField(payload, 26, 1))
+
+  // ---- WAV fmt parsing (little-endian fixed-offset byte reads) ---------
+
+  /** Little-endian unsigned int from `len` bytes at 1-based `off` —
+    * hex-pair reversal of the slice, codegen'd, prefix-only read.
+    */
+  private def leField(payload: Column, off: Int, len: Int): Column = {
+    val hx = hex(substring(payload, off, len))
+    conv(concat((len - 1 to 0 by -1).map(i => substring(hx, 2 * i + 1, 2)): _*),
+      16, 10).cast("long")
+  }
+
+  /** True iff the payload is a RIFF/WAVE container with a leading fmt
+    * chunk (bytes 9-16 = "WAVEfmt "), the canonical WAV layout.
+    */
+  def isWavFmt(payload: Column): Column =
+    hex(substring(payload, 1, 4)) === "52494646" &&
+      hex(substring(payload, 9, 8)) === "57415645666D7420"
+
+  /** fmt-chunk fields at their spec offsets (channels at byte 23, sample
+    * rate at 25, byte rate at 29, block align at 33, bits per sample at
+    * 35, data-chunk size at 41 — all little-endian; null when not a WAV).
+    */
+  def wavChannels(payload: Column): Column =
+    when(isWavFmt(payload), leField(payload, 23, 2))
+  def wavSampleRate(payload: Column): Column =
+    when(isWavFmt(payload), leField(payload, 25, 4))
+  def wavByteRate(payload: Column): Column =
+    when(isWavFmt(payload), leField(payload, 29, 4))
+  def wavBlockAlign(payload: Column): Column =
+    when(isWavFmt(payload), leField(payload, 33, 2))
+  def wavBitsPerSample(payload: Column): Column =
+    when(isWavFmt(payload), leField(payload, 35, 2))
+  def wavDataBytes(payload: Column): Column =
+    when(isWavFmt(payload), leField(payload, 41, 4))
 
   /** Magic-byte MIME sniff — a pure column expression over the payload
     * prefix (codegen'd; the scan only reads the binary column, and at

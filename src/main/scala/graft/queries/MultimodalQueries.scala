@@ -48,10 +48,25 @@ object MultimodalQueries {
         Multimodal.pngColorType(col("payload")).as("color_type"))
   }
 
+  def m4WavFmt(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    docs.select(col("doc_id"),
+        Multimodal.payload(col("doc_id"), col("source"), col("text")).as("payload"))
+      .filter(Multimodal.isWavFmt(col("payload")))
+      .select(col("doc_id"),
+        Multimodal.wavChannels(col("payload")).as("channels"),
+        Multimodal.wavSampleRate(col("payload")).as("sample_rate"),
+        Multimodal.wavByteRate(col("payload")).as("byte_rate"),
+        Multimodal.wavBlockAlign(col("payload")).as("block_align"),
+        Multimodal.wavBitsPerSample(col("payload")).as("bits"),
+        Multimodal.wavDataBytes(col("payload")).as("data_bytes"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_media_stats" -> (m1MediaStats _),
     "m2_decode_ann" -> (m2DecodeAnn _),
-    "m3_png_ihdr" -> (m3PngIhdr _)
+    "m3_png_ihdr" -> (m3PngIhdr _),
+    "m4_wav_fmt" -> (m4WavFmt _)
   )
 
   // ---- generated DuckDB twins ----------------------------------------
@@ -64,8 +79,19 @@ object MultimodalQueries {
     * the doc's precomputed IHDR CRC; other modalities magic only; then
     * the UTF-8 text body.
     */
+  /** Little-endian 4-byte blob of a DuckDB integer expression — byte
+    * reversal of the zero-padded big-endian hex form (twin of the Scala
+    * `leInt4`).
+    */
+  private def le4Sql(expr: String): String = {
+    val h = s"lpad(hex($expr), 8, '0')"
+    s"unhex(substring($h, 7, 2) || substring($h, 5, 2) || " +
+      s"substring($h, 3, 2) || substring($h, 1, 2))"
+  }
+
   private def payloadSql: String = {
     val crcList = Multimodal.IhdrCrcs.map(blobLit).mkString("[", ", ", "]")
+    val wavList = Multimodal.WavStaticBlocks.map(blobLit).mkString("[", ", ", "]")
     // NOTE: no line may start with "||" — this snippet is interpolated into
     // templates that apply stripMargin again, which would eat the first '|'
     s"""SELECT doc_id,
@@ -77,7 +103,10 @@ object MultimodalQueries {
        |        ${blobLit(Multimodal.IhdrTail)} ||
        |        ($crcList)[(doc_id % 16)::INT + 1]
        |      WHEN 1 THEN ${blobLit(Multimodal.JpegMagic)}
-       |      WHEN 2 THEN ${blobLit(Multimodal.WavMagic)}
+       |      WHEN 2 THEN ${blobLit(Multimodal.WavMagic)} ||
+       |        ${le4Sql("octet_length(encode(text)) + 36")} ||
+       |        ($wavList)[(doc_id % 20)::INT + 1] ||
+       |        ${le4Sql("octet_length(encode(text))")}
        |      ELSE ${blobLit(Multimodal.Mp4Magic)}
        |    END || encode(text) AS payload
        |  FROM documents""".stripMargin
@@ -165,6 +194,28 @@ object MultimodalQueries {
         |  ('0x' || substring(hx, 51, 2))::BIGINT AS color_type
         |FROM h
         |WHERE left(hx, 16) = '89504E470D0A1A0A'
-        |  AND substring(hx, 25, 8) = '49484452'""".stripMargin
+        |  AND substring(hx, 25, 8) = '49484452'""".stripMargin,
+    // WAV fmt twin: the same fixed-offset LITTLE-endian byte reads over
+    // the same blob (hex-pair reversal; channels at byte 23, rate at 25,
+    // byte rate at 29, block align at 33, bits at 35, data size at 41).
+    "m4_wav_fmt" ->
+      s"""WITH p AS (
+        |  $payloadSql
+        |), h AS (
+        |  SELECT doc_id, hex(payload) AS hx FROM p
+        |)
+        |SELECT doc_id,
+        |  ('0x' || substring(hx, 47, 2) || substring(hx, 45, 2))::BIGINT AS channels,
+        |  ('0x' || substring(hx, 55, 2) || substring(hx, 53, 2)
+        |        || substring(hx, 51, 2) || substring(hx, 49, 2))::BIGINT AS sample_rate,
+        |  ('0x' || substring(hx, 63, 2) || substring(hx, 61, 2)
+        |        || substring(hx, 59, 2) || substring(hx, 57, 2))::BIGINT AS byte_rate,
+        |  ('0x' || substring(hx, 67, 2) || substring(hx, 65, 2))::BIGINT AS block_align,
+        |  ('0x' || substring(hx, 71, 2) || substring(hx, 69, 2))::BIGINT AS bits,
+        |  ('0x' || substring(hx, 87, 2) || substring(hx, 85, 2)
+        |        || substring(hx, 83, 2) || substring(hx, 81, 2))::BIGINT AS data_bytes
+        |FROM h
+        |WHERE left(hx, 8) = '52494646'
+        |  AND substring(hx, 17, 16) = '57415645666D7420'""".stripMargin
   )
 }

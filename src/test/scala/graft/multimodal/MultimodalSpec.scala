@@ -87,6 +87,42 @@ class MultimodalSpec extends SparkSpec {
     assert(feats == parsed.map { case (k, v) => k -> v })
   }
 
+  test("synthesized WAV header is spec-valid: javax.sound.sampled parses it") {
+    // doc 2 is the wav-modality doc; its header must be a real RIFF/WAVE
+    // PCM header any conforming audio reader accepts
+    val p2 = docs.filter("doc_id = 2").select(pay.as("p"))
+      .collect().head.getAs[Array[Byte]]("p")
+    val fmt = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+      new java.io.ByteArrayInputStream(p2))
+    assert(fmt.getType == javax.sound.sampled.AudioFileFormat.Type.WAVE)
+    val af = fmt.getFormat
+    assert(af.getChannels == wavChannelsInt(2))         // 1 + 2 % 2 = 1
+    assert(af.getSampleRate.toInt == wavRateInt(2))     // 22050
+    assert(af.getSampleSizeInBits == wavBitsInt(2))     // 24
+    // declared data size is exactly the UTF-8 body length
+    val body = "wav doc body yy".getBytes("UTF-8")
+    assert(p2.length == 44 + body.length)
+    assert(new String(p2.drop(44), "UTF-8") == "wav doc body yy")
+  }
+
+  test("WAV fmt parse columns read back the synthesized geometry") {
+    val parsed = docs
+      .select(col("doc_id"), pay.as("p"))
+      .filter(isWavFmt(col("p")))
+      .select(col("doc_id"), wavChannels(col("p")).as("ch"),
+        wavSampleRate(col("p")).as("sr"), wavByteRate(col("p")).as("br"),
+        wavBlockAlign(col("p")).as("ba"), wavBitsPerSample(col("p")).as("bits"),
+        wavDataBytes(col("p")).as("db"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("ch"), r.getAs[Long]("sr"), r.getAs[Long]("br"),
+          r.getAs[Long]("ba"), r.getAs[Long]("bits"), r.getAs[Long]("db"))))
+      .toMap
+    assert(parsed.keySet == Set(2L)) // the wav-modality doc
+    val ba = wavChannelsInt(2) * wavBitsInt(2) / 8
+    assert(parsed(2L) == ((wavChannelsInt(2).toLong, wavRateInt(2).toLong,
+      wavRateInt(2).toLong * ba, ba.toLong, wavBitsInt(2).toLong, 15L)))
+  }
+
   test("MIME sniff recognizes each container from its signature") {
     val mimes = docs.select(col("source"), sniffMime(pay).as("mime"))
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
