@@ -27,7 +27,8 @@ object SparkEntry {
       (qq.TextQueries.queries, qq.TextQueries.oracle),
       (qq.DedupQueries.queries, qq.DedupQueries.oracle),
       (qq.SimQueries.queries, qq.SimQueries.oracle),
-      (qq.MultimodalQueries.queries, qq.MultimodalQueries.oracle)
+      (qq.MultimodalQueries.queries, qq.MultimodalQueries.oracle),
+      (qq.SkewQueries.queries, qq.SkewQueries.oracle)
     )
 
   /** One per implemented operator from SURVEY.md §2. */
