@@ -38,4 +38,26 @@ object GraftSession {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark
   }
+
+  /** Large-state streaming: back the state store with RocksDB instead of
+    * the default in-heap HDFS-backed map. The default provider holds every
+    * key in executor heap — fine for the detection plane's per-domain
+    * state, an OOM for 100 TB-scale keyed state (billions of dedup
+    * fingerprints in `Dedup.exactStream`, per-flow machines in
+    * StateMachines). RocksDB spills to local SSD with bounded heap, and
+    * changelog checkpointing ships per-batch deltas instead of re-uploading
+    * full SST files.
+    *
+    * Session-wide conf, captured by each streaming query at start — set it
+    * before `writeStream.start()`. Existing checkpoints are provider-bound:
+    * never flip this under a query's existing checkpoint dir.
+    */
+  def useRocksDbState(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+      "true")
+    spark
+  }
 }
