@@ -288,4 +288,26 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Embedding-cosine near-dup dedup: drop every vector that has a
+    * more-canonical (lower-id) neighbor with cosine >= `threshold`, keep
+    * the rest — the greedy one-pass keeper rule (deterministic, id-stable
+    * under re-partitioning; NOT transitive closure, which at 100 TB needs
+    * an iterative connected-components pass no single query expresses).
+    *
+    * Candidate pairs come from the same multi-table hyperplane index as
+    * [[graft.sim.Similarity.cosinePairsLsh]] — one shuffle on
+    * (table, bucket), quadratic only within buckets — then one left-anti
+    * join drops the dominated side. At near-dup thresholds (cos → 1) the
+    * banding is near-lossless; at weak thresholds it is a candidate
+    * blocker, and the oracle replays the identical index so the gate is
+    * exact either way.
+    */
+  def embedDedup(vecs: DataFrame, threshold: Double, dim: Int,
+                 planes: Int, tables: Int): DataFrame = {
+    val dominated = graft.sim.Similarity
+      .cosinePairsLsh(vecs, threshold, dim, planes, tables)
+      .select(col("j").as("vec_id"))
+    vecs.join(dominated, Seq("vec_id"), "left_anti")
+  }
 }

@@ -35,11 +35,21 @@ object DedupQueries {
     Dedup.simhashPairs(Tables.documents(s, dir), MaxHamming)
       .withColumn("hamming", col("hamming").cast("long"))
 
+  /** d5 — embedding-cosine near-dup dedup over the same LSH geometry as
+    * s5 (SimQueries owns those constants; its oracle replays the identical
+    * index, so the keeper set is exact).
+    */
+  def d5EmbedDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.embedDedup(Tables.embeddings(s, dir), SimQueries.PairTh,
+        SimQueries.Dim, SimQueries.Planes, SimQueries.NTables)
+      .select(col("vec_id"), col("label").cast("long").as("label"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> (d1Exact _),
     "d2_jaccard_pairs" -> (d2JaccardPairs _),
     "d3_minhash_lsh" -> (d3MinhashLsh _),
-    "d4_simhash_pairs" -> (d4SimhashPairs _)
+    "d4_simhash_pairs" -> (d4SimhashPairs _),
+    "d5_embed_dedup" -> (d5EmbedDedup _)
   )
 
   // ---- generated DuckDB twins ----------------------------------------
@@ -132,6 +142,13 @@ object DedupQueries {
     "d1_exact_dedup" ->
       """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY text""".stripMargin,
+    // d5: survivors = vectors that are never the higher-id side of an
+    // above-threshold LSH pair (the s5 pairs SQL verbatim as a subquery)
+    "d5_embed_dedup" ->
+      s"""SELECT e.vec_id, e.label::BIGINT AS label FROM embeddings e
+         |WHERE e.vec_id NOT IN (SELECT j FROM (
+         |${SimQueries.lshPairsSql}
+         |) dominated)""".stripMargin,
     "d2_jaccard_pairs" ->
       s"""WITH s0 AS (
          |  $shinglesSql

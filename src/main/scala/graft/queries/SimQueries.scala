@@ -326,7 +326,7 @@ object SimQueries {
   /** Pairs twin of Similarity.cosinePairsLsh: same wide bucket, banded
     * self-join on (table, bucket), max-dedup, threshold.
     */
-  private def lshPairsSql: String = {
+  private[queries] def lshPairsSql: String = {
     val bmask = (1L << Planes) - 1
     val tablesList = (0 until NTables).mkString(", ")
     s"""WITH v AS (
