@@ -219,8 +219,9 @@ object Bench {
         val sf1Dir = new java.io.File("target/sf1").getAbsolutePath
         graft.fixtures.ScaleProbe.ensure(spark, sfDir, sf1Dir)
         Seq("d1_exact_dedup", "d2_jaccard_pairs", "d3_minhash_lsh",
-            "d4_simhash_pairs", "s1_ann_topk", "s2_cosine_pairs_blocked",
-            "s3_lsh_topk", "s4_ivf_topk", "s5_lsh_pairs").map { name =>
+            "d4_simhash_pairs", "d5_embed_dedup", "s1_ann_topk",
+            "s2_cosine_pairs_blocked", "s3_lsh_topk", "s4_ivf_topk",
+            "s5_lsh_pairs", "k1_salted_topk", "k3_distinct_users").map { name =>
           timed("sf1_" + name, n = 1) {
             SparkEntry.queries(name)(spark, sf1Dir).count(); ()
           }

@@ -19,16 +19,23 @@ import org.apache.spark.sql.functions._
   *    within-replica cosines preserved) and offsets the block label, so
   *    blocked-pair output is exactly 10x and ANN queries (vec_id < 8,
   *    replica 0 only) search a genuinely 10x corpus.
+  *  - events: ids and user ids offset per replica but event_type KEPT — the
+  *    5 hot keys each grow 10x, which is exactly the regime the skew
+  *    rewrites (k-queries) must stay linear in.
   */
 object ScaleProbe {
 
   val Replicas = 10
   val IdStride = 10000000L
 
-  /** Generate into `outDir` unless already generated from this `srcDir`. */
+  /** Generate into `outDir` unless already generated from this `srcDir`.
+    * (The events check upgrades probe dirs generated before events were
+    * part of the probe.)
+    */
   def ensure(spark: SparkSession, srcDir: String, outDir: String): Unit = {
     val marker = Paths.get(outDir, "_PROBE_SRC")
-    if (Files.exists(marker) && new String(Files.readAllBytes(marker)) == srcDir) return
+    if (Files.exists(marker) && new String(Files.readAllBytes(marker)) == srcDir
+        && Files.exists(Paths.get(outDir, "events.parquet"))) return
     val reps = spark.range(Replicas).select(col("id").cast("int").as("r"))
 
     spark.read.parquet(s"$srcDir/documents.parquet")
@@ -56,6 +63,16 @@ object ScaleProbe {
         (col("label") + col("r") * 1000).as("label"))
       .repartition(32)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+
+    spark.read.parquet(s"$srcDir/events.parquet")
+      .crossJoin(broadcast(reps))
+      .select(
+        (col("event_id") + col("r") * IdStride).as("event_id"),
+        col("ts"),
+        (col("user_id") + col("r") * 1000000L).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
 
     Files.write(marker, srcDir.getBytes)
     ()
