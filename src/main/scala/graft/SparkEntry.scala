@@ -28,7 +28,8 @@ object SparkEntry {
       (qq.DedupQueries.queries, qq.DedupQueries.oracle),
       (qq.SimQueries.queries, qq.SimQueries.oracle),
       (qq.MultimodalQueries.queries, qq.MultimodalQueries.oracle),
-      (qq.SkewQueries.queries, qq.SkewQueries.oracle)
+      (qq.SkewQueries.queries, qq.SkewQueries.oracle),
+      (qq.SessionQueries.queries, qq.SessionQueries.oracle)
     )
 
   /** One per implemented operator from SURVEY.md §2. */
