@@ -30,15 +30,15 @@ import org.apache.spark.sql.functions._
 object Sessions {
 
   /** Per-event session ordinal (1-based, in event-time order per key).
-    * `tsNs` must be a total order within a key (ties allowed — a tie is a
-    * zero gap, always merged).
+    * `tsCol` is an integer timestamp in any unit, `maxGap` in the same
+    * unit; ties are a zero gap, always merged.
     */
-  def sessionize(df: DataFrame, keys: Seq[String], tsNs: String,
-                 maxGapNs: Long, out: String = "session_seq"): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tsNs))
-    val prev = lag(col(tsNs), 1).over(w)
+  def sessionize(df: DataFrame, keys: Seq[String], tsCol: String,
+                 maxGap: Long, out: String = "session_seq"): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tsCol))
+    val prev = lag(col(tsCol), 1).over(w)
     df.withColumn("__brk",
-        when(prev.isNull || col(tsNs) - prev >= maxGapNs, 1L).otherwise(0L))
+        when(prev.isNull || col(tsCol) - prev >= maxGap, 1L).otherwise(0L))
       .withColumn(out, sum(col("__brk")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .drop("__brk")
