@@ -29,7 +29,8 @@ object SparkEntry {
       (qq.SimQueries.queries, qq.SimQueries.oracle),
       (qq.MultimodalQueries.queries, qq.MultimodalQueries.oracle),
       (qq.SkewQueries.queries, qq.SkewQueries.oracle),
-      (qq.SessionQueries.queries, qq.SessionQueries.oracle)
+      (qq.SessionQueries.queries, qq.SessionQueries.oracle),
+      (qq.TemporalQueries.queries, qq.TemporalQueries.oracle)
     )
 
   /** One per implemented operator from SURVEY.md §2. */

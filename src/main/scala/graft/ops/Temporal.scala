@@ -1,0 +1,108 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal joins — as-of and interval/range — as shuffle-friendly
+  * rewrites of shapes Spark would otherwise plan as a broadcast
+  * nested-loop (or worse, a cartesian) because the join condition is an
+  * inequality.
+  *
+  * Both operators matter for the training-data pipeline this engine
+  * targets: as-of joins attach the latest-known context (model version,
+  * user state, market quote) to each observation, and interval joins
+  * assign events to time windows (incidents, campaigns, capture
+  * sessions). At 100 TB neither side broadcasts, so the naive
+  * `ts BETWEEN …` join — a BNLJ over every (probe, ref) pair — is the
+  * canonical scale cliff. Each rewrite here is pure equi-join/window
+  * machinery: one hash shuffle per input, no non-equi join node anywhere
+  * (TemporalSpec asserts the plans).
+  */
+object Temporal {
+
+  /** As-of join: for every `probe` row, the payload of the `ref` row with
+    * the greatest `tsCol` at-or-before (`strict = false`, the DuckDB
+    * `ASOF JOIN` rule) or strictly-before (`strict = true`) the probe's
+    * `tsCol`, within the same `keys`; nulls when no such row.
+    *
+    * Implementation: NO join at all. Both inputs are tagged and unioned,
+    * hash-shuffled once on `keys`, sorted once on (`tsCol`, side), and the
+    * payload is carried forward with `last(_, ignoreNulls)` — so a probe
+    * row sees exactly the most recent ref payload in event-time order.
+    * Cost is one exchange + one in-partition sort regardless of how many
+    * ref rows precede each probe row; the window never re-scans.
+    *
+    * Requirements (checked): `ref`'s non-key non-ts columns are the
+    * payload and must not collide with probe column names; `ref` must be
+    * unique per (`keys`, `tsCol`) — pre-aggregate it otherwise, or the
+    * winner among equal-ts ref rows is undefined. Payload values should be
+    * non-null (a null payload cell would be skipped by `ignoreNulls` in
+    * favor of an older ref row). To also carry the matched ref timestamp,
+    * duplicate it into a payload column before calling.
+    *
+    * Skew note: a hot key serializes its rows into one task's sort, like
+    * any keyed window. If one key dominates, sessionize or sub-range the
+    * key upstream; the salting rewrites in [[Skew]] do not apply because
+    * the carry-forward is order-dependent across the whole key.
+    */
+  def asofJoin(probe: DataFrame, ref: DataFrame, keys: Seq[String],
+               tsCol: String, strict: Boolean = false): DataFrame = {
+    val payload = ref.columns.filterNot(c => keys.contains(c) || c == tsCol).toSeq
+    require(payload.nonEmpty, "ref has no payload columns beyond keys + ts")
+    val clash = payload.intersect(probe.columns)
+    require(clash.isEmpty, s"ref payload collides with probe columns: $clash")
+    // at equal ts the ref row must sort BEFORE the probe row to be visible
+    // (inclusive >=); strict (<) puts it after instead
+    val refTag = if (strict) 1 else 0
+    val tagged = probe.withColumn("__side", lit(1 - refTag))
+      .unionByName(ref.withColumn("__side", lit(refTag)),
+        allowMissingColumns = true)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    payload.foldLeft(tagged) { (df, c) =>
+        df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+      }
+      .filter(col("__side") === (1 - refTag))
+      .drop("__side")
+  }
+
+  /** Interval (range) join: every (`interval`, `point`) pair of the same
+    * `keys` with `startCol <= ts < endCol`, produced as a plain EQUI-join.
+    *
+    * Implementation: time is cut into fixed `binWidth` bins. Each interval
+    * row is exploded to the bins it overlaps (map-side, no shuffle); each
+    * point carries its single bin; the join runs on `keys :+ bin` and the
+    * exact range predicate filters the bin-collisions out. Each matching
+    * pair appears EXACTLY once — the equi-key is the point's unique bin —
+    * so no dedup pass is needed. With `keys = Nil` this is a pure range
+    * join (the naive plan for which is a full cartesian BNLJ).
+    *
+    * `binWidth` is the caller's replication/selectivity knob: an interval
+    * spans `len/binWidth + 1` bins (its shuffle replication factor), while
+    * a bin that is much wider than the intervals makes the equi-join match
+    * mostly non-overlapping pairs that the residual filter then discards.
+    * `binWidth ≈` the typical interval length keeps replication ≤ 2× and
+    * residual waste bounded. Timestamps must be non-negative integers
+    * (any unit; `div` truncation = floor only for non-negatives).
+    */
+  def rangeJoin(points: DataFrame, ptTs: String, intervals: DataFrame,
+                startCol: String, endCol: String, binWidth: Long,
+                keys: Seq[String] = Nil): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val clash = intervals.columns.toSeq.intersect(points.columns.toSeq)
+      .filterNot(keys.contains)
+    require(clash.isEmpty, s"interval/point column collision: $clash")
+    // integer `div` keeps the bin id exact on full-range longs (a double
+    // `/` would round past 2^53); end is exclusive, so the last covered
+    // bin is the one holding end-1
+    val iv = intervals.withColumn("__bin",
+      explode(sequence(expr(s"$startCol div $binWidth"),
+        expr(s"($endCol - 1) div $binWidth"))))
+    val pt = points.withColumn("__bin", expr(s"$ptTs div $binWidth"))
+    pt.join(iv, keys :+ "__bin")
+      .filter(col(ptTs) >= col(startCol) && col(ptTs) < col(endCol))
+      .drop("__bin")
+  }
+}

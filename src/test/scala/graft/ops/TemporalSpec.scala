@@ -1,0 +1,112 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.functions._
+
+/** The temporal rewrites must be row-identical to the naive non-equi
+  * forms they replace, and their plans must contain no non-equi join
+  * node — that is the entire point of the rewrite.
+  */
+class TemporalSpec extends SparkSpec with AdaptiveSparkPlanHelper {
+  import spark.implicits._
+
+  private def rows(df: DataFrame): Set[String] =
+    df.collect().map(_.mkString("|")).toSet
+
+  // deterministic pseudo-random fixture: 3 keys, interleaved ref/probe
+  // rows, duplicate timestamps included on purpose
+  private lazy val probe: DataFrame = (0 until 120).map { i =>
+    (s"k${i % 3}", (i * 7 % 50).toLong * 10, i.toLong)
+  }.toDF("k", "ts", "pid").cache()
+
+  private lazy val ref: DataFrame = (0 until 40).map { i =>
+    (s"k${i % 4}", (i * 13 % 50).toLong * 10, s"v$i")
+  }.toDF("k", "ts", "payload")
+    // asofJoin requires (keys, ts)-unique refs: keep the max payload
+    .groupBy("k", "ts").agg(max("payload").as("payload"))
+    .withColumn("ref_ts", col("ts")).cache()
+
+  test("asofJoin equals the naive latest-at-or-before lookup") {
+    val naive = probe.as("p")
+      .join(ref.as("r"), $"p.k" === $"r.k" && $"p.ts" >= $"r.ts", "left")
+      .groupBy($"p.k".as("k"), $"p.ts".as("ts"), $"p.pid".as("pid"))
+      .agg(max_by(struct($"r.payload", $"r.ref_ts"), $"r.ts").as("m"))
+      .select($"k", $"ts", $"pid", $"m.payload", $"m.ref_ts")
+    val fast = Temporal.asofJoin(probe, ref, Seq("k"), "ts")
+      .select("k", "ts", "pid", "payload", "ref_ts")
+    assert(rows(fast) == rows(naive))
+    // k2 probes before the first k2 ref, and every probe of a key with no
+    // ref rows, must survive with null payload
+    assert(fast.filter($"payload".isNull).count() ==
+      naive.filter($"payload".isNull).count())
+  }
+
+  test("asofJoin: inclusive by default, strict excludes the equal-ts ref") {
+    val p = Seq(("a", 10L, 1L)).toDF("k", "ts", "pid")
+    val r = Seq(("a", 10L, "now"), ("a", 5L, "old")).toDF("k", "ts", "payload")
+    val incl = Temporal.asofJoin(p, r, Seq("k"), "ts")
+      .select("payload").as[String].collect()
+    assert(incl.toSeq == Seq("now"))
+    val strict = Temporal.asofJoin(p, r, Seq("k"), "ts", strict = true)
+      .select("payload").as[String].collect()
+    assert(strict.toSeq == Seq("old"))
+  }
+
+  test("asofJoin plans with NO join node at all") {
+    val plan = Temporal.asofJoin(probe, ref, Seq("k"), "ts")
+      .queryExecution.executedPlan
+    val joins = collectWithSubqueries(plan) {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.isEmpty, s"expected a join-free window plan, got:\n$plan")
+  }
+
+  // intervals of mixed lengths (some span several bins), points dense
+  // enough that bin collisions without true overlap occur
+  private lazy val intervals: DataFrame = (0 until 30).map { i =>
+    val start = (i * 17 % 200).toLong
+    (s"w$i", s"k${i % 3}", start, start + 1 + (i * 11 % 60))
+  }.toDF("wid", "k", "lo", "hi").cache()
+
+  private lazy val points: DataFrame = (0 until 150).map { i =>
+    (i.toLong, s"k${i % 3}", (i * 3 % 220).toLong)
+  }.toDF("pid", "k", "ts").cache()
+
+  test("rangeJoin (keyed) equals the naive inequality join, exactly once") {
+    val naive = points.as("p").join(intervals.as("w"),
+        $"p.k" === $"w.k" && $"p.ts" >= $"w.lo" && $"p.ts" < $"w.hi")
+      .select($"p.pid", $"w.wid")
+    for (binWidth <- Seq(7L, 25L, 300L)) {
+      val fast = Temporal.rangeJoin(points, "ts", intervals,
+        "lo", "hi", binWidth, keys = Seq("k")).select("pid", "wid")
+      assert(fast.count() == naive.count(), s"dup/missing at bin $binWidth")
+      assert(rows(fast) == rows(naive), s"mismatch at bin $binWidth")
+    }
+  }
+
+  test("rangeJoin (global) equals the naive cross range join") {
+    val naive = points.as("p").join(intervals.as("w"),
+        $"p.ts" >= $"w.lo" && $"p.ts" < $"w.hi")
+      .select($"p.pid", $"w.wid", $"w.k".as("wk"))
+    val fast = Temporal.rangeJoin(points.drop("k"), "ts", intervals,
+        "lo", "hi", 25L)
+      .select($"pid", $"wid", $"k".as("wk"))
+    assert(rows(fast) == rows(naive))
+  }
+
+  test("rangeJoin plans as an equi-join: no BNLJ, no cartesian") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = Temporal.rangeJoin(points.drop("k"), "ts", intervals,
+        "lo", "hi", 25L).queryExecution.executedPlan
+      val bad = collectWithSubqueries(plan) {
+        case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+        case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+      }
+      assert(bad.isEmpty, s"expected equi-join machinery only, got:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}
