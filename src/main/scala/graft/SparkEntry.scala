@@ -30,7 +30,8 @@ object SparkEntry {
       (qq.MultimodalQueries.queries, qq.MultimodalQueries.oracle),
       (qq.SkewQueries.queries, qq.SkewQueries.oracle),
       (qq.SessionQueries.queries, qq.SessionQueries.oracle),
-      (qq.TemporalQueries.queries, qq.TemporalQueries.oracle)
+      (qq.TemporalQueries.queries, qq.TemporalQueries.oracle),
+      (qq.BucketedQueries.queries, qq.BucketedQueries.oracle)
     )
 
   /** One per implemented operator from SURVEY.md §2. */
