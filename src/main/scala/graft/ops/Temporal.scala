@@ -105,4 +105,33 @@ object Temporal {
       .filter(col(ptTs) >= col(startCol) && col(ptTs) < col(endCol))
       .drop("__bin")
   }
+
+  /** Streaming interval join — the incremental form of [[rangeJoin]] for
+    * two unbounded inputs (events × incident windows at ingest time).
+    *
+    * Uses Spark's stream-stream equi-join with an event-time range
+    * condition: because the window length is the PLAN-TIME constant
+    * `winLen` (a calendar-interval string, e.g. `"30 minutes"`) and both
+    * inputs are watermarked by `delay`, the state manager can prove when
+    * a buffered row on either side can never match again and evict it —
+    * bounded state at any ingest rate. A dynamic per-row end column
+    * cannot give the engine that bound, which is why the streaming form
+    * fixes the length (the batch [[rangeJoin]] keeps per-row ends).
+    *
+    * Both inputs need proper timestamp columns (`ptTs` on `points`,
+    * `startCol` on `intervals`); rows later than `delay` behind the
+    * watermark are dropped, the documented streaming trade. Inner join;
+    * column names must be disjoint apart from `keys`.
+    */
+  def rangeJoinStream(points: DataFrame, ptTs: String,
+                      intervals: DataFrame, startCol: String,
+                      winLen: String, delay: String,
+                      keys: Seq[String] = Nil): DataFrame = {
+    val p = points.withWatermark(ptTs, delay)
+    val iv = intervals.withWatermark(startCol, delay)
+    val range = p(ptTs) >= iv(startCol) &&
+      p(ptTs) < iv(startCol) + expr(s"interval $winLen")
+    val cond = keys.map(k => p(k) === iv(k)).foldLeft(range)(_ && _)
+    keys.foldLeft(p.join(iv, cond))((df, k) => df.drop(iv(k)))
+  }
 }

@@ -96,6 +96,43 @@ class TemporalSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(rows(fast) == rows(naive))
   }
 
+  test("rangeJoinStream matches the batch join and drops late rows") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ts(sec: Long) = new Timestamp(1700000000000L + sec * 1000)
+
+    // windows open at 0s (u1) and 100s (u2), length 30s
+    val wins = Seq(("u1", ts(0), "w1"), ("u2", ts(100), "w2"))
+    val pts = Seq(("u1", ts(10), 1L), ("u1", ts(29), 2L), ("u1", ts(30), 3L),
+      ("u2", ts(110), 4L), ("u1", ts(110), 5L))
+
+    val wIn = MemoryStream[(String, Timestamp, String)](spark)
+    val pIn = MemoryStream[(String, Timestamp, Long)](spark)
+    val joined = Temporal.rangeJoinStream(
+      pIn.toDF().toDF("k", "pt", "pid"),
+      "pt",
+      wIn.toDF().toDF("k", "wstart", "wid"),
+      "wstart", "30 seconds", "10 seconds", keys = Seq("k"))
+    val q = joined.select("pid", "wid").writeStream
+      .format("memory").queryName("rjs").outputMode("append").start()
+    try {
+      wIn.addData(wins: _*)
+      pIn.addData(pts: _*)
+      q.processAllAvailable()
+      val got = spark.table("rjs").as[(Long, String)].collect().toSet
+      // pid 3 is at the exclusive end, pid 5 is outside u1's window
+      assert(got == Set((1L, "w1"), (2L, "w1"), (4L, "w2")))
+
+      // a point far behind the watermark (now ~110s, delay 10s) is dropped
+      pIn.addData(("u1", ts(5), 99L))
+      q.processAllAvailable()
+      assert(spark.table("rjs").as[(Long, String)].collect().toSet == got)
+    } finally {
+      q.stop()
+      spark.sql("DROP VIEW IF EXISTS rjs")
+    }
+  }
+
   test("rangeJoin plans as an equi-join: no BNLJ, no cartesian") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
