@@ -31,7 +31,8 @@ object SparkEntry {
       (qq.SkewQueries.queries, qq.SkewQueries.oracle),
       (qq.SessionQueries.queries, qq.SessionQueries.oracle),
       (qq.TemporalQueries.queries, qq.TemporalQueries.oracle),
-      (qq.BucketedQueries.queries, qq.BucketedQueries.oracle)
+      (qq.BucketedQueries.queries, qq.BucketedQueries.oracle),
+      (qq.SampleQueries.queries, qq.SampleQueries.oracle)
     )
 
   /** One per implemented operator from SURVEY.md §2. */
