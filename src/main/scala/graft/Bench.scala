@@ -221,7 +221,13 @@ object Bench {
         Seq("d1_exact_dedup", "d2_jaccard_pairs", "d3_minhash_lsh",
             "d4_simhash_pairs", "d5_embed_dedup", "s1_ann_topk",
             "s2_cosine_pairs_blocked", "s3_lsh_topk", "s4_ivf_topk",
-            "s5_lsh_pairs", "k1_salted_topk", "k3_distinct_users").map { name =>
+            "s5_lsh_pairs", "k1_salted_topk", "k3_distinct_users",
+            // temporal/session/sampling: output is linear in the replica
+            // count (z2's global windows are deliberately NOT probed —
+            // 10x density in the same 30-day span multiplies its PAIRS
+            // 100x, an output property, not a plan property)
+            "z1_asof_join", "z3_range_join_keyed", "p1_sessionize",
+            "v1_hash_split").map { name =>
           timed("sf1_" + name, n = 1) {
             SparkEntry.queries(name)(spark, sf1Dir).count(); ()
           }
