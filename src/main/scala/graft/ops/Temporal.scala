@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -133,5 +133,49 @@ object Temporal {
       p(ptTs) < iv(startCol) + expr(s"interval $winLen")
     val cond = keys.map(k => p(k) === iv(k)).foldLeft(range)(_ && _)
     keys.foldLeft(p.join(iv, cond))((df, k) => df.drop(iv(k)))
+  }
+
+  /** Streaming as-of ENRICHMENT — the incremental counterpart of
+    * [[asofJoin]]: every probe row is emitted with the newest reference
+    * row of its key whose timestamp is at-or-before the probe's (None
+    * before a key's first ref).
+    *
+    * Built on [[graft.streaming.StateMachines.runMachine]]: probes and
+    * refs are unioned into one keyed stream and each key holds exactly
+    * ONE state entry — the latest ref seen — regardless of stream
+    * length; an idle timeout evicts keys that go quiet. Within a
+    * micro-batch rows are processed in (ts, ref-first) order, so batch
+    * boundaries are invisible when data arrives roughly in event-time
+    * order. The at-ingest trade, documented: a ref that ARRIVES after a
+    * probe of the same key was already processed in an earlier batch
+    * does not retro-enrich it (the batch [[asofJoin]] is the
+    * retrospective form); a probe older than the held ref gets None
+    * rather than a ref from its future.
+    */
+  def asofStream[K, P, R](probes: Dataset[P], refs: Dataset[R])(
+      pKey: P => K, rKey: R => K, pTs: P => Long, rTs: R => Long,
+      idleTimeoutMs: Option[Long] = None)(
+      implicit kEnc: Encoder[K],
+      uEnc: Encoder[(Option[P], Option[R])],
+      sEnc: Encoder[Option[R]],
+      oEnc: Encoder[(P, Option[R])]): Dataset[(P, Option[R])] = {
+    val unioned = probes.map(p => (Option(p), Option.empty[R]))
+      .union(refs.map(r => (Option.empty[P], Option(r))))
+    def ts(i: (Option[P], Option[R])): Long =
+      i._1.map(pTs).getOrElse(rTs(i._2.get))
+    graft.streaming.StateMachines
+      .runMachine[K, (Option[P], Option[R]), Option[R], (P, Option[R])](
+        unioned,
+        key = i => i._1.map(pKey).getOrElse(rKey(i._2.get)),
+        // ref sorts before probe at equal ts => inclusive (asofJoin's rule)
+        order = i => ts(i) * 2 + (if (i._1.isDefined) 1 else 0),
+        init = Option.empty[R],
+        idleTimeoutMs = idleTimeoutMs) {
+        case (held, (None, Some(r))) =>
+          (if (held.forall(h => rTs(h) <= rTs(r))) Some(r) else held, Nil)
+        case (held, (Some(p), _)) =>
+          (held, Seq((p, held.filter(h => rTs(h) <= pTs(p)))))
+        case (held, _) => (held, Nil)
+      }
   }
 }

@@ -133,6 +133,48 @@ class TemporalSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("asofStream matches asofJoin in batch and holds state across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+    // batch parity: run the stateful form over the SAME fixture as the
+    // window form (runMachine works on batch Datasets; state starts empty)
+    val probeDs = probe.as[(String, Long, Long)]
+    val refDs = ref.select("k", "ts", "payload").as[(String, Long, String)]
+    val streamed = Temporal.asofStream(probeDs, refDs)(
+        _._1, _._1, _._2, _._2)
+      .map { case ((k, t, pid), r) => (k, t, pid, r.map(_._3).orNull) }
+      .collect().toSet
+    val batch = Temporal.asofJoin(probe, ref.drop("ref_ts"), Seq("k"), "ts")
+      .select("k", "ts", "pid", "payload")
+      .as[(String, Long, Long, String)].collect().toSet
+    assert(streamed == batch)
+
+    // cross-batch: a ref in batch 1 enriches a probe in batch 2; a ref
+    // arriving after the probe's batch does NOT retro-enrich (documented)
+    val pIn = MemoryStream[(String, Long, Long)](spark)
+    val rIn = MemoryStream[(String, Long, String)](spark)
+    val q = Temporal.asofStream(pIn.toDS(), rIn.toDS())(
+        _._1, _._1, _._2, _._2)
+      .map { case ((k, _, pid), r) => (k, pid, r.map(_._3).orNull) }
+      .writeStream.format("memory").queryName("aos").outputMode("update")
+      .start()
+    try {
+      rIn.addData(("a", 10L, "r1"))
+      q.processAllAvailable()
+      pIn.addData(("a", 20L, 1L), ("b", 20L, 2L))
+      q.processAllAvailable()
+      rIn.addData(("b", 5L, "r2")) // too late for probe 2
+      pIn.addData(("b", 30L, 3L))  // but in time for probe 3
+      q.processAllAvailable()
+      val got = spark.table("aos").as[(String, Long, String)]
+        .collect().toSet
+      assert(got == Set(("a", 1L, "r1"), ("b", 2L, null), ("b", 3L, "r2")))
+    } finally {
+      q.stop()
+      spark.sql("DROP VIEW IF EXISTS aos")
+    }
+  }
+
   test("rangeJoin plans as an equi-join: no BNLJ, no cartesian") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
