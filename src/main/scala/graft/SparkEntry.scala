@@ -32,7 +32,8 @@ object SparkEntry {
       (qq.SessionQueries.queries, qq.SessionQueries.oracle),
       (qq.TemporalQueries.queries, qq.TemporalQueries.oracle),
       (qq.BucketedQueries.queries, qq.BucketedQueries.oracle),
-      (qq.SampleQueries.queries, qq.SampleQueries.oracle)
+      (qq.SampleQueries.queries, qq.SampleQueries.oracle),
+      (qq.PackingQueries.queries, qq.PackingQueries.oracle)
     )
 
   /** One per implemented operator from SURVEY.md §2. */
