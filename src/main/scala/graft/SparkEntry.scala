@@ -33,7 +33,8 @@ object SparkEntry {
       (qq.TemporalQueries.queries, qq.TemporalQueries.oracle),
       (qq.BucketedQueries.queries, qq.BucketedQueries.oracle),
       (qq.SampleQueries.queries, qq.SampleQueries.oracle),
-      (qq.PackingQueries.queries, qq.PackingQueries.oracle)
+      (qq.PackingQueries.queries, qq.PackingQueries.oracle),
+      (qq.ProfileQueries.queries, qq.ProfileQueries.oracle)
     )
 
   /** One per implemented operator from SURVEY.md §2. */
