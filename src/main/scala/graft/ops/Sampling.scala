@@ -29,7 +29,12 @@ import org.apache.spark.sql.functions._
   * The hash unit is the first 60 bits of `md5(salt || id)` — uniform in
   * [0, 2^60), compared against integer thresholds so no floating-point
   * rounding is involved anywhere. The salt isolates experiments: two
-  * splits with different salts are independent samples.
+  * splits with different salts are independent samples. md5 is chosen
+  * for CROSS-ENGINE portability (the oracle replays it in SQL; any
+  * warehouse can re-derive the split); it is ~3× slower per row than
+  * `xxhash64` — still far below scan cost, but if a split will only
+  * ever be derived inside Spark, swapping [[hashUnit]]'s body to
+  * `pmod(xxhash64(...))` is the documented fast path.
   */
 object Sampling {
 
