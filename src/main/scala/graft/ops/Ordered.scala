@@ -58,6 +58,17 @@ object Ordered {
     * concat-then-chunk training layout); pack fill stats are one
     * groupBy away.
     */
+  /** Budget prefix: the rows that fit a total-`size` budget in
+    * `orderCol` order (cumulative size ≤ `budget`) — "take the first
+    * N billion tokens" as one prefix sum + a filter, no driver loop,
+    * no global sort task.
+    */
+  def takeBudget(df: DataFrame, orderCol: String, size: Column,
+                 budget: Long, bucketWidth: Long): DataFrame =
+    prefixSum(df, orderCol, size, bucketWidth, "__cum")
+      .filter(col("__cum") <= budget)
+      .drop("__cum")
+
   def packBySize(df: DataFrame, orderCol: String, size: Column,
                  capacity: Long, bucketWidth: Long,
                  out: String = "pack"): DataFrame = {

@@ -81,6 +81,23 @@ object Sampling {
     df.filter(hashUnit(id, salt) < lit((frac * Space).toLong))
   }
 
+  /** Mixture sampling: keep a different deterministic fraction per
+    * value of `stratum` (e.g. up-sample curated sources, down-sample
+    * crawl) — the data-mixture knob of a training corpus. Rows whose
+    * stratum is absent from `rates` are dropped. Still map-only: the
+    * rate lookup is a literal CASE over the (small) rates map, the
+    * filter is a hash comparison.
+    */
+  def mixtureSample(df: DataFrame, stratum: Column, id: Column,
+                    salt: String, rates: Map[String, Double]): DataFrame = {
+    require(rates.nonEmpty && rates.values.forall(r => r >= 0 && r <= 1),
+      "rates in [0,1]")
+    val cut = rates.foldLeft(lit(-1L)) { case (rest, (name, r)) =>
+      when(stratum === name, lit((r * Space).toLong)).otherwise(rest)
+    }
+    df.filter(hashUnit(id, salt) < cut)
+  }
+
   /** Deterministic k-per-stratum sample: the k rows with the lowest id
     * hash in each stratum (ties broken by the id itself, so the result
     * is a total function of the data).

@@ -33,9 +33,19 @@ object PackingQueries {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("chars"))
 
+  /** Char budget for g3 (~half the sf0.01 corpus by mass). */
+  val Budget = 120000L
+
+  /** g3: the doc_id-ordered prefix that fits the char budget. */
+  def g3TakeBudget(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Ordered.takeBudget(
+      Tables.documents(s, dir).select("doc_id", "n_chars"),
+      "doc_id", col("n_chars"), Budget, BucketWidth)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g1_prefix_pack" -> (g1PrefixPack _),
-    "g2_pack_stats" -> (g2PackStats _)
+    "g2_pack_stats" -> (g2PackStats _),
+    "g3_take_budget" -> (g3TakeBudget _)
   )
 
   private val cumSql =
@@ -55,6 +65,10 @@ object PackingQueries {
       s"""WITH c AS ($cumSql)
          |SELECT (cum_size - n_chars) // ${Capacity} AS pack,
          |       count(*) AS n_docs, sum(n_chars)::BIGINT AS chars
-         |FROM c GROUP BY 1""".stripMargin
+         |FROM c GROUP BY 1""".stripMargin,
+    "g3_take_budget" ->
+      s"""WITH c AS ($cumSql)
+         |SELECT doc_id, n_chars FROM c
+         |WHERE cum_size <= ${Budget}""".stripMargin
   )
 }

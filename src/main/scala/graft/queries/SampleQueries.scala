@@ -49,10 +49,24 @@ object SampleQueries {
       .agg(count(lit(1)).as("n_docs"),
         Exact.davg(col("n_chars").cast("double"), Exact.Fine).as("mean_chars"))
 
+  /** The mixture recipe for v4: up-sample src0, keep src1, thin src2,
+    * drop everything else (absent from the map).
+    */
+  val Mixture: Seq[(String, Double)] = Seq(
+    "src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.1)
+
+  /** v4: data-mixture curation — per-source keep rates, map-only. */
+  def v4MixtureSample(s: SparkSession, dir: String): DataFrame =
+    Sampling.mixtureSample(Tables.documents(s, dir), col("source"),
+        col("doc_id"), Salt, Mixture.toMap)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v1_hash_split" -> (v1HashSplit _),
     "v2_stratified_sample" -> (v2StratifiedSample _),
-    "v3_sample_fraction" -> (v3SampleFraction _)
+    "v3_sample_fraction" -> (v3SampleFraction _),
+    "v4_mixture_sample" -> (v4MixtureSample _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -80,6 +94,14 @@ object SampleQueries {
          |    AS mean_chars
          |FROM documents
          |WHERE $hashSql < ${(0.1 * Sampling.Space).toLong}
+         |GROUP BY 1""".stripMargin,
+    "v4_mixture_sample" ->
+      s"""SELECT source, count(*) AS n_docs, sum(n_chars)::BIGINT AS chars
+         |FROM documents
+         |WHERE $hashSql < CASE source ${
+             Mixture.map { case (k, r) =>
+               s"WHEN '$k' THEN ${(r * Sampling.Space).toLong}"
+             }.mkString(" ")} ELSE -1 END
          |GROUP BY 1""".stripMargin
   )
 }

@@ -51,6 +51,13 @@ class OrderedSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(globals.size <= 1)
   }
 
+  test("takeBudget keeps exactly the naive cumulative prefix") {
+    val naiveKeep = naive.filter(_._2 <= 50000L).keySet
+    val got = Ordered.takeBudget(docs, "id", $"size", 50000L, 97L)
+      .select("id").as[Long].collect().toSet
+    assert(got == naiveKeep)
+  }
+
   test("packBySize: packs are contiguous, capacity-consistent, stable") {
     val packed = Ordered.packBySize(docs, "id", $"size", 4096L, 97L)
       .select($"id", $"size", $"cum_size", $"pack")

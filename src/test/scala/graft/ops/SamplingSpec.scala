@@ -63,6 +63,22 @@ class SamplingSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("mixtureSample applies per-stratum rates; absent strata drop") {
+    val kept = Sampling.mixtureSample(ids, $"grp", $"id", "s5:",
+        Map("g0" -> 1.0, "g1" -> 0.3))
+      .groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(kept.keySet == Set("g0", "g1")) // g2..g6 dropped
+    assert(kept("g0") == ids.filter($"grp" === "g0").count())
+    val n1 = ids.filter($"grp" === "g1").count().toDouble
+    assert(math.abs(kept("g1") - 0.3 * n1) < 0.08 * n1, s"g1=${kept("g1")}")
+    // still map-only
+    val plan = Sampling.mixtureSample(ids, $"grp", $"id", "s5:",
+      Map("g0" -> 0.5)).queryExecution.executedPlan
+    assert(collectWithSubqueries(plan) {
+      case e: ShuffleExchangeExec => e
+    }.isEmpty)
+  }
+
   test("stratifiedK takes exactly k per stratum, deterministically") {
     val s1 = Sampling.stratifiedK(ids, Seq("grp"), $"id", "s4:", 10)
     val perGrp = s1.groupBy("grp").count().as[(String, Long)].collect().toMap
