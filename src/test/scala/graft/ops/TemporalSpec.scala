@@ -127,6 +127,18 @@ class TemporalSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       pIn.addData(("u1", ts(5), 99L))
       q.processAllAvailable()
       assert(spark.table("rjs").as[(Long, String)].collect().toSet == got)
+
+      // bounded state: march event time far forward in several batches —
+      // every buffered row above is now past watermark + window and must
+      // have been evicted from the join state
+      for (h <- 1 to 4) {
+        pIn.addData(("u3", ts(h * 3600L), 1000L + h))
+        wIn.addData(("u3", ts(h * 3600L), s"wlate$h"))
+        q.processAllAvailable()
+      }
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows <= 4,
+        s"join state must evict expired rows, holds $stateRows")
     } finally {
       q.stop()
       spark.sql("DROP VIEW IF EXISTS rjs")
