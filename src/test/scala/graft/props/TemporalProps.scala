@@ -75,6 +75,23 @@ object TemporalProps extends Properties("graft.temporal") {
         fast == naive
     }
 
+  property("prefixSum equals the sequential scan on random data") =
+    forAll(
+      Gen.choose(1, 150).flatMap(n =>
+        Gen.listOfN(n, Gen.choose(0L, 50L)).map(_.zipWithIndex)),
+      Gen.oneOf(1L, 13L, 4096L)) { (sized, width) =>
+      import spark.implicits._
+      // ids spaced by 3 so buckets have holes; sizes arbitrary incl. 0
+      val rows = sized.map { case (sz, i) => (i.toLong * 3, sz) }
+      val got = graft.ops.Ordered
+        .prefixSum(rows.toDF("id", "size"), "id", col("size"), width)
+        .select("id", "cum").as[(Long, Long)].collect().toMap
+      val want = rows.scanLeft((-1L, 0L)) { case ((_, acc), (id, sz)) =>
+        (id, acc + sz)
+      }.drop(1).toMap
+      got == want
+    }
+
   property("splitByHash partitions every row into exactly one split") =
     forAll(Gen.choose(1, 200), Gen.choose(1, 5)) { (n, nSplits) =>
       import spark.implicits._
