@@ -49,15 +49,6 @@ object Ordered {
       .drop("__bkt", "__local", "__off")
   }
 
-  /** Sequential sequence packing: in `orderCol` order, assign each row
-    * (a document of `size` tokens) the zero-based id of the
-    * fixed-`capacity` pack in which it STARTS, by cumulative size.
-    * Deterministic, partitioning-independent, one prefix sum — no
-    * first-fit heuristics, the layout every replayable data loader can
-    * re-derive. Rows may straddle pack boundaries (the usual
-    * concat-then-chunk training layout); pack fill stats are one
-    * groupBy away.
-    */
   /** Budget prefix: the rows that fit a total-`size` budget in
     * `orderCol` order (cumulative size ≤ `budget`) — "take the first
     * N billion tokens" as one prefix sum + a filter, no driver loop,
@@ -69,6 +60,15 @@ object Ordered {
       .filter(col("__cum") <= budget)
       .drop("__cum")
 
+  /** Sequential sequence packing: in `orderCol` order, assign each row
+    * (a document of `size` tokens) the zero-based id of the
+    * fixed-`capacity` pack in which it STARTS, by cumulative size.
+    * Deterministic, partitioning-independent, one prefix sum — no
+    * first-fit heuristics, the layout every replayable data loader can
+    * re-derive. Rows may straddle pack boundaries (the usual
+    * concat-then-chunk training layout); pack fill stats are one
+    * groupBy away.
+    */
   def packBySize(df: DataFrame, orderCol: String, size: Column,
                  capacity: Long, bucketWidth: Long,
                  out: String = "pack"): DataFrame = {

@@ -58,6 +58,11 @@ object Sampling {
 
   /** Assign each row to a named split by hash: `splits` are
     * (name, weight) in order, weights need not sum to 1. Adds `out`.
+    *
+    * A NULL id hashes to NULL and gets a NULL split — visible and
+    * filterable, never a silent assignment into one split (the filter
+    * forms below drop NULL ids for the same reason: a row that cannot
+    * be addressed cannot be reproducibly sampled).
     */
   def splitByHash(df: DataFrame, id: Column, salt: String,
                   splits: Seq[(String, Double)],
@@ -66,8 +71,8 @@ object Sampling {
     val h = hashUnit(id, salt)
     val cuts = thresholds(splits.map(_._2))
     val assign = splits.map(_._1).zip(cuts).dropRight(1)
-      .foldRight(lit(splits.last._1): Column) { case ((name, cut), rest) =>
-        when(h < cut, name).otherwise(rest)
+      .foldRight(when(h.isNotNull, splits.last._1): Column) {
+        case ((name, cut), rest) => when(h < cut, name).otherwise(rest)
       }
     df.withColumn(out, assign)
   }

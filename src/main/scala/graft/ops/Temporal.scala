@@ -33,13 +33,20 @@ object Temporal {
     * Cost is one exchange + one in-partition sort regardless of how many
     * ref rows precede each probe row; the window never re-scans.
     *
-    * Requirements (checked): `ref`'s non-key non-ts columns are the
-    * payload and must not collide with probe column names; `ref` must be
-    * unique per (`keys`, `tsCol`) — pre-aggregate it otherwise, or the
-    * winner among equal-ts ref rows is undefined. Payload values should be
-    * non-null (a null payload cell would be skipped by `ignoreNulls` in
-    * favor of an older ref row). To also carry the matched ref timestamp,
-    * duplicate it into a payload column before calling.
+    * Semantics match the naive equi-join exactly, including nulls: ref
+    * rows with a null key or null ts can never match (SQL equality /
+    * `>=` never holds) and are filtered out, and probe rows with null
+    * keys come through with null payload. The payload travels as ONE
+    * struct, so a probe always receives the columns of a single ref row
+    * — never a column-wise mix of different refs, even when payload
+    * cells are null.
+    *
+    * Checked requirements: `ref` has at least one payload column (its
+    * non-key non-ts columns) and none collides with a probe column name.
+    * Caller requirement (NOT checked): `ref` unique per (`keys`,
+    * `tsCol`) — pre-aggregate it otherwise, or the winner among
+    * equal-ts ref rows is undefined. To also carry the matched ref
+    * timestamp, duplicate it into a payload column before calling.
     *
     * Skew note: a hot key serializes its rows into one task's sort, like
     * any keyed window. If one key dominates, sessionize or sub-range the
@@ -52,20 +59,27 @@ object Temporal {
     require(payload.nonEmpty, "ref has no payload columns beyond keys + ts")
     val clash = payload.intersect(probe.columns)
     require(clash.isEmpty, s"ref payload collides with probe columns: $clash")
+    // a null-keyed or null-ts ref can never equi-match: drop it up front
+    // (the window would otherwise group null keys together and leak it)
+    val matchable = (keys :+ tsCol).map(col(_).isNotNull).reduce(_ && _)
+    // the payload travels as one struct so a probe gets a whole ref row
+    val packed = ref.filter(matchable)
+      .withColumn("__pay", struct(payload.map(col): _*))
+      .drop(payload: _*)
     // at equal ts the ref row must sort BEFORE the probe row to be visible
     // (inclusive >=); strict (<) puts it after instead
     val refTag = if (strict) 1 else 0
     val tagged = probe.withColumn("__side", lit(1 - refTag))
-      .unionByName(ref.withColumn("__side", lit(refTag)),
+      .unionByName(packed.withColumn("__side", lit(refTag)),
         allowMissingColumns = true)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(tsCol), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    payload.foldLeft(tagged) { (df, c) =>
-        df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-      }
+    val filled = tagged
+      .withColumn("__pay", last(col("__pay"), ignoreNulls = true).over(w))
       .filter(col("__side") === (1 - refTag))
-      .drop("__side")
+    payload.foldLeft(filled)((df, c) => df.withColumn(c, col(s"__pay.$c")))
+      .drop("__side", "__pay")
   }
 
   /** Interval (range) join: every (`interval`, `point`) pair of the same

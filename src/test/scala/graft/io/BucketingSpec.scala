@@ -13,12 +13,17 @@ class BucketingSpec extends SparkSpec with AdaptiveSparkPlanHelper {
 
   private val dir = "/root/testdata/sf0.001"
 
-  test("same-bucket-count join plans without any shuffle exchange") {
+  // shared fixture so each test runs standalone
+  private lazy val tablesReady: Unit = {
     val base = new java.io.File("target/bucketed_spec").getAbsolutePath
     Bucketing.writeBucketed(Tables.orders(spark, dir), "spec_orders",
       s"$base/orders", 4, Seq("o_custkey"))
     Bucketing.writeBucketed(Tables.customer(spark, dir), "spec_customer",
       s"$base/customer", 4, Seq("c_custkey"))
+  }
+
+  test("same-bucket-count join plans without any shuffle exchange") {
+    tablesReady
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
       // disable broadcast so only the bucket metadata can avoid the shuffle
@@ -44,6 +49,7 @@ class BucketingSpec extends SparkSpec with AdaptiveSparkPlanHelper {
   }
 
   test("groupBy on the bucket key is also exchange-free") {
+    tablesReady
     val agg = spark.table("spec_orders").groupBy("o_custkey")
       .agg(count(lit(1)).as("n"))
     val shuffles = collectWithSubqueries(agg.queryExecution.executedPlan) {

@@ -32,6 +32,16 @@ class SamplingSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(math.abs(n("test") - 500) < 80, s"test=${n("test")}")
   }
 
+  test("null ids: null split from splitByHash, dropped by the filters") {
+    val withNulls = Seq(Some(1L), Some(2L), None).toDF("id")
+    val split = Sampling.splitByHash(withNulls, $"id", "sn:",
+      Seq("train" -> 0.5, "test" -> 0.5))
+    assert(split.filter($"split".isNull).count() == 1)
+    assert(split.filter($"id".isNull && $"split".isNotNull).count() == 0)
+    assert(Sampling.sampleFraction(withNulls, $"id", "sn:", 1.0)
+      .count() == 2) // the null id cannot be addressed: dropped
+  }
+
   test("splitByHash is stable under append") {
     val splits = Seq("train" -> 0.9, "test" -> 0.1)
     val before = Sampling.splitByHash(ids.filter($"id" < 1000), $"id", "s2:", splits)

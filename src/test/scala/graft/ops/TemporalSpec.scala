@@ -43,6 +43,22 @@ class TemporalSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       naive.filter($"payload".isNull).count())
   }
 
+  test("asofJoin: null keys never match; null payload cells stay atomic") {
+    val p = Seq((Some("a"), 10L, 1L), (None, 10L, 2L))
+      .toDF("k", "ts", "pid")
+    val r = Seq((Some("a"), 1L, Some("x"), "y1"),
+        (Some("a"), 5L, None, "y2"),     // later ref with a NULL cell
+        (None, 1L, Some("nk"), "nk"))    // null-keyed ref: invisible
+      .toDF("k", "ts", "a", "b")
+    val got = Temporal.asofJoin(p, r, Seq("k"), "ts")
+      .select("pid", "a", "b").collect()
+      .map(row => (row.getLong(0), row.getString(1), row.getString(2)))
+      .toSet
+    // pid 1 gets the ts=5 ref AS A WHOLE (a=null, b=y2) — never the
+    // column-wise mix (a=x, b=y2); the null-keyed probe gets no payload
+    assert(got == Set((1L, null, "y2"), (2L, null, null)))
+  }
+
   test("asofJoin: inclusive by default, strict excludes the equal-ts ref") {
     val p = Seq(("a", 10L, 1L)).toDF("k", "ts", "pid")
     val r = Seq(("a", 10L, "now"), ("a", 5L, "old")).toDF("k", "ts", "payload")
