@@ -92,6 +92,55 @@ object Dedup {
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
 
+  /** Streaming NEAR-dup candidate gate (SimHash): emits (dup_id, of_id,
+    * hamming) for every arriving document within `maxHamming` bits of a
+    * previously seen one — the approximate counterpart of
+    * [[exactStream]], entirely at ingest.
+    *
+    * Shape: [[withSimhash]] is a map-only projection (no pre-state
+    * shuffle), the 64-bit signature splits into `Bands` 16-bit blocks
+    * (pigeonhole: Hamming ≤ 3 ⇒ some block identical, so the gate has NO
+    * false negatives at maxHamming ≤ 3, like the batch
+    * [[simhashPairs]]), and each (band, block-value) bucket is one keyed
+    * state entry holding the (id, simhash) of the docs seen in it — the
+    * arriving doc checks EXACT Hamming distance against those 8-byte
+    * sketches, never the texts. First-wins within a micro-batch by id
+    * order; a doc that is itself flagged still registers as a
+    * representative (pair emission mirrors the batch form — keeper
+    * resolution is the caller's greedy pass, as in [[embedDedup]]).
+    * State per bucket grows with the distinct non-colliding docs that
+    * hash there (the banding spreads a corpus across `Bands` × 2^16
+    * buckets); `idleTimeoutMs` evicts cold buckets. Emitted pairs can
+    * repeat across bands — `.distinct()` them per batch if consumed as a
+    * set (the spec does).
+    */
+  def nearDupStream(docs: DataFrame, maxHamming: Int = 3,
+                    idCol: String = "doc_id", textCol: String = "text",
+                    idleTimeoutMs: Option[Long] = None)
+      : org.apache.spark.sql.Dataset[(Long, Long, Int)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val Bands = 4
+    val banded = withSimhash(docs.select(col(idCol).cast("long").as("id"),
+        col(textCol)), textCol)
+      .select(col("id"), col("simhash"),
+        explode(sequence(lit(0), lit(Bands - 1))).as("band"))
+      .withColumn("bucket",
+        col("band").cast("long") * (1L << 16) +
+          expr("shiftrightunsigned(simhash, band * 16) & 65535"))
+      .select("bucket", "id", "simhash").as[(Long, Long, Long)]
+    graft.streaming.StateMachines
+      .runMachine[Long, (Long, Long, Long), Seq[(Long, Long)], (Long, Long, Int)](
+        banded, key = _._1, order = _._2, init = Seq.empty,
+        idleTimeoutMs = idleTimeoutMs) { case (reps, (_, id, sig)) =>
+        val hits = reps.collect {
+          case (rid, rsig) if java.lang.Long.bitCount(rsig ^ sig) <= maxHamming =>
+            (id, rid, java.lang.Long.bitCount(rsig ^ sig))
+        }
+        (reps :+ ((id, sig)), hits)
+      }
+  }
+
   /** (doc_id, shingle) pairs, distinct per document. */
   def docShingles(docs: DataFrame, k: Int,
                   idCol: String = "doc_id", textCol: String = "text"): DataFrame =
@@ -259,6 +308,46 @@ object Dedup {
       when(col(s"s$j") > 0, lit(1L << j)).otherwise(0L)
     }.reduce(_ bitwiseOR _)
     sums.select(col("doc_id"), packed.as("simhash"))
+  }
+
+  /** [[simhashSignatures]] as a PURE PROJECTION — no explode, no groupBy,
+    * no shuffle: the token fold runs inside one `aggregate` higher-order
+    * expression per row, accumulating all `bits` counters in a single
+    * pass over the (distinct) token array. Bit-identical to the
+    * aggregation form (DedupStreamSpec asserts it), but usable where a
+    * shuffle is not: per-row enrichment, and STREAMING ingest
+    * ([[nearDupStream]]) where a pre-state aggregation would make the
+    * query multi-stateful. The trade: higher-order lambdas are
+    * interpreted per row, so for batch corpus sweeps the aggregation
+    * form (one codegen'd shuffle) is the faster path.
+    */
+  def withSimhash(docs: DataFrame, textCol: String = "text",
+                  out: String = "simhash", bits: Int = 64): DataFrame = {
+    require(bits >= 1 && bits <= 64, "signature is packed into one long")
+    val toks = array_distinct(Text.tokens(col(textCol)))
+    // per token: tid = strId(tok); bit j's counter moves ±1 on the same
+    // LCG parity as perm(j, tid) — all bits accumulate in ONE token pass
+    val counts = aggregate(
+      toks,
+      array_repeat(lit(0L), bits),
+      (acc, tok) => {
+        val tid = strId(tok)
+        zip_with(acc,
+          transform(sequence(lit(0), lit(bits - 1)), j => {
+            val a = (lit(1103515245L) * (j.cast("long") + 1L)) % P
+            val b = (lit(12345L) + lit(7919L) * j.cast("long")) % P
+            when((a * tid + b) % P % 2 === 1, 1L).otherwise(-1L)
+          }),
+          (x, y) => x + y)
+      })
+    docs.withColumn("__shcnt", counts)
+      .withColumn(out, expr(
+        s"""aggregate(
+           |  zip_with(__shcnt, sequence(0, ${bits - 1}),
+           |    (c, j) -> IF(c > 0, shiftleft(CAST(1 AS BIGINT), j),
+           |                 CAST(0 AS BIGINT))),
+           |  CAST(0 AS BIGINT), (acc, x) -> acc | x)""".stripMargin))
+      .drop("__shcnt")
   }
 
   /** SimHash near-dup pairs with Hamming distance <= maxHamming, found via

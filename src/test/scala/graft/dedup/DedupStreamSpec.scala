@@ -32,6 +32,50 @@ class DedupStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("withSimhash is bit-identical to the aggregation-form signatures") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val viaAgg = Dedup.simhashSignatures(docs)
+      .as[(Long, Long)].collect().toMap
+    val viaExpr = Dedup.withSimhash(docs).select("doc_id", "simhash")
+      .as[(Long, Long)].collect().toMap
+    assert(viaExpr == viaAgg)
+    assert(viaAgg.values.toSet.size > 1) // sanity: not a constant
+  }
+
+  test("nearDupStream flags near-dups across batches, equal to the batch pairs") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "an entirely different document about spark state stores"),
+      (3L, "the quick brown fox jumps over the lazy dog tonight"), // exact
+      (4L, "the quick brown fox jumps over the lazy cat tonight"), // near
+      (5L, "yet another unrelated text on columnar shuffle plans"))
+    // batch ground truth: all pairs with simhash Hamming <= 3
+    val sigs = Dedup.withSimhash(docs.toDF("doc_id", "text"))
+      .select("doc_id", "simhash").as[(Long, Long)].collect().toMap
+    val expected = (for {
+      i <- sigs.keys; j <- sigs.keys if i < j
+      h = java.lang.Long.bitCount(sigs(i) ^ sigs(j)) if h <= 3
+    } yield (j, i, h)).toSet
+    assert(expected.exists(_._3 == 0)) // the planted exact dup is in play
+
+    val in = MemoryStream[(Long, String)](spark)
+    val q = Dedup.nearDupStream(in.toDS().toDF("doc_id", "text"))
+      .toDF("dup_id", "of_id", "hamming")
+      .writeStream.format("memory").queryName("neardup")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      in.addData(docs.take(2): _*)
+      q.processAllAvailable()
+      in.addData(docs.drop(2): _*) // dups arrive in a LATER batch
+      q.processAllAvailable()
+      val got = spark.table("neardup")
+        .as[(Long, Long, Int)].collect().toSet
+      assert(got == expected, s"got $got want $expected")
+    } finally q.stop()
+  }
+
   test("exactStreamWithinWatermark: bounded state, exact dedup inside the window") {
     def ts(s: Long) = new java.sql.Timestamp(1735689600000L + s * 1000)
     val in = MemoryStream[(Long, java.sql.Timestamp, String)](spark)
