@@ -123,6 +123,9 @@ object Dedup {
     val Bands = 4
     val banded = withSimhash(docs.select(col(idCol).cast("long").as("id"),
         col(textCol)), textCol)
+      // token-less docs carry a null signature (see withSimhash): they are
+      // neither flagged nor registered, matching simhashSignatures' omission
+      .filter(col("simhash").isNotNull)
       .select(col("id"), col("simhash"),
         explode(sequence(lit(0), lit(Bands - 1))).as("band"))
       .withColumn("bucket",
@@ -320,6 +323,13 @@ object Dedup {
     * query multi-stateful. The trade: higher-order lambdas are
     * interpreted per row, so for batch corpus sweeps the aggregation
     * form (one codegen'd shuffle) is the faster path.
+    *
+    * Zero-token docs (empty or punctuation-only text) get a NULL
+    * signature — the exact analog of [[simhashSignatures]] omitting them
+    * (explode of an empty token array emits no row), so the parity with
+    * the aggregation form is total: null here ⟺ absent there. A packed
+    * 0 would instead make every token-less doc a Hamming-0 "near-dup" of
+    * every other token-less doc downstream.
     */
   def withSimhash(docs: DataFrame, textCol: String = "text",
                   out: String = "simhash", bits: Int = 64): DataFrame = {
@@ -340,14 +350,16 @@ object Dedup {
           }),
           (x, y) => x + y)
       })
-    docs.withColumn("__shcnt", counts)
-      .withColumn(out, expr(
-        s"""aggregate(
-           |  zip_with(__shcnt, sequence(0, ${bits - 1}),
-           |    (c, j) -> IF(c > 0, shiftleft(CAST(1 AS BIGINT), j),
-           |                 CAST(0 AS BIGINT))),
-           |  CAST(0 AS BIGINT), (acc, x) -> acc | x)""".stripMargin))
-      .drop("__shcnt")
+    docs.withColumn("__shtoks", toks)
+      .withColumn("__shcnt", counts)
+      .withColumn(out, when(size(col("__shtoks")) === 0, lit(null).cast("long"))
+        .otherwise(expr(
+          s"""aggregate(
+             |  zip_with(__shcnt, sequence(0, ${bits - 1}),
+             |    (c, j) -> IF(c > 0, shiftleft(CAST(1 AS BIGINT), j),
+             |                 CAST(0 AS BIGINT))),
+             |  CAST(0 AS BIGINT), (acc, x) -> acc | x)""".stripMargin)))
+      .drop("__shtoks", "__shcnt")
   }
 
   /** SimHash near-dup pairs with Hamming distance <= maxHamming, found via

@@ -31,7 +31,18 @@ object Ordered {
   def prefixSum(df: DataFrame, orderCol: String, value: Column,
                 bucketWidth: Long, out: String = "cum"): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
-    val withBucket = df.withColumn("__bkt", expr(s"$orderCol div $bucketWidth"))
+    val reserved = Seq("__bkt", "__local", "__off", "__tot", out)
+      .intersect(df.columns)
+    require(reserved.isEmpty,
+      s"input uses reserved/output column names: $reserved — rename them first")
+    // `div` truncates toward zero, which is floor ONLY for non-negative
+    // keys — a negative orderCol would silently land in the wrong bucket.
+    // The guard rides inside the codegen'd bucket expression: one branch
+    // per row, no extra pass, fails fast on the first bad key.
+    val bucket = when(col(orderCol) < 0,
+        raise_error(lit(s"prefixSum: $orderCol must be non-negative")))
+      .otherwise(expr(s"$orderCol div $bucketWidth"))
+    val withBucket = df.withColumn("__bkt", bucket)
     val local = Window.partitionBy(col("__bkt")).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cumLocal = withBucket.withColumn("__local", sum(value).over(local))
@@ -52,7 +63,9 @@ object Ordered {
   /** Budget prefix: the rows that fit a total-`size` budget in
     * `orderCol` order (cumulative size ≤ `budget`) — "take the first
     * N billion tokens" as one prefix sum + a filter, no driver loop,
-    * no global sort task.
+    * no global sort task. Inherits [[prefixSum]]'s contract: `orderCol`
+    * must be unique non-negative integers (duplicates make the window
+    * tie-order — and thus the budget cut point — nondeterministic).
     */
   def takeBudget(df: DataFrame, orderCol: String, size: Column,
                  budget: Long, bucketWidth: Long): DataFrame =
@@ -67,7 +80,9 @@ object Ordered {
     * first-fit heuristics, the layout every replayable data loader can
     * re-derive. Rows may straddle pack boundaries (the usual
     * concat-then-chunk training layout); pack fill stats are one
-    * groupBy away.
+    * groupBy away. Inherits [[prefixSum]]'s contract: `orderCol` must be
+    * unique non-negative integers — duplicate keys make the cumulative
+    * order (and so every pack assignment) nondeterministic.
     */
   def packBySize(df: DataFrame, orderCol: String, size: Column,
                  capacity: Long, bucketWidth: Long,

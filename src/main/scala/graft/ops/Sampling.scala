@@ -109,6 +109,8 @@ object Sampling {
     */
   def stratifiedK(df: DataFrame, strata: Seq[String], id: Column,
                   salt: String, k: Int): DataFrame = {
+    require(!df.columns.contains("__rk"),
+      "input uses the reserved temp column name __rk — rename it first")
     val w = Window.partitionBy(strata.map(col): _*)
       .orderBy(hashUnit(id, salt).asc, id.asc)
     df.withColumn("__rk", row_number().over(w))

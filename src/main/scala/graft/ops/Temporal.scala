@@ -59,6 +59,9 @@ object Temporal {
     require(payload.nonEmpty, "ref has no payload columns beyond keys + ts")
     val clash = payload.intersect(probe.columns)
     require(clash.isEmpty, s"ref payload collides with probe columns: $clash")
+    val reserved = Seq("__pay", "__side").intersect(probe.columns ++ ref.columns)
+    require(reserved.isEmpty,
+      s"inputs use reserved temp column names: $reserved — rename them first")
     // a null-keyed or null-ts ref can never equi-match: drop it up front
     // (the window would otherwise group null keys together and leak it)
     val matchable = (keys :+ tsCol).map(col(_).isNotNull).reduce(_ && _)
@@ -100,6 +103,8 @@ object Temporal {
     * `binWidth ≈` the typical interval length keeps replication ≤ 2× and
     * residual waste bounded. Timestamps must be non-negative integers
     * (any unit; `div` truncation = floor only for non-negatives).
+    * Empty or inverted intervals (`endCol <= startCol`) are dropped —
+    * they can match no point under the `[start, end)` contract.
     */
   def rangeJoin(points: DataFrame, ptTs: String, intervals: DataFrame,
                 startCol: String, endCol: String, binWidth: Long,
@@ -108,10 +113,16 @@ object Temporal {
     val clash = intervals.columns.toSeq.intersect(points.columns.toSeq)
       .filterNot(keys.contains)
     require(clash.isEmpty, s"interval/point column collision: $clash")
+    val reserved = Seq("__bin").intersect(points.columns ++ intervals.columns)
+    require(reserved.isEmpty,
+      s"inputs use reserved temp column names: $reserved — rename them first")
     // integer `div` keeps the bin id exact on full-range longs (a double
     // `/` would round past 2^53); end is exclusive, so the last covered
-    // bin is the one holding end-1
-    val iv = intervals.withColumn("__bin",
+    // bin is the one holding end-1. Empty/inverted intervals (end <= start)
+    // can match nothing under [start, end) — drop them BEFORE the explode:
+    // sequence(start, stop) DESCENDS when start > stop, so a badly inverted
+    // interval would otherwise blow up into a huge bin array.
+    val iv = intervals.filter(col(endCol) > col(startCol)).withColumn("__bin",
       explode(sequence(expr(s"$startCol div $binWidth"),
         expr(s"($endCol - 1) div $binWidth"))))
     val pt = points.withColumn("__bin", expr(s"$ptTs div $binWidth"))
