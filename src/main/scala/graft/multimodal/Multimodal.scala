@@ -5,20 +5,24 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal columns for training-data pipelines: image/audio/video
   * treated as opaque `binary` payloads with typed metadata, a REAL PNG
-  * IHDR header decode (fixed-offset column expressions + the
-  * mapPartitions decode stage), and a deterministic STUB
-  * feature-extract with the real Spark plumbing (schema, partitioning,
-  * batch shape) that a codec-backed implementation would drop into.
+  * decode (javax.imageio over complete valid files inside the
+  * mapPartitions decode stage, plus fixed-offset IHDR column
+  * expressions), and — for the codec-less modalities only — a
+  * deterministic, clearly-labelled FAKE feature extract with the real
+  * Spark plumbing (schema, partitioning, batch shape) that a
+  * codec-backed implementation would drop into.
   *
   * The synthetic corpus carries no real media, so payloads are
-  * materialized from `documents.text` prefixed with genuine container
-  * headers — PNG docs get a spec-valid signature + IHDR chunk (real
-  * CRC-32), WAV docs a complete RIFF/fmt/data header (real little-endian
-  * PCM geometry a conforming reader parses — MultimodalSpec proves it
-  * through javax.sound.sampled), the rest magic bytes (JPEG/MP4-ftyp) —
-  * so the MIME sniffer and the PNG/WAV header decodes work on real
-  * structures, and every derived statistic is integer-exact and
-  * DuckDB-checkable.
+  * materialized per doc: PNG docs get a COMPLETE spec-valid file —
+  * signature, IHDR (real CRC-32), one IDAT chunk holding the filter-0
+  * scanlines of a deterministic pixel grid in stored-mode zlib, IEND —
+  * that `javax.imageio.ImageIO.read` decodes (MultimodalSpec proves it);
+  * WAV docs a complete RIFF/fmt/data header (real little-endian PCM
+  * geometry, proven through javax.sound.sampled); the rest magic bytes
+  * (JPEG/MP4-ftyp) + the UTF-8 body. Every derived statistic — byte
+  * totals (file geometry arithmetic), IHDR fields (prefix byte reads),
+  * pixel sums and pixel-derived features (the [[pixelValue]] formula) —
+  * is integer-exact and DuckDB-replayable.
   */
 object Multimodal {
 
@@ -38,7 +42,6 @@ object Multimodal {
     * both engines can emit (CRC-32 is not expressible as SQL arithmetic).
     */
   def pngDimInt(i: Int): Int = 16 * (i % 16 + 1)
-  def pngDim(docId: Column): Column = (lit(16) * (docId % 16 + 1)).cast("int")
 
   /** IHDR length+type: 13-byte data, "IHDR". */
   val IhdrLenType: Array[Byte] =
@@ -58,18 +61,6 @@ object Multimodal {
 
   /** The 16 CRCs, indexed by doc_id % 16. */
   val IhdrCrcs: Seq[Array[Byte]] = (0 until 16).map(i => ihdrCrc(pngDimInt(i)))
-
-  /** Big-endian 4-byte encoding of a non-negative int column. */
-  private def beInt4(c: Column): Column = unhex(lpad(hex(c), 8, "0"))
-
-  /** A spec-valid PNG signature + IHDR chunk (length, type, dimensions,
-    * depth/color, REAL CRC) for a doc — the header every conforming PNG
-    * reader parses width/height from.
-    */
-  def pngHeader(docId: Column): Column =
-    concat(lit(PngMagic), lit(IhdrLenType),
-      beInt4(pngDim(docId)), beInt4(pngDim(docId)), lit(IhdrTail),
-      element_at(typedLit(IhdrCrcs), (docId % 16 + 1).cast("int")))
 
   // ---- WAV RIFF/fmt synthesis (canonical 44-byte PCM header) -----------
 
@@ -125,20 +116,124 @@ object Multimodal {
       leInt4(len))
   }
 
-  /** Opaque binary payload: modality header + UTF-8 content. PNG docs get
-    * the full signature+IHDR header above and WAV docs a complete RIFF/
-    * fmt/data header (so header decode is real for both); JPEG/MP4 carry
-    * magic only. At 100 TB the payload column is real media read straight
-    * from parquet/lance; this synthesizer exists only because the test
-    * corpus is text.
+  // ---- full PNG synthesis (deterministic pixels, real zlib IDAT) -------
+
+  /** Deterministic pixel byte of doc `docId`'s image at 0-based index `p`
+    * in the row-major RGB stream (channel-minor: `p = (y*d + x)*3 + c`,
+    * channel 0=R 1=G 2=B): an xor mix of three odd-multiplier terms,
+    * replayable in DuckDB with plain 64-bit integer arithmetic
+    * (`xor(a,b) & 255`). The cross term couples docId and p, so two
+    * docs' grids are never a pointwise shift of each other — chunk sums
+    * and the features derived from them are genuinely doc-unique (a
+    * purely additive mix collapses to identical normalized features,
+    * which is why the cross term exists).
     */
-  def payload(docId: Column, source: Column, text: Column): Column =
+  val PixelMulDoc = 2654435761L
+  val PixelMulPos = 40503L
+  val PixelMulCross = 97L
+  def pixelValue(docId: Long, p: Long): Int =
+    (((docId * PixelMulDoc) ^ (p * PixelMulPos) ^
+      ((docId + p) * PixelMulCross)) & 255L).toInt
+
+  /** Zlib STORED framing (RFC 1950/1951 BTYPE=00): 0x78 0x01 header,
+    * <= 65535-byte stored blocks (5-byte LEN/NLEN headers), Adler-32
+    * trailer. Every conforming inflater — ImageIO's PNG plugin included —
+    * reads stored blocks, and the output length is a pure function of the
+    * input length, `6 + 5*ceil(n/65535) + n`, which is what lets the m1
+    * oracle verify payload byte totals arithmetically in DuckDB (a
+    * compressed stream's length would be opaque to SQL).
+    */
+  def storedZlib(raw: Array[Byte]): Array[Byte] = {
+    require(raw.nonEmpty, "stored framing needs at least one block")
+    val nb = (raw.length + 65534) / 65535
+    val out = new Array[Byte](6 + 5 * nb + raw.length)
+    out(0) = 0x78; out(1) = 0x01
+    var src = 0; var dst = 2; var block = 0
+    while (block < nb) {
+      val len = math.min(65535, raw.length - src)
+      out(dst) = if (block == nb - 1) 1 else 0 // BFINAL on the last block
+      out(dst + 1) = (len & 0xff).toByte
+      out(dst + 2) = ((len >> 8) & 0xff).toByte
+      out(dst + 3) = (~len & 0xff).toByte
+      out(dst + 4) = ((~len >> 8) & 0xff).toByte
+      System.arraycopy(raw, src, out, dst + 5, len)
+      src += len; dst += 5 + len; block += 1
+    }
+    val ad = new java.util.zip.Adler32()
+    ad.update(raw, 0, raw.length)
+    val a = ad.getValue
+    out(dst) = ((a >> 24) & 0xff).toByte
+    out(dst + 1) = ((a >> 16) & 0xff).toByte
+    out(dst + 2) = ((a >> 8) & 0xff).toByte
+    out(dst + 3) = (a & 0xff).toByte
+    out
+  }
+
+  /** One PNG chunk: big-endian length, type, data, CRC-32(type+data). */
+  def pngChunk(typ: String, data: Array[Byte]): Array[Byte] = {
+    val t = typ.getBytes("US-ASCII")
+    val crc = new java.util.zip.CRC32()
+    crc.update(t); crc.update(data)
+    java.nio.ByteBuffer.allocate(12 + data.length)
+      .putInt(data.length).put(t).put(data).putInt(crc.getValue.toInt).array()
+  }
+
+  /** A COMPLETE valid PNG for a doc: signature; IHDR (d×d truecolor-8,
+    * real CRC); ONE IDAT holding the filter-0 scanlines of the
+    * [[pixelValue]] grid in stored-mode zlib; IEND. `ImageIO.read`
+    * decodes it and returns exactly the formula pixels (MultimodalSpec).
+    * File length = `63 + 5*ceil(N/65535) + N` with `N = d*(1+3d)` —
+    * the arithmetic the m1 oracle replays.
+    */
+  def pngFile(docId: Long): Array[Byte] = {
+    val d = pngDimInt((docId % 16).toInt)
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(d).putInt(d).put(IhdrTail).array()
+    val raw = new Array[Byte](d * (1 + 3 * d))
+    var y = 0; var i = 0; var p = 0L
+    while (y < d) {
+      raw(i) = 0; i += 1 // filter type 0 (None) per scanline
+      var xc = 0
+      while (xc < 3 * d) {
+        raw(i) = pixelValue(docId, p).toByte
+        i += 1; p += 1; xc += 1
+      }
+      y += 1
+    }
+    PngMagic ++ pngChunk("IHDR", ihdr) ++
+      pngChunk("IDAT", storedZlib(raw)) ++ pngChunk("IEND", Array.emptyByteArray)
+  }
+
+  /** Payload column for the NON-PNG modalities (pure codegen'd exprs):
+    * container header + UTF-8 content.
+    */
+  private def nonPngPayload(docId: Column, source: Column, text: Column): Column =
     concat(
-      when(modality(source) === 0, pngHeader(docId))
-        .when(modality(source) === 1, lit(JpegMagic))
+      when(modality(source) === 1, lit(JpegMagic))
         .when(modality(source) === 2, wavHeader(docId, text))
         .otherwise(lit(Mp4Magic)),
       encode(text, "UTF-8"))
+
+  /** (doc_id, payload) for every doc. PNG docs carry a COMPLETE valid
+    * file ([[pngFile]] + the UTF-8 body as trailing data past IEND, which
+    * conforming readers ignore); other modalities are pure column exprs.
+    * The two branches union map-side — no shuffle, no driver loop. At
+    * 100 TB the payload column is real media read straight from parquet;
+    * this synthesizer exists only because the test corpus is text.
+    */
+  def payloads(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val nonPng = docs.filter(modality(col("source")) =!= 0)
+      .select(col("doc_id"),
+        nonPngPayload(col("doc_id"), col("source"), col("text")).as("payload"))
+    val png = docs.filter(modality(col("source")) === 0)
+      .select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) => (id, pngFile(id) ++ text.getBytes("UTF-8")) }
+      .toDF("doc_id", "payload")
+    nonPng.unionByName(png)
+  }
 
   // ---- PNG IHDR parsing (column expressions over the byte prefix) ------
 
@@ -218,9 +313,7 @@ object Multimodal {
     * counts and byte totals, one shuffle on the sniffed mime.
     */
   def mediaStats(docs: DataFrame): DataFrame = {
-    val p = docs.select(col("doc_id"),
-        payload(col("doc_id"), col("source"), col("text")).as("payload"))
-      .withColumn("mime", sniffMime(col("payload")))
+    val p = payloads(docs).withColumn("mime", sniffMime(col("payload")))
     val len = octet_length(col("payload")).cast("long")
     p.groupBy(col("mime"))
       .agg(count(lit(1)).as("n_docs"),
@@ -248,48 +341,112 @@ object Multimodal {
     ((p(off) & 0xff) << 24) | ((p(off + 1) & 0xff) << 16) |
       ((p(off + 2) & 0xff) << 8) | (p(off + 3) & 0xff)
 
-  /** Decode stage. PNG headers are decoded for REAL — width/height read
-    * from the IHDR chunk exactly as any conforming reader does (and as
-    * javax.imageio's PNG plugin would; MultimodalSpec runs this parser
-    * over ImageIO-encoded files to prove it). The remaining modalities
-    * (JPEG/WAV/MP4 — codec-less in this container) keep the clearly-
-    * labelled deterministic FAKE for dimensions, and the feature vector is
-    * the deterministic chunk-sum fake for all modalities. The Spark shape
-    * is the real one either way: one iterator pass per partition (codec
-    * init amortizes here), no per-row setup, no driver-side collection,
-    * schema fixed by the MediaFeatures encoder.
+  /** L2-normalize chunk sums into the feature vector. */
+  private def normed(chunks: Array[Long]): Array[Float] = {
+    val norm = math.sqrt(chunks.map(c => c.toDouble * c).sum).max(1e-9)
+    chunks.map(c => (c / norm).toFloat)
+  }
+
+  /** Decode a PNG payload for REAL: `ImageIO.read` inflates the IDAT and
+    * returns the pixel grid; dims from the decoded image, per-channel
+    * sums and 8 chunk byte-sums (chunk = stream index mod 8, the shape
+    * the m2/m5 oracles replay from [[pixelValue]]) from the pixels.
+    * None when the bytes are not a decodable PNG.
+    */
+  private def decodePng(payload: Array[Byte])
+      : Option[(Int, Int, Array[Long], Array[Long])] =
+    try {
+      Option(javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload))).map { img =>
+        val w = img.getWidth; val h = img.getHeight
+        val chunks = Array.fill(FeatureDim)(0L)
+        val chans = Array.fill(3)(0L)
+        var y = 0; var p = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            var c = 0
+            while (c < 3) {
+              val v = (rgb >> (16 - 8 * c)) & 0xff
+              chunks(p % FeatureDim) += v
+              chans(c) += v
+              p += 1; c += 1
+            }
+            x += 1
+          }
+          y += 1
+        }
+        (w, h, chunks, chans)
+      }
+    } catch { case _: java.io.IOException => None }
+
+  /** Decode stage. PNGs are decoded for REAL — `javax.imageio` inflates
+    * the IDAT and the dimensions AND the feature vector derive from the
+    * decoded pixel content (MultimodalSpec proves the round-trip; the
+    * m2/m5 oracles replay the pixel math from doc_id). The remaining
+    * modalities (JPEG/WAV/MP4 — codec-less in this container) keep the
+    * clearly-labelled deterministic FAKE: hashed dimensions and body
+    * chunk-sum features. The Spark shape is the real one either way: one
+    * iterator pass per partition (codec init amortizes here), no per-row
+    * setup, no driver-side collection, schema fixed by the MediaFeatures
+    * encoder. A PNG that fails to decode (truncated/foreign bytes) falls
+    * back to the IHDR prefix parse for dims and the fake features.
     */
   def decode(blobs: Dataset[MediaBlob]): Dataset[MediaFeatures] = {
     import blobs.sparkSession.implicits._
     blobs.mapPartitions { it =>
       // per-partition codec init would happen here
       it.map { b =>
-        val body = b.payload.drop(8)
-        val (width, height) =
-          if (b.mime == "image/png" && b.payload.length >= 26 &&
-              new String(b.payload.slice(12, 16), "US-ASCII") == "IHDR")
-            (beInt(b.payload, 16), beInt(b.payload, 20)) // the real header
-          else {
-            // FAKE dimensions for codec-less modalities
-            val h = body.foldLeft(17L)((a, x) => (a * 31 + (x & 0xff)) % 1000003L)
-            (64 + (h % 512).toInt, 64 + ((h / 512) % 512).toInt)
-          }
-        // fake embedding: 8 chunk byte-sums, L2-normalized
-        val chunks = Array.fill(FeatureDim)(0L)
-        var i = 0
-        while (i < body.length) { chunks(i % FeatureDim) += (body(i) & 0xff); i += 1 }
-        val norm = math.sqrt(chunks.map(c => c.toDouble * c).sum).max(1e-9)
-        MediaFeatures(b.doc_id, b.mime, width, height, b.payload.length.toLong,
-          chunks.map(c => (c / norm).toFloat))
+        val png = if (b.mime == "image/png") decodePng(b.payload) else None
+        png match {
+          case Some((w, h, chunks, _)) =>
+            MediaFeatures(b.doc_id, b.mime, w, h, b.payload.length.toLong,
+              normed(chunks))
+          case None =>
+            val body = b.payload.drop(8)
+            val (width, height) =
+              if (b.mime == "image/png" && b.payload.length >= 26 &&
+                  new String(b.payload.slice(12, 16), "US-ASCII") == "IHDR")
+                (beInt(b.payload, 16), beInt(b.payload, 20)) // header only
+              else {
+                // FAKE dimensions for codec-less modalities
+                val h = body.foldLeft(17L)((a, x) => (a * 31 + (x & 0xff)) % 1000003L)
+                (64 + (h % 512).toInt, 64 + ((h / 512) % 512).toInt)
+              }
+            // fake embedding: 8 chunk byte-sums, L2-normalized
+            val chunks = Array.fill(FeatureDim)(0L)
+            var i = 0
+            while (i < body.length) { chunks(i % FeatureDim) += (body(i) & 0xff); i += 1 }
+            MediaFeatures(b.doc_id, b.mime, width, height,
+              b.payload.length.toLong, normed(chunks))
+        }
       }
     }
+  }
+
+  /** Per-image pixel statistics from the REAL decode: dimensions and
+    * integer-exact per-channel sums, straight off the `ImageIO`-decoded
+    * grid (the m5 oracle recomputes them from [[pixelValue]] in DuckDB —
+    * agreement pins the whole synthesize→deflate→inflate→decode loop).
+    * Non-PNG and undecodable payloads are dropped.
+    */
+  def pngPixelStats(blobs: Dataset[MediaBlob]): DataFrame = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions { it =>
+      it.flatMap { b =>
+        val png = if (b.mime == "image/png") decodePng(b.payload) else None
+        png.map { case (w, h, _, chans) =>
+          (b.doc_id, w.toLong, h.toLong, chans(0), chans(1), chans(2))
+        }
+      }
+    }.toDF("doc_id", "width", "height", "sum_r", "sum_g", "sum_b")
   }
 
   /** The full ingest shape: documents → payloads → blobs for decode. */
   def toBlobs(docs: DataFrame): Dataset[MediaBlob] = {
     import docs.sparkSession.implicits._
-    docs.select(col("doc_id"),
-        payload(col("doc_id"), col("source"), col("text")).as("payload"))
+    payloads(docs)
       .withColumn("mime", sniffMime(col("payload")))
       .select(col("doc_id"), col("mime"), col("payload"))
       .as[MediaBlob]

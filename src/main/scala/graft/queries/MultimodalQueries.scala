@@ -7,18 +7,30 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
 /** Multimodal-column queries over the `documents` table (payloads are
-  * synthesized binary — container headers + UTF-8 body — because the test
-  * corpus ships no real media; the sniffing/parsing/statistics paths are
-  * the real ones). Oracle twins rebuild identical blobs in DuckDB from
-  * ONE shared payload-SQL generator, so every m-row replays the exact
-  * byte layout the Spark side synthesizes.
+  * synthesized binary — PNG docs carry COMPLETE valid files with real
+  * zlib IDAT pixel data, WAV docs real RIFF/fmt headers, the rest magic
+  * bytes + UTF-8 body — because the test corpus ships no real media; the
+  * sniffing/parsing/decoding/statistics paths are the real ones).
+  *
+  * Oracle strategy, per derived value:
+  *  - header fields (m3/m4): ONE shared payload-SQL generator rebuilds
+  *    the byte PREFIX in DuckDB and re-parses it with the same
+  *    fixed-offset reads;
+  *  - byte totals (m1): the file-geometry arithmetic — PNG length is
+  *    `63 + 5*ceil(N/65535) + N + body` with `N = d(1+3d)` because the
+  *    IDAT uses stored-mode zlib (length a pure function of content
+  *    size), WAV/JPEG/MP4 are `44/4/8 + body`;
+  *  - pixel content (m5) and pixel-derived features (m2's PNG branch):
+  *    DuckDB recomputes `Multimodal.pixelValue` from doc_id directly —
+  *    agreement with the Spark side pins the whole synthesize → deflate
+  *    → ImageIO-inflate → decode loop, since the Spark numbers come off
+  *    the DECODED image, never the formula.
   *
   * m2 proves the full multimodal → embedding → ANN pipeline end-to-end:
   * blobs → decode (the per-partition-init `mapPartitions` stage; PNG
-  * dimensions are the real IHDR parse, the feature math is the
-  * deterministic stub) → `graft.sim` brute-force top-k over the decoded
-  * feature vectors. m3 checks the real decode: IHDR width/height/depth/
-  * color parsed by fixed-offset byte reads on both engines.
+  * features are REAL pixel-content chunk sums, codec-less modalities the
+  * labelled byte-sum stub) → `graft.sim` brute-force top-k over the
+  * decoded feature vectors.
   */
 object MultimodalQueries {
 
@@ -37,10 +49,8 @@ object MultimodalQueries {
   }
 
   def m3PngIhdr(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    docs.select(col("doc_id"),
-        Multimodal.payload(col("doc_id"), col("source"), col("text")).as("payload"))
-      .filter(Multimodal.isPngIhdr(col("payload")))
+    val p = Multimodal.payloads(Tables.documents(s, dir))
+    p.filter(Multimodal.isPngIhdr(col("payload")))
       .select(col("doc_id"),
         Multimodal.pngWidth(col("payload")).as("width"),
         Multimodal.pngHeight(col("payload")).as("height"),
@@ -49,10 +59,8 @@ object MultimodalQueries {
   }
 
   def m4WavFmt(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    docs.select(col("doc_id"),
-        Multimodal.payload(col("doc_id"), col("source"), col("text")).as("payload"))
-      .filter(Multimodal.isWavFmt(col("payload")))
+    val p = Multimodal.payloads(Tables.documents(s, dir))
+    p.filter(Multimodal.isWavFmt(col("payload")))
       .select(col("doc_id"),
         Multimodal.wavChannels(col("payload")).as("channels"),
         Multimodal.wavSampleRate(col("payload")).as("sample_rate"),
@@ -62,11 +70,16 @@ object MultimodalQueries {
         Multimodal.wavDataBytes(col("payload")).as("data_bytes"))
   }
 
+  def m5PixelStats(s: SparkSession, dir: String): DataFrame =
+    Multimodal.pngPixelStats(
+      Multimodal.toBlobs(Tables.documents(s, dir)))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_media_stats" -> (m1MediaStats _),
     "m2_decode_ann" -> (m2DecodeAnn _),
     "m3_png_ihdr" -> (m3PngIhdr _),
-    "m4_wav_fmt" -> (m4WavFmt _)
+    "m4_wav_fmt" -> (m4WavFmt _),
+    "m5_pixel_stats" -> (m5PixelStats _)
   )
 
   // ---- generated DuckDB twins ----------------------------------------
@@ -74,11 +87,6 @@ object MultimodalQueries {
   private def blobLit(bytes: Array[Byte]): String =
     bytes.map(b => f"\\x$b%02X").mkString("'", "", "'::BLOB")
 
-  /** The payload CTE both engines agree on: PNG docs get signature +
-    * length/type + dimensions (big-endian from doc_id) + depth/color +
-    * the doc's precomputed IHDR CRC; other modalities magic only; then
-    * the UTF-8 text body.
-    */
   /** Little-endian 4-byte blob of a DuckDB integer expression — byte
     * reversal of the zero-padded big-endian hex form (twin of the Scala
     * `leInt4`).
@@ -89,12 +97,29 @@ object MultimodalQueries {
       s"substring($h, 3, 2) || substring($h, 1, 2))"
   }
 
+  /** The deterministic pixel byte at RGB-stream index `p` of doc `d` —
+    * the SQL twin of `Multimodal.pixelValue` (plain 64-bit arithmetic).
+    */
+  private def pixSql(doc: String, p: String): String =
+    s"(xor(xor($doc * ${Multimodal.PixelMulDoc}, $p * ${Multimodal.PixelMulPos}), " +
+      s"($doc + $p) * ${Multimodal.PixelMulCross}) & 255)"
+
+  /** The header CTE both engines agree on: PNG docs get the byte PREFIX
+    * every reader parses (signature + length/type + dimensions + depth/
+    * color + the doc's precomputed IHDR CRC); WAV docs the complete
+    * 44-byte RIFF/fmt header; other modalities magic only; then the
+    * UTF-8 text body. For PNG this is the prefix of the full file, not
+    * the whole file — the IDAT/IEND tail is covered by the m1 length
+    * arithmetic and the m5 pixel replay, and its checksums by the
+    * ImageIO round-trip in MultimodalSpec (CRC-32 is not expressible as
+    * SQL arithmetic). Also carries `m`, the modality index.
+    */
   private def payloadSql: String = {
     val crcList = Multimodal.IhdrCrcs.map(blobLit).mkString("[", ", ", "]")
     val wavList = Multimodal.WavStaticBlocks.map(blobLit).mkString("[", ", ", "]")
     // NOTE: no line may start with "||" — this snippet is interpolated into
     // templates that apply stripMargin again, which would eat the first '|'
-    s"""SELECT doc_id,
+    s"""SELECT doc_id, substring(source, 4)::INT % 4 AS m,
        |    CASE (substring(source, 4)::INT % 4)
        |      WHEN 0 THEN ${blobLit(Multimodal.PngMagic)} ||
        |        ${blobLit(Multimodal.IhdrLenType)} ||
@@ -113,40 +138,59 @@ object MultimodalQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    // byte totals as file-geometry arithmetic: the PNG arm replays the
+    // stored-zlib framing (63 fixed + 5 per block + N raw + body), the
+    // others their header sizes. Modality→mime is the sniffer's mapping
+    // by construction (each arm starts with that container's magic).
     "m1_media_stats" ->
-      s"""WITH p AS (
-        |  $payloadSql
+      s"""WITH d0 AS (
+        |  SELECT doc_id, substring(source, 4)::INT % 4 AS m,
+        |    octet_length(encode(text)) AS tl,
+        |    16 * (doc_id % 16 + 1) AS d
+        |  FROM documents
         |), s AS (
-        |  SELECT doc_id, payload,
-        |    CASE
-        |      WHEN left(hex(payload), 8) = '89504E47' THEN 'image/png'
-        |      WHEN left(hex(payload), 6) = 'FFD8FF' THEN 'image/jpeg'
-        |      WHEN left(hex(payload), 8) = '52494646' THEN 'audio/wav'
-        |      WHEN substring(hex(payload), 9, 8) = '66747970' THEN 'video/mp4'
-        |      ELSE 'application/octet-stream'
-        |    END AS mime
-        |  FROM p
+        |  SELECT CASE m WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
+        |                WHEN 2 THEN 'audio/wav' ELSE 'video/mp4' END AS mime,
+        |    CASE m
+        |      WHEN 0 THEN 63 + 5 * ((d * (1 + 3 * d) + 65534) // 65535)
+        |                  + d * (1 + 3 * d) + tl
+        |      WHEN 1 THEN 4 + tl
+        |      WHEN 2 THEN 44 + tl
+        |      ELSE 8 + tl
+        |    END AS len
+        |  FROM d0
         |)
         |SELECT mime, COUNT(*) AS n_docs,
-        |  CAST(SUM(octet_length(payload)) AS BIGINT) AS total_bytes,
-        |  CAST(MIN(octet_length(payload)) AS BIGINT) AS min_bytes,
-        |  CAST(MAX(octet_length(payload)) AS BIGINT) AS max_bytes
+        |  CAST(SUM(len) AS BIGINT) AS total_bytes,
+        |  CAST(MIN(len) AS BIGINT) AS min_bytes,
+        |  CAST(MAX(len) AS BIGINT) AS max_bytes
         |FROM s GROUP BY mime""".stripMargin,
-    // decode twin: payload bytes after the 8-byte signature, hex-parsed;
-    // 8 chunk byte-sums; L2-normalized to FLOAT with the same double ops
-    // and index order as the Scala stage; then the s1 brute-force ANN
-    // shape over the decoded features.
+    // decode twin. PNG branch: chunk sums over the FORMULA pixels (the
+    // Spark side sums the ImageIO-decoded grid — agreement pins the
+    // deflate/inflate loop). Non-PNG branch: chunk sums over the header+
+    // body bytes, hex-parsed. Then L2-normalize to FLOAT with the same
+    // double ops and index order as the Scala stage, and the s1
+    // brute-force ANN shape over the decoded features.
     "m2_decode_ann" ->
       s"""WITH p AS (
         |  $payloadSql
         |), b AS (
-        |  SELECT doc_id, substring(hex(payload), 17) AS hx FROM p
+        |  SELECT doc_id, substring(hex(payload), 17) AS hx FROM p WHERE m <> 0
         |), idx AS (
         |  SELECT doc_id, hx, unnest(range(0, length(hx) // 2)) AS i FROM b
-        |), sums AS (
+        |), bytesums AS (
         |  SELECT doc_id, i % 8 AS chunk,
         |    SUM(('0x' || substring(hx, 2 * i + 1, 2))::BIGINT) AS c
         |  FROM idx GROUP BY 1, 2
+        |), pngpx AS (
+        |  SELECT doc_id, unnest(range(0, 3 * d * d)) AS px
+        |  FROM (SELECT doc_id, 16 * (doc_id % 16 + 1) AS d FROM documents
+        |        WHERE substring(source, 4)::INT % 4 = 0) pd
+        |), pngsums AS (
+        |  SELECT doc_id, px % 8 AS chunk, SUM(${pixSql("doc_id", "px")}) AS c
+        |  FROM pngpx GROUP BY 1, 2
+        |), sums AS (
+        |  SELECT * FROM bytesums UNION ALL SELECT * FROM pngsums
         |), grid AS (
         |  SELECT doc_id, unnest(range(0, 8)) AS chunk FROM p
         |), chunks AS (
@@ -180,7 +224,8 @@ object MultimodalQueries {
         |)
         |SELECT q_id, c_id, cos, "rank" FROM ranked WHERE "rank" <= 5""".stripMargin,
     // IHDR parse twin: the same fixed-offset big-endian byte reads over
-    // the same blob (width/height at bytes 17/21, depth/color at 25/26).
+    // the same blob prefix (width/height at bytes 17/21, depth/color at
+    // 25/26).
     "m3_png_ihdr" ->
       s"""WITH p AS (
         |  $payloadSql
@@ -216,6 +261,24 @@ object MultimodalQueries {
         |        || substring(hx, 83, 2) || substring(hx, 81, 2))::BIGINT AS data_bytes
         |FROM h
         |WHERE left(hx, 8) = '52494646'
-        |  AND substring(hx, 17, 16) = '57415645666D7420'""".stripMargin
+        |  AND substring(hx, 17, 16) = '57415645666D7420'""".stripMargin,
+    // pixel replay: DuckDB recomputes dimensions and per-channel sums
+    // from pixelValue over the full d×d grid; the Spark side reports
+    // what ImageIO actually DECODED — a hash match proves the emitted
+    // IDAT inflates back to exactly the formula grid.
+    "m5_pixel_stats" ->
+      s"""WITH png AS (
+        |  SELECT doc_id, 16 * (doc_id % 16 + 1) AS d FROM documents
+        |  WHERE substring(source, 4)::INT % 4 = 0
+        |), px AS (
+        |  SELECT doc_id, d, unnest(range(0, 3 * d * d)) AS p FROM png
+        |)
+        |SELECT doc_id,
+        |  CAST(MIN(d) AS BIGINT) AS width,
+        |  CAST(MIN(d) AS BIGINT) AS height,
+        |  CAST(SUM(CASE WHEN p % 3 = 0 THEN ${pixSql("doc_id", "p")} END) AS BIGINT) AS sum_r,
+        |  CAST(SUM(CASE WHEN p % 3 = 1 THEN ${pixSql("doc_id", "p")} END) AS BIGINT) AS sum_g,
+        |  CAST(SUM(CASE WHEN p % 3 = 2 THEN ${pixSql("doc_id", "p")} END) AS BIGINT) AS sum_b
+        |FROM px GROUP BY doc_id""".stripMargin
   )
 }

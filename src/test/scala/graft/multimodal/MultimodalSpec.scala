@@ -6,10 +6,12 @@ import graft.sim.Similarity
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.BinaryType
 
-/** Multimodal plumbing: payload/MIME column expressions, REAL PNG IHDR
-  * synthesis + parsing (including a javax.imageio round-trip over actual
-  * encoded PNG files), and the decode stage's schema, partitioning,
-  * determinism, and downstream similarity integration.
+/** Multimodal plumbing: payload synthesis (COMPLETE valid PNGs with real
+  * zlib IDAT pixel data + real WAV headers), MIME/IHDR/fmt column
+  * parsing, the javax.imageio round-trip in BOTH directions (our files
+  * through ImageIO's decoder; ImageIO-encoded files through our
+  * parsers), and the decode stage's schema, partitioning, determinism,
+  * and downstream similarity integration.
   */
 class MultimodalSpec extends SparkSpec {
 
@@ -21,25 +23,31 @@ class MultimodalSpec extends SparkSpec {
     (2L, "wav doc body yy", "en", "src2", 15L),
     (3L, "mp4 doc body zzz", "en", "src3", 16L),
     (4L, "png again", "en", "src4", 9L),
-    // same text, same modality, same doc_id mod 16 as doc 0 -> the payload
-    // (and therefore the decode) must be byte-identical to doc 0's
-    (16L, "png doc body", "en", "src16", 12L)
+    // same text, same modality, same dim class (doc_id mod 16) as doc 0 —
+    // but pixels are a function of the FULL doc_id, so the payload must
+    // share the header yet differ in content
+    (16L, "png doc body", "en", "src16", 12L),
+    // jpeg with the same text as doc 1 -> byte-identical payload (the
+    // codec-less modalities have no per-doc content synthesis)
+    (17L, "jpeg doc body x", "en", "src17", 15L)
   ).toDF("doc_id", "text", "lang", "source", "n_chars")
 
-  private def pay = payload(col("doc_id"), col("source"), col("text"))
+  private def pays = payloads(docs)
+
+  private def pay(id: Long): Array[Byte] =
+    pays.filter(col("doc_id") === id).collect().head.getAs[Array[Byte]]("payload")
 
   test("payload carries real container headers and the body verbatim") {
-    val p = docs.select(col("doc_id"), pay.as("p")).orderBy("doc_id").collect()
-    assert(p.head.getAs[Array[Byte]]("p").take(8).sameElements(PngMagic))
-    assert(p(1).getAs[Array[Byte]]("p").take(4).sameElements(JpegMagic))
-    // png header = 8 signature + 25 IHDR chunk, then the UTF-8 body
-    assert(new String(p.head.getAs[Array[Byte]]("p").drop(33), "UTF-8") == "png doc body")
-    assert(new String(p(1).getAs[Array[Byte]]("p").drop(4), "UTF-8") == "jpeg doc body x")
+    val p0 = pay(0L); val p1 = pay(1L)
+    assert(p0.take(8).sameElements(PngMagic))
+    assert(p1.take(4).sameElements(JpegMagic))
+    // png payload = the complete file, then the UTF-8 body as trailing data
+    assert(new String(p0.drop(pngFile(0L).length), "UTF-8") == "png doc body")
+    assert(new String(p1.drop(4), "UTF-8") == "jpeg doc body x")
   }
 
   test("synthesized IHDR is spec-valid: layout, dimensions, and a real CRC-32") {
-    val p0 = docs.filter("doc_id = 4").select(pay.as("p"))
-      .collect().head.getAs[Array[Byte]]("p")
+    val p0 = pay(4L)
     assert(new String(p0.slice(12, 16), "US-ASCII") == "IHDR")
     // CRC over chunk type + data (bytes 12..28) must match the stored CRC
     val crc = new java.util.zip.CRC32()
@@ -48,12 +56,42 @@ class MultimodalSpec extends SparkSpec {
     assert(stored == crc.getValue.toInt, "IHDR CRC must be the real CRC-32")
   }
 
+  test("pngFile is a complete valid PNG: ImageIO inflates the exact formula grid") {
+    for (id <- Seq(0L, 4L, 16L)) {
+      // decode the PAYLOAD (file + trailing body) — readers stop at IEND
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(pay(id)))
+      assert(img != null, s"ImageIO must decode doc $id's payload")
+      val d = pngDimInt((id % 16).toInt)
+      assert(img.getWidth == d && img.getHeight == d)
+      // every decoded pixel equals pixelValue — the IDAT content survives
+      // the deflate(stored) -> inflate loop bit-exactly
+      var p = 0L
+      for (y <- 0 until d; x <- 0 until d) {
+        val rgb = img.getRGB(x, y)
+        for (c <- 0 until 3) {
+          val got = (rgb >> (16 - 8 * c)) & 0xff
+          assert(got == pixelValue(id, p), s"doc $id pixel ($x,$y,$c)")
+          p += 1
+        }
+      }
+    }
+  }
+
+  test("pixel content is doc-unique: same dim class, different grids") {
+    val (p0, p16) = (pay(0L), pay(16L))
+    // identical 33-byte signature+IHDR prefix (same dim class)...
+    assert(p0.take(33).sameElements(p16.take(33)))
+    // ...but different IDAT content (pixels depend on the full doc_id)
+    assert(!p0.sameElements(p16))
+  }
+
   test("IHDR parse columns read back the synthesized dimensions") {
-    val parsed = docs
-      .select(col("doc_id"), pay.as("p"))
-      .filter(isPngIhdr(col("p")))
-      .select(col("doc_id"), pngWidth(col("p")).as("w"), pngHeight(col("p")).as("h"),
-        pngBitDepth(col("p")).as("d"), pngColorType(col("p")).as("c"))
+    val parsed = pays
+      .filter(isPngIhdr(col("payload")))
+      .select(col("doc_id"), pngWidth(col("payload")).as("w"),
+        pngHeight(col("payload")).as("h"),
+        pngBitDepth(col("payload")).as("d"), pngColorType(col("payload")).as("c"))
       .collect().map(r => r.getAs[Long]("doc_id") ->
         ((r.getAs[Long]("w"), r.getAs[Long]("h"), r.getAs[Long]("d"), r.getAs[Long]("c"))))
       .toMap
@@ -90,8 +128,7 @@ class MultimodalSpec extends SparkSpec {
   test("synthesized WAV header is spec-valid: javax.sound.sampled parses it") {
     // doc 2 is the wav-modality doc; its header must be a real RIFF/WAVE
     // PCM header any conforming audio reader accepts
-    val p2 = docs.filter("doc_id = 2").select(pay.as("p"))
-      .collect().head.getAs[Array[Byte]]("p")
+    val p2 = pay(2L)
     val fmt = javax.sound.sampled.AudioSystem.getAudioFileFormat(
       new java.io.ByteArrayInputStream(p2))
     assert(fmt.getType == javax.sound.sampled.AudioFileFormat.Type.WAVE)
@@ -106,13 +143,12 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("WAV fmt parse columns read back the synthesized geometry") {
-    val parsed = docs
-      .select(col("doc_id"), pay.as("p"))
-      .filter(isWavFmt(col("p")))
-      .select(col("doc_id"), wavChannels(col("p")).as("ch"),
-        wavSampleRate(col("p")).as("sr"), wavByteRate(col("p")).as("br"),
-        wavBlockAlign(col("p")).as("ba"), wavBitsPerSample(col("p")).as("bits"),
-        wavDataBytes(col("p")).as("db"))
+    val parsed = pays
+      .filter(isWavFmt(col("payload")))
+      .select(col("doc_id"), wavChannels(col("payload")).as("ch"),
+        wavSampleRate(col("payload")).as("sr"), wavByteRate(col("payload")).as("br"),
+        wavBlockAlign(col("payload")).as("ba"), wavBitsPerSample(col("payload")).as("bits"),
+        wavDataBytes(col("payload")).as("db"))
       .collect().map(r => r.getAs[Long]("doc_id") ->
         ((r.getAs[Long]("ch"), r.getAs[Long]("sr"), r.getAs[Long]("br"),
           r.getAs[Long]("ba"), r.getAs[Long]("bits"), r.getAs[Long]("db"))))
@@ -124,18 +160,22 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("MIME sniff recognizes each container from its signature") {
-    val mimes = docs.select(col("source"), sniffMime(pay).as("mime"))
-      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
-    assert(mimes == Map("src0" -> "image/png", "src1" -> "image/jpeg",
-      "src2" -> "audio/wav", "src3" -> "video/mp4", "src4" -> "image/png",
-      "src16" -> "image/png"))
+    val mimes = pays.select(col("doc_id"), sniffMime(col("payload")).as("mime"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(mimes == Map(0L -> "image/png", 1L -> "image/jpeg",
+      2L -> "audio/wav", 3L -> "video/mp4", 4L -> "image/png",
+      16L -> "image/png", 17L -> "image/jpeg"))
   }
 
-  test("mediaStats: integer-exact per-MIME totals") {
+  test("mediaStats: integer-exact per-MIME totals match the file geometry") {
     val stats = mediaStats(docs).collect()
       .map(r => r.getAs[String]("mime") -> r.getAs[Long]("total_bytes")).toMap
-    // 3 png docs, 33-byte header each: (12+33) + (9+33) + (12+33) = 132
-    assert(stats("image/png") == 132L)
+    // png payload = full file + body; the expected total is the builder's
+    // own geometry (the m1 oracle replays the same sum as arithmetic)
+    val pngTotal = Seq((0L, 12), (4L, 9), (16L, 12))
+      .map { case (id, bodyLen) => pngFile(id).length + bodyLen }.sum
+    assert(stats("image/png") == pngTotal.toLong)
+    assert(stats("audio/wav") == 44L + 15L)
     assert(stats.keySet ==
       Set("image/png", "image/jpeg", "audio/wav", "video/mp4"))
   }
@@ -144,37 +184,58 @@ class MultimodalSpec extends SparkSpec {
     val blobs = toBlobs(docs)
     assert(blobs.schema("payload").dataType == BinaryType)
     assert(blobs.schema.fieldNames.toSeq == Seq("doc_id", "mime", "payload"))
-    assert(blobs.count() == 6)
+    assert(blobs.count() == 7)
   }
 
-  test("decode: real PNG dims, deterministic features, partitioning preserved") {
+  test("decode: real PNG dims + pixel features, deterministic, partitioning preserved") {
     val blobs = toBlobs(docs).repartition(3)
     val feats = Multimodal.decode(blobs)
     assert(feats.rdd.getNumPartitions == 3) // mapPartitions keeps the layout
     val rows = feats.collect().sortBy(_.doc_id)
-    assert(rows.map(_.doc_id).toSeq == Seq(0L, 1L, 2L, 3L, 4L, 16L))
+    assert(rows.map(_.doc_id).toSeq == Seq(0L, 1L, 2L, 3L, 4L, 16L, 17L))
     assert(rows.forall(_.feature.length == FeatureDim))
     assert(rows.forall(r => math.abs(r.feature.map(f => f.toDouble * f).sum - 1.0) < 1e-3))
-    // png dims come from the IHDR, not the content fake
+    // png dims come from the DECODED image
     assert(rows(0).width == 16 && rows(0).height == 16)
     assert(rows(4).width == 80 && rows(4).height == 80)
-    // same payload bytes -> identical decode
-    val a = rows(0); val b = rows(5)
-    assert(a.width == b.width && a.height == b.height &&
-      a.feature.toSeq == b.feature.toSeq)
+    // png features come from the decoded PIXELS: doc 16 shares doc 0's
+    // dims and text but its grid differs -> different features
+    val (a, b) = (rows(0), rows(5))
+    assert(a.width == b.width && a.height == b.height)
+    assert(a.feature.toSeq != b.feature.toSeq)
+    // the features ARE the normalized formula chunk sums
+    val d = 16
+    val chunks = Array.fill(FeatureDim)(0L)
+    for (p <- 0L until 3L * d * d) chunks((p % FeatureDim).toInt) += pixelValue(0L, p)
+    val norm = math.sqrt(chunks.map(c => c.toDouble * c).sum)
+    assert(a.feature.toSeq == chunks.map(c => (c / norm).toFloat).toSeq)
     // second run bit-identical
     val again = Multimodal.decode(toBlobs(docs).repartition(3)).collect().sortBy(_.doc_id)
     assert(again.map(_.feature.toSeq).toSeq == rows.map(_.feature.toSeq).toSeq)
   }
 
+  test("pngPixelStats: decoded channel sums equal the formula sums") {
+    val stats = pngPixelStats(toBlobs(docs)).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("width"), r.getAs[Long]("sum_r"),
+          r.getAs[Long]("sum_g"), r.getAs[Long]("sum_b")))).toMap
+    assert(stats.keySet == Set(0L, 4L, 16L))
+    for (id <- Seq(0L, 4L, 16L)) {
+      val d = pngDimInt((id % 16).toInt)
+      val sums = Array.fill(3)(0L)
+      for (p <- 0L until 3L * d * d) sums((p % 3).toInt) += pixelValue(id, p)
+      assert(stats(id) == ((d.toLong, sums(0), sums(1), sums(2))), s"doc $id")
+    }
+  }
+
   test("decoded features feed the similarity operators (ANN integration)") {
     val feats = Multimodal.decode(toBlobs(docs)).toDF()
       .select(col("doc_id").as("vec_id"), col("feature").as("embedding"))
-    val top = Similarity.bruteForceTopK(feats.filter("vec_id = 0"), feats, k = 1)
+    val top = Similarity.bruteForceTopK(feats.filter("vec_id = 1"), feats, k = 1)
       .collect()
     assert(top.length == 1)
-    // doc 16 is byte-identical to doc 0 -> cosine 1.0 is its nearest neighbor
-    assert(top.head.getAs[Long]("c_id") == 16L)
+    // doc 17 is byte-identical to doc 1 -> cosine 1.0 is its nearest neighbor
+    assert(top.head.getAs[Long]("c_id") == 17L)
     assert(math.abs(top.head.getAs[Double]("cos") - 1.0) < 1e-9)
   }
 }
