@@ -139,6 +139,38 @@ object Bench {
       Nil
     }
 
+    // untimed: the index-selection router, gated on BOTH fixtures — the
+    // sampled cluster-mass probe must route each corpus to the index that
+    // clears 0.9 recall there (LSH on the near-uniform embeddings, refined
+    // IVF on PlantedClusters). This is the engine-behavior answer to the
+    // standing "s4_recall 0.6 if a user points IVF at a structureless
+    // corpus" finding: the router, not the docs, now owns that judgment.
+    val annAuto: Seq[(String, Double)] = try {
+      import graft.queries.SimQueries
+      import graft.sim.Similarity
+      def gate(tag: String, corpus: org.apache.spark.sql.DataFrame): Seq[(String, Double)] = {
+        val c = corpus.cache()
+        val q = c.filter(SimQueries.QueryPred)
+        val truth = Similarity.bruteForceTopK(q, c, SimQueries.K)
+          .select("q_id", "c_id").cache()
+        val nTruth = truth.count().toDouble
+        val (choice, mass, topk) = SimQueries.annAutoTopK(q, c)
+        val hits = topk.select("q_id", "c_id")
+          .join(truth, Seq("q_id", "c_id"), "left_semi").count()
+        truth.unpersist(); c.unpersist()
+        Seq(s"ann_auto_recall_$tag" -> hits / nTruth,
+            s"ann_auto_is_ivf_$tag" -> (if (choice == "ivf") 1.0 else 0.0),
+            s"ann_auto_mass_$tag" -> mass)
+      }
+      val out = gate("uniform", graft.io.Tables.embeddings(spark, sfDir)) ++
+        gate("clustered", graft.queries.SimQueries.clustered(spark, sfDir))
+      spark.catalog.clearCache()
+      out
+    } catch { case e: Throwable =>
+      errors += "ann_auto" -> e.toString.takeWhile(_ != '\n').take(200)
+      Nil
+    }
+
     // BASELINE.md headline: full detection over a 7500-benign-flow,
     // 500-bot poll history (fixture generation + caching excluded)
     val sc = Fixtures.scenario(Fixtures.ScenarioParams(nBenignFlows = 7500, nBots = 500))
@@ -256,8 +288,8 @@ object Bench {
     val loadAfter = loadavg1m()
     val wallSec = (System.nanoTime() - wallStart) / 1e9
 
-    val results = queryTimes.toSeq ++ recall ++ clusteredGates ++ detectTimes ++
-      sustained ++ detect10x ++ sf1Times
+    val results = queryTimes.toSeq ++ recall ++ clusteredGates ++ annAuto ++
+      detectTimes ++ sustained ++ detect10x ++ sf1Times
     def jq(s: String): String = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val qs = results.map { case (k, v) => jq(k) + ":" + v }.mkString("{", ",", "}")
     val errJson =

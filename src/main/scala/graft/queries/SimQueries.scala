@@ -112,6 +112,25 @@ object SimQueries {
       .withColumn("rank", col("rank").cast("long"))
   }
 
+  /** The ANN router at this bench's geometry: [[Similarity.recommendIndex]]
+    * measures the corpus's sampled cluster mass and dispatches to
+    * multi-probe LSH (direction-uniform corpora) or Lloyd-refined IVF
+    * (clustered corpora). Returns (choice, measured mass, top-k frame) —
+    * Bench gates `ann_auto_recall_*` ≥ 0.9 through this router on BOTH
+    * fixtures, which retires the standing "0.6 recall if the user points
+    * IVF at a structureless corpus" caveat as a reachable outcome.
+    */
+  def annAutoTopK(queriesDf: DataFrame, corpus: DataFrame)
+      : (String, Double, DataFrame) = {
+    val (choice, mass) = Similarity.recommendIndex(corpus)
+    val topk =
+      if (choice == "ivf")
+        Similarity.ivfTopKRefined(queriesDf, corpus, K, ClusterCentPred, NProbe, Dim)
+      else
+        Similarity.lshTopKMulti(queriesDf, corpus, K, Dim, Planes, NTables, ProbeR)
+    (choice, mass, topk)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_ann_topk" -> (s1AnnTopK _),
     "s2_cosine_pairs_blocked" -> (s2CosinePairsBlocked _),
