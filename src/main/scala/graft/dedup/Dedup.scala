@@ -235,6 +235,101 @@ object Dedup {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** [[minhashSignaturesFrom]] as a PURE PROJECTION — no explode, no
+    * groupBy, no shuffle: all `numPerms` minima accumulate in a single
+    * higher-order fold over the (distinct) shingle array, exactly as
+    * [[withSimhash]] does for its counters. Bit-identical to the
+    * aggregation form on every doc that HAS shingles (DedupStreamSpec
+    * asserts it); docs with fewer than `k` tokens get a NULL signature —
+    * the analog of the aggregation form omitting them. Usable where a
+    * shuffle is not: per-row enrichment and STREAMING ingest
+    * ([[minhashNearDupStream]]); for batch corpus sweeps the aggregation
+    * form (one codegen'd shuffle) remains the faster path.
+    */
+  def withMinhash(docs: DataFrame, textCol: String = "text",
+                  out: String = "minhash", k: Int = 3,
+                  numPerms: Int = 16): DataFrame = {
+    val shs = array_distinct(Text.shingles(Text.tokens(col(textCol)), k))
+    val mins = aggregate(
+      shs,
+      array_repeat(lit(P), numPerms),
+      (acc, sh) => {
+        val sid = strId(sh)
+        zip_with(acc,
+          transform(sequence(lit(0), lit(numPerms - 1)), i => {
+            val a = (lit(1103515245L) * (i.cast("long") + 1L)) % P
+            val b = (lit(12345L) + lit(7919L) * i.cast("long")) % P
+            (a * sid + b) % P
+          }),
+          (x, y) => least(x, y))
+      })
+    docs.withColumn("__mhshs", shs)
+      .withColumn(out, when(size(col("__mhshs")) === 0,
+          lit(null).cast("array<bigint>"))
+        .otherwise(mins))
+      .drop("__mhshs")
+  }
+
+  /** Streaming NEAR-dup gate (MinHash/Jaccard) — the Jaccard-threshold
+    * sibling of [[nearDupStream]], matching the at-ingest posture of the
+    * reference's per-poll detection loop
+    * (ryu/src/deployed_controller/DIPA_Controller.py:452-501 runs per
+    * poll, not per corpus): emits (dup_id, of_id, est_jaccard) for every
+    * arriving document whose signature-estimated Jaccard against a
+    * previously seen document reaches `threshold`.
+    *
+    * Shape: [[withMinhash]] is the map-only signature projection (no
+    * pre-state shuffle — a pre-state aggregation would make the query
+    * multi-stateful); the signature splits into `bands` bands of
+    * `numPerms/bands` rows, and each (band, band-signature) bucket is one
+    * keyed state entry holding the (id, full signature) of docs seen
+    * there. An arriving doc verifies est-Jaccard (matching-component
+    * fraction — the standard unbiased MinHash estimator) against ONLY its
+    * bucket's occupants, never the corpus and never the texts. Banding
+    * semantics mirror [[minhashLsh]]: a pair is a candidate iff some band
+    * signature matches exactly (false-negative probability (1-s^r)^b);
+    * the verify differs — the batch form re-scores candidates with EXACT
+    * shingle Jaccard, while at ingest the signatures ARE the stored
+    * evidence, so the estimate (±1/sqrt(numPerms) st.dev.) is the
+    * documented trade for never touching stored text. First-wins within a
+    * micro-batch by id order; a flagged doc still registers as a
+    * representative; pairs can repeat across bands — `.distinct()` per
+    * batch if consumed as a set. State per doc is `bands` entries of
+    * `numPerms` longs; `idleTimeoutMs` evicts cold buckets.
+    */
+  def minhashNearDupStream(docs: DataFrame, k: Int = 3, numPerms: Int = 16,
+                           bands: Int = 4, threshold: Double = 0.5,
+                           idCol: String = "doc_id", textCol: String = "text",
+                           idleTimeoutMs: Option[Long] = None)
+      : org.apache.spark.sql.Dataset[(Long, Long, Double)] = {
+    require(numPerms % bands == 0, "bands must divide numPerms")
+    val r = numPerms / bands
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val banded = withMinhash(docs.select(col(idCol).cast("long").as("id"),
+        col(textCol)), textCol, "minhash", k, numPerms)
+      .filter(col("minhash").isNotNull) // token-less docs: neither flagged nor stored
+      .select(col("id"), col("minhash"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      // bucket key = band + its signature rows, the string twin of
+      // minhashLsh's (band, concat_ws sig) equi-join key
+      .withColumn("bucket", concat_ws(",", col("band").cast("string"),
+        slice(col("minhash"), col("band") * r + 1, lit(r)).cast("array<string>")))
+      .select(col("bucket"), col("id"), col("minhash")).as[(String, Long, Seq[Long])]
+    graft.streaming.StateMachines
+      .runMachine[String, (String, Long, Seq[Long]), Seq[(Long, Seq[Long])],
+        (Long, Long, Double)](
+        banded, key = _._1, order = _._2, init = Seq.empty,
+        idleTimeoutMs = idleTimeoutMs) { case (reps, (_, id, sig)) =>
+        val hits = reps.flatMap { case (rid, rsig) =>
+          val est = rsig.iterator.zip(sig.iterator)
+            .count { case (a, b) => a == b }.toDouble / numPerms
+          if (est >= threshold) Some((id, rid, est)) else None
+        }
+        (reps :+ ((id, sig)), hits)
+      }
+  }
+
   /** MinHash + LSH banding: split the signature into `bands` bands of
     * `numPerms/bands` rows; docs sharing any band signature become candidate
     * pairs; candidates are verified with exact Jaccard >= threshold.

@@ -44,12 +44,31 @@ object DedupQueries {
         SimQueries.Dim, SimQueries.Planes, SimQueries.NTables)
       .select(col("vec_id"), col("label").cast("long").as("label"))
 
+  /** d6 — the PROJECTION-form MinHash signatures (the map-only path the
+    * streaming near-dup gate rides, Dedup.withMinhash): one row per doc
+    * with >= 1 shingle, `NumPerms` signature columns. The oracle replays
+    * the identical md5-id + LCG-min arithmetic via the aggregation shape,
+    * so a hash match pins the higher-order fold against an independent
+    * formulation — the streaming gate's signatures are exactly these
+    * (DedupStreamSpec additionally pins projection == aggregation in
+    * Spark).
+    */
+  def d6MinhashSigs(s: SparkSession, dir: String): DataFrame = {
+    val sig = Dedup.withMinhash(Tables.documents(s, dir), k = K,
+      numPerms = NumPerms)
+    sig.filter(col("minhash").isNotNull)
+      .select(col("doc_id") +: (0 until NumPerms).map(i =>
+        org.apache.spark.sql.functions.element_at(col("minhash"), i + 1)
+          .as(s"mh$i")): _*)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> (d1Exact _),
     "d2_jaccard_pairs" -> (d2JaccardPairs _),
     "d3_minhash_lsh" -> (d3MinhashLsh _),
     "d4_simhash_pairs" -> (d4SimhashPairs _),
-    "d5_embed_dedup" -> (d5EmbedDedup _)
+    "d5_embed_dedup" -> (d5EmbedDedup _),
+    "d6_minhash_sigs" -> (d6MinhashSigs _)
   )
 
   // ---- generated DuckDB twins ----------------------------------------
@@ -142,6 +161,21 @@ object DedupQueries {
     "d1_exact_dedup" ->
       """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY text""".stripMargin,
+    // d6: the signature projection replayed through the aggregation
+    // shape — same md5 ids, same LCG permutation constants
+    "d6_minhash_sigs" -> {
+      val mhCols = (0 until NumPerms)
+        .map(i => s"  CAST(MIN(${permSql(i, "sid")}) AS BIGINT) AS mh$i")
+        .mkString(",\n")
+      s"""WITH s AS (
+         |  $shinglesSql
+         |), ids AS (
+         |  SELECT doc_id, ${strIdSql("sh")} AS sid FROM s
+         |)
+         |SELECT doc_id,
+         |$mhCols
+         |FROM ids GROUP BY doc_id""".stripMargin
+    },
     // d5: survivors = vectors that are never the higher-id side of an
     // above-threshold LSH pair (the s5 pairs SQL verbatim as a subquery)
     "d5_embed_dedup" ->

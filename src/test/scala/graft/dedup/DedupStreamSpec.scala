@@ -76,6 +76,96 @@ class DedupStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("withMinhash is bit-identical to the aggregation-form signatures") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val numPerms = 16
+    val viaAgg = Dedup.minhashSignatures(docs, k = 3, numPerms)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (0 until numPerms).map(i => r.getAs[Long](s"mh$i"))).toMap
+    val viaExpr = Dedup.withMinhash(docs, numPerms = numPerms)
+      .select("doc_id", "minhash")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Seq[Long]]("minhash"))
+      .toMap
+    // the projection emits NULL where the aggregation form omits the doc
+    assert(viaExpr.filter(_._2 != null) == viaAgg)
+    assert(viaAgg.values.toSet.size > 1) // sanity: not a constant
+  }
+
+  test("minhashNearDupStream candidates match the batch banding across batches") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight again"),
+      (2L, "an entirely different document about spark state stores"),
+      (3L, "the quick brown fox jumps over the lazy dog tonight again"), // exact
+      (4L, "the quick brown fox jumps over the lazy cat tonight again"), // near
+      (5L, "yet another unrelated text on columnar shuffle plans"))
+    val (numPerms, bands, th) = (16, 4, 0.5)
+    val r = numPerms / bands
+    // batch ground truth: pairs sharing >= 1 band signature (minhashLsh's
+    // candidate rule) whose est-Jaccard (matching-component fraction)
+    // clears the threshold — emitted as (laterId, earlierId) on ordered
+    // arrival
+    val sigs = Dedup.withMinhash(docs.toDF("doc_id", "text"), numPerms = numPerms)
+      .select("doc_id", "minhash")
+      .collect().map(row => row.getAs[Long]("doc_id") -> row.getAs[Seq[Long]]("minhash"))
+      .toMap
+    val expected = (for {
+      i <- sigs.keys; j <- sigs.keys if i < j
+      shareBand = (0 until bands).exists(b =>
+        sigs(i).slice(b * r, b * r + r) == sigs(j).slice(b * r, b * r + r))
+      if shareBand
+      est = sigs(i).zip(sigs(j)).count { case (a, b) => a == b }.toDouble / numPerms
+      if est >= th
+    } yield (j, i, est)).toSet
+    assert(expected.exists(_._3 == 1.0)) // the planted exact dup is in play
+    assert(expected.exists(e => e._3 < 1.0)) // and a genuinely partial match
+
+    val in = MemoryStream[(Long, String)](spark)
+    val q = Dedup.minhashNearDupStream(in.toDS().toDF("doc_id", "text"),
+        numPerms = numPerms, bands = bands, threshold = th)
+      .toDF("dup_id", "of_id", "est")
+      .writeStream.format("memory").queryName("mh_neardup")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      in.addData(docs.take(2): _*)
+      q.processAllAvailable()
+      in.addData(docs.drop(2): _*) // dups arrive in a LATER batch
+      q.processAllAvailable()
+      val got = spark.table("mh_neardup")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got == expected, s"got $got want $expected")
+    } finally q.stop()
+  }
+
+  test("minhashNearDupStream: idle timeout bounds the bucket state") {
+    val in = MemoryStream[(Long, String)](spark)
+    val q = Dedup.minhashNearDupStream(in.toDS().toDF("doc_id", "text"),
+        idleTimeoutMs = Some(1L)) // evict on a subsequent trigger
+      .writeStream.format("memory").queryName("mh_evict")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("200 milliseconds"))
+      .outputMode(OutputMode.Update()).start()
+    try {
+      in.addData((1L, "alpha beta gamma delta epsilon zeta"),
+        (2L, "one two three four five six seven"))
+      // processAllAvailable never latches under ProcessingTimeTimeout
+      // (shouldRunAnotherBatch stays true for timeout checks), so poll the
+      // progress metrics with a deadline instead — StateMachinesSpec's
+      // documented pattern
+      val deadline = System.nanoTime() + 60L * 1000000000L
+      def stateRows: Long = Option(q.lastProgress)
+        .map(_.stateOperators.head.numRowsTotal).getOrElse(-1L)
+      while (stateRows <= 0 && System.nanoTime() < deadline) Thread.sleep(100)
+      val grown = stateRows
+      assert(grown > 0, "buckets must be registered as state")
+      // the 1 ms timeout has long expired: a later trigger removes the
+      // idle buckets and state drains to zero
+      while (stateRows > 0 && System.nanoTime() < deadline) Thread.sleep(100)
+      assert(stateRows == 0,
+        s"state still holds $stateRows rows — idle eviction is not happening")
+    } finally q.stop()
+  }
+
   test("exactStreamWithinWatermark: bounded state, exact dedup inside the window") {
     def ts(s: Long) = new java.sql.Timestamp(1735689600000L + s * 1000)
     val in = MemoryStream[(Long, java.sql.Timestamp, String)](spark)
