@@ -214,6 +214,12 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       q.stop()
+      // diagnosis hook: the full per-poll series to stderr (which poll
+      // spikes matters — first-poll state growth reads very differently
+      // from a mid-run GC/maintenance pause)
+      if (sys.env.get("SPARK_GRAFT_POLL_DEBUG").contains("1"))
+        System.err.println(s"$label polls: " +
+          perPoll.map(t => f"$t%.2f").mkString(" "))
       // per-run loadavg snapshot: sustained rows are single-pass latency
       // distributions (not min-of-N-able), so an ambient-load-inflated run
       // must self-identify in the JSON instead of silently reading as slow

@@ -37,6 +37,68 @@ final case class FileLog(dir: String) extends LogTransport {
   def sink: (Dataset[Row], Long) => Unit = AlertLog.sink(dir)
 }
 
+/** The N-partition file-backed transport — the partitioned-topic shape of
+  * the reference's producer (`ryu/src/deployed_controller/
+  * DIPA_Controller.py:80` round-robin-routes alerts across topic
+  * partitions). Each partition is one [[AlertLog]] directory
+  * (`dir/p0 … dir/p{N-1}`) with its OWN contiguous offset sequence;
+  * ordering holds WITHIN a partition only — exactly the broker contract,
+  * and exactly what the consumer's content-keyed dedup state was already
+  * built to not depend on.
+  *
+  * This removes [[AlertLog]]'s single-writer serialization caveat:
+  * producers routed to different partitions never contend (each
+  * partition keeps `createLink` race detection against two writers on
+  * the SAME partition), while the consumer tails all partitions as one
+  * stream, with a `partition` column alongside the contract's
+  * (offset, value).
+  */
+final case class PartitionedLog(dir: String, partitions: Int = 4) extends LogTransport {
+  require(partitions >= 1, "need at least one partition")
+
+  def pdir(p: Int): String = s"$dir/p$p"
+  private def createAll(): Unit = (0 until partitions).foreach { p =>
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(pdir(p))); ()
+  }
+
+  /** partition id recovered from the segment's directory name. */
+  private def withPartition(df: DataFrame): DataFrame =
+    df.withColumn("partition",
+      regexp_extract(input_file_name(), "/p(\\d+)/", 1).cast("int"))
+
+  def stream(spark: SparkSession): DataFrame = {
+    createAll()
+    withPartition(spark.readStream.schema(AlertLog.Schema)
+      .option("sep", "\t").option("quote", "")
+      .csv(s"$dir/p*/*.seg"))
+  }
+
+  def read(spark: SparkSession): DataFrame = {
+    createAll()
+    withPartition(spark.read.schema(AlertLog.Schema)
+      .option("sep", "\t").option("quote", "")
+      .csv(s"$dir/p*/*.seg"))
+  }
+
+  /** Round-robin publish: frame `i` of the batch goes to partition
+    * `i mod N`, each partition's share appended as one atomic segment at
+    * that partition's next offset.
+    */
+  def publishRoundRobin(frames: Seq[String]): Unit =
+    frames.zipWithIndex.groupBy(_._2 % partitions).foreach { case (p, fs) =>
+      AlertLog.append(pdir(p), fs.map(_._1)); ()
+    }
+
+  /** `foreachBatch` producer hook: deterministic frame order (sorted, as
+    * [[AlertLog.sink]]), then round-robin across partitions.
+    */
+  def sink: (Dataset[Row], Long) => Unit = (batch, _) => {
+    val frames = batch.select("value")
+      .as[String](org.apache.spark.sql.Encoders.STRING).collect().toSeq.sorted
+    if (frames.nonEmpty) publishRoundRobin(frames)
+  }
+}
+
 /** The Kafka transport: one topic per domain (`alert<domain>` — the
   * reference's topic naming), Spark's kafka source/sink as consumer and
   * producer. The option mapping below is the entire adapter; the

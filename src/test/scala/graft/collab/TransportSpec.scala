@@ -63,6 +63,63 @@ class TransportSpec extends SparkSpec {
     contract(FileLog(java.nio.file.Files.createTempDirectory("transport-log").toString))
   }
 
+  test("PartitionedLog satisfies the transport contract over 4 partitions") {
+    contract(PartitionedLog(
+      java.nio.file.Files.createTempDirectory("transport-plog").toString, 4))
+  }
+
+  test("PartitionedLog: round-robin routing, per-partition contiguous offsets") {
+    val log = PartitionedLog(
+      java.nio.file.Files.createTempDirectory("plog-order").toString, 4)
+    val first = (0 until 10).map(i => s"frame$i")
+    log.publishRoundRobin(first)
+    log.publishRoundRobin((10 until 14).map(i => s"frame$i"))
+    val rows = log.read(spark).collect()
+      .map(r => (r.getAs[Int]("partition"), r.getAs[Long]("offset"),
+        r.getAs[String]("value")))
+    assert(rows.length == 14)
+    // frame i landed on partition i mod 4 (within each publish batch)
+    assert(rows.filter(_._3 == "frame5").head._1 == 1)
+    assert(rows.filter(_._3 == "frame12").head._1 == 2)
+    for (p <- 0 until 4) {
+      val inP = rows.filter(_._1 == p).sortBy(_._2)
+      // per-partition offsets are contiguous from 0 — each partition is
+      // its own totally-ordered log
+      assert(inP.map(_._2).toSeq == inP.indices.map(_.toLong))
+      // and frames appear in publish order within the partition
+      val ids = inP.map(_._3.stripPrefix("frame").toInt)
+      assert(ids.toSeq == ids.sorted.toSeq)
+      // round-robin restarts per publish batch: frame i of batch 1 (0-9)
+      // sits at i mod 4, frame i of batch 2 (10-13) at (i - 10) mod 4
+      assert(ids.forall(i => (if (i < 10) i % 4 else (i - 10) % 4) == p))
+    }
+  }
+
+  test("PartitionedLog: producers on different partitions never contend") {
+    val log = PartitionedLog(
+      java.nio.file.Files.createTempDirectory("plog-conc").toString, 4)
+    // 4 producers append concurrently, one per partition, 20 rounds each —
+    // the single-writer collision (IllegalStateException from createLink)
+    // must never fire across partitions
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 4).map { p =>
+      new Thread(() =>
+        try (0 until 20).foreach(i => AlertLog.append(log.pdir(p), Seq(s"p$p-$i")))
+        catch { case t: Throwable => errs.add(t); () })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"cross-partition producers collided: ${errs.peek()}")
+    val rows = log.read(spark).collect()
+      .map(r => (r.getAs[Int]("partition"), r.getAs[Long]("offset"),
+        r.getAs[String]("value")))
+    assert(rows.length == 80)
+    for (p <- 0 until 4) {
+      val inP = rows.filter(_._1 == p).sortBy(_._2)
+      assert(inP.map(_._2).toSeq == (0L until 20L))
+      assert(inP.map(_._3).toSeq == (0 until 20).map(i => s"p$p-$i"))
+    }
+  }
+
   test("KafkaLog maps the contract onto Spark's kafka source/sink options") {
     val k = KafkaLog("broker1:9092,broker2:9092", "alertvm0")
     assert(k.readerOptions("kafka.bootstrap.servers") == "broker1:9092,broker2:9092")
