@@ -485,11 +485,94 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Transitive duplicate CLUSTERS from a near-dup pair list
+    * ((i, j) + anything): every doc that appears in a pair is labelled
+    * with the MINIMUM doc id reachable through the pair graph — connected
+    * components, the closure the pairwise operators above deliberately
+    * stop short of (their greedy keeper rules are one-pass; a chain
+    * a~b~c dedups fully only under the closure).
+    *
+    * Implementation: iterative min-label propagation. Labels start as
+    * self; each sweep takes the min of a node's label and its neighbors'
+    * labels (one equi-join + one aggregate — both plain shuffles on the
+    * node id at any scale); the loop stops at a fixpoint, detected by a
+    * per-sweep changed-count. The driver-side loop is the legitimate
+    * iterative-algorithm shape (same as [[graft.sim.Similarity.refineCentroids]]'s
+    * sweep loop): each iteration is a full distributed pass, the driver
+    * only compares a count. Converges in O(component diameter) sweeps —
+    * near-dup components are cliques and short chains, so a handful;
+    * `maxIters` bounds pathological chains, and hitting it throws rather
+    * than silently returning half-merged clusters. Each sweep's labels
+    * are `localCheckpoint`ed EAGERLY: without lineage truncation the
+    * logical plan doubles per sweep (labels feed both join sides) and an
+    * iterative query compounds to an exponentially large plan — the
+    * standard Spark iterative-algorithm trap. localCheckpoint is
+    * executor-local (fast, no DFS write); a production run that must
+    * survive executor loss mid-computation swaps in reliable
+    * `checkpoint()` — same shape, one conf. (For graphs with
+    * continent-sized diameters the large-star/small-star variant halves
+    * rounds; near-dup graphs do not need it.)
+    *
+    * Emits (doc_id, cluster). Docs in no pair are singletons — trivially
+    * their own cluster — and are omitted; union them back from the
+    * corpus if a total assignment is needed ([[dedupByClusters]] does).
+    */
+  def dupClusters(pairs: DataFrame, maxIters: Int = 25,
+                  iCol: String = "i", jCol: String = "j"): DataFrame = {
+    val edges = pairs.select(col(iCol).as("a"), col(jCol).as("b"))
+      .union(pairs.select(col(jCol).as("a"), col(iCol).as("b")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIters) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("b"), col("label").as("nl")), "b")
+        .groupBy(col("a").as("id"))
+        .agg(min(col("nl")).as("nl"))
+      val next = labels
+        .join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+        .localCheckpoint(true) // eager: truncates lineage, constant plan size
+      changed = next
+        .join(labels.select(col("id"), col("label").as("old")), "id")
+        .filter(col("label") =!= col("old"))
+        .count() // the driver sees ONE long
+      labels.unpersist(false)
+      labels = next
+      it += 1
+    }
+    edges.unpersist(false)
+    require(changed == 0,
+      s"dupClusters did not converge in $maxIters sweeps — component " +
+        "diameter exceeds the bound; raise maxIters")
+    labels.select(col("id").as("doc_id"), col("label").as("cluster"))
+  }
+
+  /** Transitive-closure dedup: keep ONE doc per duplicate cluster (the
+    * minimum id — deterministic, id-stable) plus every singleton. The
+    * closure form of the pairwise keeper rules: a chain a~b~c keeps only
+    * `a` here, where the greedy one-pass rule could keep `a` and `c`.
+    * One [[dupClusters]] run + one broadcast-size join against the
+    * (small) non-keeper set.
+    */
+  def dedupByClusters(docs: DataFrame, pairs: DataFrame,
+                      idCol: String = "doc_id"): DataFrame = {
+    val clusters = dupClusters(pairs)
+    val dropped = clusters.filter(col("doc_id") =!= col("cluster"))
+      .select(col("doc_id").as(idCol))
+    docs.join(dropped, Seq(idCol), "left_anti")
+  }
+
   /** Embedding-cosine near-dup dedup: drop every vector that has a
     * more-canonical (lower-id) neighbor with cosine >= `threshold`, keep
     * the rest — the greedy one-pass keeper rule (deterministic, id-stable
-    * under re-partitioning; NOT transitive closure, which at 100 TB needs
-    * an iterative connected-components pass no single query expresses).
+    * under re-partitioning; NOT transitive closure — that needs an
+    * iterative connected-components pass no single query expresses, which
+    * is exactly what [[dupClusters]]/[[dedupByClusters]] provide).
     *
     * Candidate pairs come from the same multi-table hyperplane index as
     * [[graft.sim.Similarity.cosinePairsLsh]] — one shuffle on

@@ -62,13 +62,24 @@ object DedupQueries {
           .as(s"mh$i")): _*)
   }
 
+  /** d7 — transitive duplicate clusters: connected components (min
+    * reachable id) over the d4 SimHash near-dup pair graph. The Spark
+    * side iterates min-label propagation to a fixpoint; the oracle walks
+    * the same graph with a recursive CTE — agreement proves the
+    * iterative loop computes the true closure, not a partial merge.
+    */
+  def d7DupClusters(s: SparkSession, dir: String): DataFrame =
+    Dedup.dupClusters(
+      Dedup.simhashPairs(Tables.documents(s, dir), MaxHamming))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> (d1Exact _),
     "d2_jaccard_pairs" -> (d2JaccardPairs _),
     "d3_minhash_lsh" -> (d3MinhashLsh _),
     "d4_simhash_pairs" -> (d4SimhashPairs _),
     "d5_embed_dedup" -> (d5EmbedDedup _),
-    "d6_minhash_sigs" -> (d6MinhashSigs _)
+    "d6_minhash_sigs" -> (d6MinhashSigs _),
+    "d7_dup_clusters" -> (d7DupClusters _)
   )
 
   // ---- generated DuckDB twins ----------------------------------------
@@ -161,6 +172,27 @@ object DedupQueries {
     "d1_exact_dedup" ->
       """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY text""".stripMargin,
+    // d7: connected components over the d4 pair graph. The recursive CTE
+    // enumerates every (node, reachable node) pair — set-union semantics
+    // terminate it — and MIN over the reachable set is the component
+    // label. An independent formulation of the closure the Spark side
+    // reaches by fixpoint iteration.
+    "d7_dup_clusters" ->
+      s"""WITH RECURSIVE pairs AS (
+         |  SELECT i, j FROM (
+         |${simhashSql.linesIterator.map("    " + _).mkString("\n")}
+         |  ) d4
+         |), edges AS (
+         |  SELECT i AS a, j AS b FROM pairs
+         |  UNION ALL
+         |  SELECT j AS a, i AS b FROM pairs
+         |), reach AS (
+         |  SELECT DISTINCT a AS id, a AS label FROM edges
+         |  UNION
+         |  SELECT e.a AS id, r.label FROM edges e JOIN reach r ON r.id = e.b
+         |)
+         |SELECT id AS doc_id, CAST(MIN(label) AS BIGINT) AS cluster
+         |FROM reach GROUP BY id""".stripMargin,
     // d6: the signature projection replayed through the aggregation
     // shape — same md5 ids, same LCG permutation constants
     "d6_minhash_sigs" -> {
