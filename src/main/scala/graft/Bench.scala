@@ -88,7 +88,8 @@ object Bench {
     // untimed: ANN recall vs the s1 exact ground truth — the scale gate for
     // the multi-probe LSH geometry and the Lloyd-refined IVF (target >= 0.9
     // at the bench sf)
-    val recall = Seq("s3_recall" -> "s3_lsh_topk", "s4_recall" -> "s4_ivf_topk")
+    val recall = Seq("s3_recall" -> "s3_lsh_topk", "s4_recall" -> "s4_ivf_topk",
+        "s7_recall" -> "s7_q8_topk")
       .map { case (metric, query) =>
         try {
           val s1 = SparkEntry.queries("s1_ann_topk")(spark, sfDir).select("q_id", "c_id")

