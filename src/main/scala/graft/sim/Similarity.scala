@@ -407,12 +407,21 @@ object Similarity {
         x => floor(x.cast(DoubleType) / col(s"${out}_scale") + 0.5d).cast("int")))
   }
 
-  /** Integer dot product of two int-array columns (exact — no FP order
-    * sensitivity at all, unlike the float path).
+  /** Integer dot product of two int-array columns as a higher-order fold
+    * (exact — no FP order sensitivity at all, unlike the float path).
+    * Session-less fallback and the parity twin NativeExprSpec pins the
+    * codegen'd [[graft.functions.IntDotProduct]] against; the query path
+    * uses the native expression.
     */
-  private def dotInt(a: Column, b: Column): Column =
+  def dotIntExact(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x.cast("long") * y)), lit(0L),
       (acc, x) => acc + x)
+
+  /** Native integer dot bound to `df`'s session (registers, idempotent). */
+  private def nativeDotInt(df: DataFrame): (Column, Column) => Column = {
+    graft.functions.IntDotProduct.register(df.sparkSession)
+    graft.functions.IntDotProduct(_, _)
+  }
 
   /** Brute-force top-k over int8-QUANTIZED vectors. Cosine over the
     * reconstructed vectors collapses to pure integer arithmetic — the
@@ -425,15 +434,16 @@ object Similarity {
     */
   def quantizedTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val dot = nativeDotInt(corpus)
     val q = withQuantized(queries.select(col(idCol).as("q_id"), col(vecCol)), vecCol)
       .select(col("q_id"), col("q8").as("qa"))
-      .withColumn("qn", sqrt(dotInt(col("qa"), col("qa")).cast(DoubleType)))
+      .withColumn("qn", sqrt(dot(col("qa"), col("qa")).cast(DoubleType)))
     val c = withQuantized(corpus.select(col(idCol).as("c_id"), col(vecCol)), vecCol)
       .select(col("c_id"), col("q8").as("qb"))
-      .withColumn("cn", sqrt(dotInt(col("qb"), col("qb")).cast(DoubleType)))
+      .withColumn("cn", sqrt(dot(col("qb"), col("qb")).cast(DoubleType)))
     val scored = c.join(broadcast(q), col("q_id") =!= col("c_id"))
       .withColumn("cos",
-        dotInt(col("qa"), col("qb")).cast(DoubleType) / (col("qn") * col("cn")))
+        dot(col("qa"), col("qb")).cast(DoubleType) / (col("qn") * col("cn")))
       .select(col("q_id"), col("c_id"), col("cos"))
     rankTopK(scored, k)
   }

@@ -33,6 +33,32 @@ class NativeExprSpec extends SparkSpec {
     }
   }
 
+  private lazy val ivecs = Seq(
+    (0L, Array(1, -2, 3, 127)),
+    (1L, Array(-127, 55, 0, 9)),
+    (2L, Array(0, 0, 0, 0)),
+    (3L, null.asInstanceOf[Array[Int]])
+  ).toDF("id", "v")
+
+  test("graft_dot_int equals the integer fold (exact longs)") {
+    IntDotProduct.register(spark)
+    val both = ivecs.filter(col("v").isNotNull).as("a")
+      .crossJoin(ivecs.filter(col("v").isNotNull).as("b"))
+      .select(
+        IntDotProduct(col("a.v"), col("b.v")).as("native"),
+        Similarity.dotIntExact(col("a.v"), col("b.v")).as("fold"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
+  test("graft_dot_int: null input yields null") {
+    IntDotProduct.register(spark)
+    val n = ivecs.select(IntDotProduct(col("v"), col("v")).as("d"))
+      .filter(col("d").isNull).count()
+    assert(n == 1)
+  }
+
   test("graft_dot: null input yields null") {
     DotProduct.register(spark)
     val n = vecs.select(DotProduct(col("v"), col("v")).as("d"))
