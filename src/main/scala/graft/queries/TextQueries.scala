@@ -81,13 +81,30 @@ object TextQueries {
       Text.bpeTokenCount(col("text")).cast("long").as("n_pre"),
       Text.bpeMergeTokenCount(col("text")).cast("long").as("n_bpe"))
 
+  /** t7 — BPE merge TRAINING: the first `TrainRounds` rules learned from
+    * this corpus (graft.text.BpeTrain — one corpus pass to the word-freq
+    * vocab, then vocab-only merge rounds). The oracle replays the entire
+    * training loop as a generated CTE chain, so the hash match pins every
+    * pair count, every argmax tie-break, and every merge application.
+    */
+  val TrainRounds = 8
+
+  def t7BpeTrain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.text.BpeTrain.learn(Tables.documents(s, dir), TrainRounds)
+      .zipWithIndex
+      .map { case (m, i) => (i + 1L, m.a, m.b, m.cnt) }
+      .toDF("rank", "a", "b", "cnt")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_token_stats" -> (t1TokenStats _),
     "t2_quality" -> (t2Quality _),
     "t3_lang_confusion" -> (t3LangConfusion _),
     "t4_token_topk" -> (t4TokenTopK _),
     "t5_bpe_tokens" -> (t5BpeTokens _),
-    "t6_bpe_merges" -> (t6BpeMerges _)
+    "t6_bpe_merges" -> (t6BpeMerges _),
+    "t7_bpe_train" -> (t7BpeTrain _)
   )
 
   /** DuckDB lambda twin of Text.tokens. */
@@ -108,7 +125,56 @@ object TextQueries {
     s"CASE ${arms.mkString(" ")} ELSE 'und' END"
   }
 
+  /** Twin of BpeTrain.learn: the word-freq vocab, then `TrainRounds`
+    * generated (pair-count argmax, merge apply) CTE stages. The per-stage
+    * argmax uses the same (cnt DESC, a ASC, b ASC) tie-break; `replace`
+    * is all-occurrences left-to-right in both engines; the outer-paren
+    * strip needs DuckDB's 'g' flag (one match per anchor).
+    */
+  private def t7Sql: String = {
+    val pat = Text.BpePattern.replace("'", "''")
+    val w0 =
+      s"""SELECT CAST(COUNT(*) AS BIGINT) AS freq,
+         |    regexp_replace(word, '(.)', '(\\1)', 'g') AS sym
+         |  FROM (SELECT ltrim(t, ' ') AS word
+         |        FROM (SELECT unnest(regexp_extract_all(text, '$pat')) AS t
+         |              FROM documents)
+         |        WHERE regexp_matches(t, '^ ?[A-Za-z]+${"$"}'))
+         |  GROUP BY word""".stripMargin
+    // every stage is MATERIALIZED: DuckDB inlines plain CTEs, and a chain
+    // where w_i references w_{i-1} several times (the argmax scalar
+    // subqueries) would otherwise expand exponentially — 5^rounds corpus
+    // scans blew the open-file limit before this
+    val stages = (1 to TrainRounds).map { i =>
+      s"""p$i AS MATERIALIZED (
+         |  SELECT p[1] AS a, p[2] AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+         |  FROM (
+         |    SELECT freq, unnest(list_transform(range(1, len(syms)),
+         |      j -> [syms[j], syms[j + 1]])) AS p
+         |    FROM (SELECT freq,
+         |            string_split(regexp_replace(sym, '^\\(|\\)${"$"}', '', 'g'), ')(') AS syms
+         |          FROM w${i - 1})
+         |  ) GROUP BY 1, 2
+         |  ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
+         |), w$i AS MATERIALIZED (
+         |  SELECT freq, replace(sym,
+         |    '(' || (SELECT a FROM p$i) || ')(' || (SELECT b FROM p$i) || ')',
+         |    '(' || (SELECT a FROM p$i) || (SELECT b FROM p$i) || ')') AS sym
+         |  FROM w${i - 1}
+         |)""".stripMargin
+    }
+    val out = (1 to TrainRounds)
+      .map(i => s"SELECT CAST($i AS BIGINT) AS rank, a, b, cnt FROM p$i")
+      .mkString("\n  UNION ALL ")
+    s"""WITH w0 AS MATERIALIZED (
+       |  $w0
+       |),
+       |${stages.mkString(",\n")}
+       |$out""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "t7_bpe_train" -> t7Sql,
     "t1_token_stats" ->
       s"""SELECT doc_id,
          |  CAST(len($toksSql) AS BIGINT) AS n_tokens,

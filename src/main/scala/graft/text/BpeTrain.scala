@@ -1,0 +1,99 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** BPE merge-rule TRAINING — the learning counterpart of
+  * [[Text.bpeEncode]]: derive the merges table from the corpus itself
+  * (Sennrich-style byte-pair encoding: repeatedly merge the most frequent
+  * adjacent symbol pair), so a pipeline can train its tokenizer and
+  * budget tokens with it in the same engine.
+  *
+  * Scale shape — the part that matters at 100 TB: training is TWO-PHASE.
+  * Phase one is the single corpus pass ([[wordFreq]]: pre-tokenize,
+  * filter letter runs, one groupBy) producing the word-frequency VOCAB —
+  * millions of rows however big the corpus. Phase two iterates over only
+  * that vocab: each merge round is one pair-count aggregation over the
+  * vocab plus a 1-row argmax collect (the learned rule is driver-side
+  * config by nature, exactly like a broadcast-join threshold — the data
+  * plane never round-trips). The corpus is never re-read after phase one.
+  *
+  * Determinism: the argmax tie-break is (count DESC, left ASC,
+  * right ASC), identical in the DuckDB twin, so the learned table — and
+  * every token count derived from it — is reproducible bit-for-bit.
+  * Symbol strings reuse [[Text.bpeEncode]]'s wrapped representation
+  * ("(t)(h)(e)"), so applying a learned rule is the same literal
+  * `replace` the encoder uses: training and encoding can never disagree
+  * on merge semantics.
+  */
+object BpeTrain {
+
+  /** One learned rule: left symbol, right symbol, summed pair frequency. */
+  final case class Merge(a: String, b: String, cnt: Long)
+
+  /** Phase one: (word, freq) over the corpus's letter runs — the ONLY
+    * pass that touches the corpus. Leading pre-token spaces fold into the
+    * word (GPT-Ġ-style), matching [[Text.bpeMergeTokenCount]].
+    */
+  def wordFreq(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(explode(Text.bpeTokens(col(textCol))).as("t"))
+      .filter(col("t").rlike("^ ?[A-Za-z]+$"))
+      .select(ltrim(col("t")).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("freq"))
+
+  /** Adjacent symbol pairs of the wrapped `sym` column as an array of
+    * (a, b) structs — empty for single-symbol words. The Spark guard
+    * matters: `sequence(1, 0)` DESCENDS instead of being empty.
+    */
+  private def adjacentPairs(sym: org.apache.spark.sql.Column) = {
+    val syms = split(regexp_replace(sym, "^\\(|\\)$", ""), "\\)\\(")
+    val idx = when(size(syms) >= 2, sequence(lit(1), size(syms) - 1))
+      .otherwise(array().cast("array<int>"))
+    transform(idx, i => struct(
+      element_at(syms, i).as("a"), element_at(syms, i + 1).as("b")))
+  }
+
+  /** Learn `numMerges` rules. Stops early if the vocab runs out of
+    * adjacent pairs. Each round appends one literal `replace` to the sym
+    * projection; the vocab is re-`localCheckpoint`ed every 8 rounds so
+    * the plan stays bounded (the iterative-plan rule, see
+    * Dedup.dupClusters).
+    */
+  def learn(docs: DataFrame, numMerges: Int,
+            textCol: String = "text"): Seq[Merge] = {
+    require(numMerges >= 1, "need at least one merge round")
+    var vocab = wordFreq(docs, textCol)
+      .withColumn("sym", regexp_replace(col("word"), "(.)", "($1)"))
+      .select("freq", "sym")
+      .localCheckpoint(true) // phase one ends: corpus never re-read
+    val learned = Seq.newBuilder[Merge]
+    var exhausted = false
+    var i = 0
+    while (i < numMerges && !exhausted) {
+      val top = vocab
+        .select(col("freq"), explode(adjacentPairs(col("sym"))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+        .limit(1)
+        .collect() // ONE row: the learned rule is driver-side config
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, cnt) = (top.head.getAs[String]("a"),
+          top.head.getAs[String]("b"), top.head.getAs[Long]("cnt"))
+        learned += Merge(a, b, cnt)
+        vocab = vocab.withColumn("sym",
+          org.apache.spark.sql.functions.replace(
+            col("sym"), lit(s"($a)($b)"), lit(s"($a$b)")))
+        if (i % 8 == 7) vocab = vocab.localCheckpoint(true)
+      }
+      i += 1
+    }
+    learned.result()
+  }
+
+  /** The learned table in [[Text.bpeEncode]]'s merges format. */
+  def asMerges(learned: Seq[Merge]): Seq[(String, String)] =
+    learned.map(m => (m.a, m.b))
+}

@@ -1,0 +1,94 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** BPE merge training: the distributed two-phase loop must equal a naive
+  * in-memory reference on hand-checkable corpora, break ties
+  * deterministically, stop when the vocab exhausts, and feed its learned
+  * table straight into the existing encoder.
+  */
+class BpeTrainSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** Naive reference: Sennrich's algorithm on a word-frequency map. */
+  private def naive(words: Map[String, Long], rounds: Int): Seq[(String, String, Long)] = {
+    var vocab = words.map { case (w, f) => (w.map(_.toString).toVector, f) }
+    val out = Seq.newBuilder[(String, String, Long)]
+    var r = 0
+    var done = false
+    while (r < rounds && !done) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      vocab.foreach { case (syms, f) =>
+        syms.sliding(2).filter(_.size == 2).foreach { p =>
+          counts((p(0), p(1))) = counts.getOrElse((p(0), p(1)), 0L) + f
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val ((a, b), cnt) = counts.toSeq.minBy { case ((x, y), c) => (-c, x, y) }
+        out += ((a, b, cnt))
+        vocab = vocab.map { case (syms, f) =>
+          val merged = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+              merged += (a + b); i += 2
+            } else { merged += syms(i); i += 1 }
+          }
+          (merged.result(), f)
+        }
+      }
+      r += 1
+    }
+    out.result()
+  }
+
+  private def docsOf(texts: String*) =
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+
+  test("learned merges equal the naive reference on a hand-checkable corpus") {
+    val docs = docsOf(
+      "the then there the", "then the anthem", "there and then the")
+    val words = docs.select(explode(Text.bpeTokens(col("text"))).as("t"))
+      .filter(col("t").rlike("^ ?[A-Za-z]+$"))
+      .select(ltrim(col("t")).as("w")).collect()
+      .groupBy(_.getString(0)).map { case (w, rs) => w -> rs.length.toLong }
+    val expected = naive(words, 6)
+    val got = BpeTrain.learn(docs, 6).map(m => (m.a, m.b, m.cnt))
+    assert(got == expected)
+    // (h,e) and (t,h) both count 9 here; the lexicographic tie-break
+    // picks (h,e) — pinned so a tie-break regression fails loudly
+    assert((got.head._1, got.head._2) == (("h", "e")))
+  }
+
+  test("tie-break is (count desc, left asc, right asc) — deterministic") {
+    // "ab" and "cd" both appear exactly twice: the (a, b) pair wins on
+    // the lexicographic arm, never on hash or partition order
+    val docs = docsOf("ab cd", "cd ab")
+    val got = BpeTrain.learn(docs, 1)
+    assert(got.map(m => (m.a, m.b)) == Seq(("a", "b")))
+  }
+
+  test("training stops early when the vocab runs out of pairs") {
+    // single-letter words only: zero adjacent pairs from round 1
+    val got = BpeTrain.learn(docsOf("a b c", "b c a"), 5)
+    assert(got.isEmpty)
+    // two-letter word: exactly one learnable rule, then exhaustion
+    val one = BpeTrain.learn(docsOf("ab ab ab"), 5)
+    assert(one.map(m => (m.a, m.b)) == Seq(("a", "b")))
+  }
+
+  test("the learned table drives the existing encoder") {
+    val docs = docsOf("the the the cat", "the cat sat")
+    val merges = BpeTrain.asMerges(BpeTrain.learn(docs, 4))
+    // 'the' must compress to a single symbol under its own corpus's rules
+    val enc = docs.limit(1)
+      .select(Text.bpeEncode(lit("the"), merges).as("e"),
+        Text.bpeSymbolCount(lit("the"), merges).as("n"))
+      .collect().head
+    assert(enc.getAs[String]("e") == "(the)")
+    assert(enc.getAs[Int]("n") == 1)
+  }
+}
