@@ -274,9 +274,10 @@ object Bench {
         val sf1Dir = new java.io.File("target/sf1").getAbsolutePath
         graft.fixtures.ScaleProbe.ensure(spark, sfDir, sf1Dir)
         Seq("d1_exact_dedup", "d2_jaccard_pairs", "d3_minhash_lsh",
-            "d4_simhash_pairs", "d5_embed_dedup", "s1_ann_topk",
+            "d4_simhash_pairs", "d5_embed_dedup", "d6_minhash_sigs",
+            "d7_dup_clusters", "s1_ann_topk",
             "s2_cosine_pairs_blocked", "s3_lsh_topk", "s4_ivf_topk",
-            "s5_lsh_pairs", "k1_salted_topk", "k3_distinct_users",
+            "s5_lsh_pairs", "s7_q8_topk", "k1_salted_topk", "k3_distinct_users",
             // temporal/session/sampling: output is linear in the replica
             // count (z2's global windows are deliberately NOT probed —
             // 10x density in the same 30-day span multiplies its PAIRS

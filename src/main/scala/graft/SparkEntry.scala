@@ -34,7 +34,8 @@ object SparkEntry {
       (qq.BucketedQueries.queries, qq.BucketedQueries.oracle),
       (qq.SampleQueries.queries, qq.SampleQueries.oracle),
       (qq.PackingQueries.queries, qq.PackingQueries.oracle),
-      (qq.ProfileQueries.queries, qq.ProfileQueries.oracle)
+      (qq.ProfileQueries.queries, qq.ProfileQueries.oracle),
+      (qq.PipelineQueries.queries, qq.PipelineQueries.oracle)
     )
 
   /** One per implemented operator from SURVEY.md §2. */

@@ -137,7 +137,12 @@ object DedupQueries {
        |${jaccardTailSql("JOIN cands USING (i, j)", LshTh)}""".stripMargin
   }
 
-  private def simhashSql: String = {
+  private def simhashSql: String = simhashSqlFrom("documents")
+
+  /** The d4 pair twin over any (doc_id, text) relation — shared with the
+    * d7 closure and the u1 curation pipeline.
+    */
+  private[queries] def simhashSqlFrom(from: String): String = {
     val sums = (0 until SimBits)
       .map(j => s"SUM(CASE WHEN ${permSql(j, "tid")} % 2 = 1 THEN 1 ELSE -1 END) AS s$j")
       .mkString(",\n    ")
@@ -151,7 +156,7 @@ object DedupQueries {
       .mkString("\n  UNION ALL ")
     s"""WITH t AS (
        |  SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS tok
-       |  FROM documents
+       |  FROM $from
        |), sums AS (
        |  SELECT doc_id,
        |    $sums
