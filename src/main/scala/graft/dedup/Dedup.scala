@@ -236,39 +236,31 @@ object Dedup {
   }
 
   /** [[minhashSignaturesFrom]] as a PURE PROJECTION — no explode, no
-    * groupBy, no shuffle: all `numPerms` minima accumulate in a single
-    * higher-order fold over the (distinct) shingle array, exactly as
-    * [[withSimhash]] does for its counters. Bit-identical to the
-    * aggregation form on every doc that HAS shingles (DedupStreamSpec
-    * asserts it); docs with fewer than `k` tokens get a NULL signature —
-    * the analog of the aggregation form omitting them. Usable where a
-    * shuffle is not: per-row enrichment and STREAMING ingest
-    * ([[minhashNearDupStream]]); for batch corpus sweeps the aggregation
-    * form (one codegen'd shuffle) remains the faster path.
+    * groupBy, no shuffle: all `numPerms` signature minima in one pass
+    * over the (distinct) shingle array via the NATIVE kernel
+    * [[graft.functions.MinhashSig]] (a higher-order fold here
+    * interpreted its lambdas per element — measured ~8× slower than the
+    * aggregation PLAN, inverting the point of the shuffle-free form).
+    * Bit-identical to the aggregation form on every doc that HAS
+    * shingles (DedupStreamSpec asserts it); docs with fewer than `k`
+    * tokens get a NULL signature — the analog of the aggregation form
+    * omitting them. Usable where a shuffle is not: per-row enrichment
+    * and STREAMING ingest ([[minhashNearDupStream]]).
     */
-  def withMinhash(docs: DataFrame, textCol: String = "text",
+  def withMinhash(docs0: DataFrame, textCol: String = "text",
                   out: String = "minhash", k: Int = 3,
                   numPerms: Int = 16): DataFrame = {
-    val shs = array_distinct(Text.shingles(Text.tokens(col(textCol)), k))
-    val mins = aggregate(
-      shs,
-      array_repeat(lit(P), numPerms),
-      (acc, sh) => {
-        val sid = strId(sh)
-        zip_with(acc,
-          transform(sequence(lit(0), lit(numPerms - 1)), i => {
-            val a = (lit(1103515245L) * (i.cast("long") + 1L)) % P
-            val b = (lit(12345L) + lit(7919L) * i.cast("long")) % P
-            (a * sid + b) % P
-          }),
-          (x, y) => least(x, y))
-      })
-    docs.withColumn("__mhshs", shs)
-      .withColumn(out, when(size(col("__mhshs")) === 0,
-          lit(null).cast("array<bigint>"))
-        .otherwise(mins))
-      .drop("__mhshs")
+    // compute-dense per-row kernels under-parallelize on few-file corpora
+    // exactly like the shingle explode does — widen first (no-op on
+    // streaming inputs and on any corpus that already has enough splits);
+    // without this a single parquet file serializes the whole projection
+    // on ONE task
+    val docs = widen(docs0)
+    graft.functions.MinhashSig.register(docs.sparkSession, numPerms)
+    docs.withColumn(out, graft.functions.MinhashSig(
+      array_distinct(Text.shingles(Text.tokens(col(textCol)), k))))
   }
+
 
   /** Streaming NEAR-dup gate (MinHash/Jaccard) — the Jaccard-threshold
     * sibling of [[nearDupStream]], matching the at-ingest posture of the
@@ -426,9 +418,10 @@ object Dedup {
     * 0 would instead make every token-less doc a Hamming-0 "near-dup" of
     * every other token-less doc downstream.
     */
-  def withSimhash(docs: DataFrame, textCol: String = "text",
+  def withSimhash(docs0: DataFrame, textCol: String = "text",
                   out: String = "simhash", bits: Int = 64): DataFrame = {
     require(bits >= 1 && bits <= 64, "signature is packed into one long")
+    val docs = widen(docs0) // see withMinhash — no-op on streaming inputs
     val toks = array_distinct(Text.tokens(col(textCol)))
     // per token: tid = strId(tok); bit j's counter moves ±1 on the same
     // LCG parity as perm(j, tid) — all bits accumulate in ONE token pass

@@ -55,11 +55,19 @@ object DedupQueries {
     */
   def d6MinhashSigs(s: SparkSession, dir: String): DataFrame = {
     val sig = Dedup.withMinhash(Tables.documents(s, dir), k = K,
-      numPerms = NumPerms)
-    sig.filter(col("minhash").isNotNull)
-      .select(col("doc_id") +: (0 until NumPerms).map(i =>
-        org.apache.spark.sql.functions.element_at(col("minhash"), i + 1)
-          .as(s"mh$i")): _*)
+        numPerms = NumPerms)
+      .filter(col("minhash").isNotNull)
+      .select(col("doc_id"), col("minhash"))
+    // evaluation barrier before widening the array into 16 columns:
+    // CollapseProject would otherwise inline the signature fold into
+    // every element_at (higher-order lambdas get no codegen CSE) —
+    // measured 17x the runtime of evaluating each signature once. The
+    // RDD round-trip materializes the (tiny) per-doc signature rows,
+    // then the expansion is 16 plain array reads.
+    val once = s.createDataFrame(sig.rdd, sig.schema)
+    once.select(col("doc_id") +: (0 until NumPerms).map(i =>
+      org.apache.spark.sql.functions.element_at(col("minhash"), i + 1)
+        .as(s"mh$i")): _*)
   }
 
   /** d7 — transitive duplicate clusters: connected components (min

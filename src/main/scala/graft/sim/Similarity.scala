@@ -483,7 +483,10 @@ object Similarity {
       // decimal-exact mean: a double avg would drift with partition order,
       // and a routing probe must not flip decisions across reruns
       .agg(graft.util.Exact.davg(col("nn"), graft.util.Exact.Micro))
-      .first().getDouble(0)
+      .collect().headOption
+      // a hash sample can land < 2 vectors on a tiny corpus: no pairs, no
+      // mean — report zero mass (routes to LSH, the safe default)
+      .filter(!_.isNullAt(0)).map(_.getDouble(0)).getOrElse(0.0)
   }
 
   /** Index selection for the ANN paths: measure [[clusterMass]] and route
