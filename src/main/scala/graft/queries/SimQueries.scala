@@ -140,6 +140,21 @@ object SimQueries {
       .withColumn("rank", col("rank").cast("long"))
   }
 
+  /** s8 — the PERSISTED index end-to-end: build (refine + assign +
+    * partitioned write under target/) then query through the stored
+    * centroids and cell files. Must reproduce s6's results exactly —
+    * same oracle SQL pins both — while the query path does no
+    * assignment sweep and prunes its scan to the probed cells.
+    */
+  def s8IvfIndexed(s: SparkSession, dir: String): DataFrame = {
+    val base = new java.io.File(
+      s"target/ivfindex${dir.replaceAll("[^a-zA-Z0-9]", "_")}").getAbsolutePath
+    val e = clustered(s, dir)
+    Similarity.buildIvfIndex(e, ClusterCentPred, Dim, base)
+    Similarity.ivfTopKIndexed(s, base, e.filter(QueryPred), K, NProbe)
+      .withColumn("rank", col("rank").cast("long"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_ann_topk" -> (s1AnnTopK _),
     "s2_cosine_pairs_blocked" -> (s2CosinePairsBlocked _),
@@ -147,7 +162,8 @@ object SimQueries {
     "s4_ivf_topk" -> (s4IvfTopK _),
     "s5_lsh_pairs" -> (s5LshPairs _),
     "s6_ivf_refined" -> (s6IvfRefined _),
-    "s7_q8_topk" -> (s7Q8TopK _)
+    "s7_q8_topk" -> (s7Q8TopK _),
+    "s8_ivf_indexed" -> (s8IvfIndexed _)
   )
 
   // ---- generated DuckDB twins ----------------------------------------
@@ -416,6 +432,9 @@ object SimQueries {
 
   val oracle: Map[String, String] = Map(
     "s7_q8_topk" -> q8Sql,
+    // s8 must equal s6 by construction (same seed/refine/probe math, just
+    // persisted between build and query) — the identical twin pins that
+    "s8_ivf_indexed" -> ivfRefinedSql,
     "s1_ann_topk" -> topKSql,
     "s3_lsh_topk" -> lshMultiSql,
     "s4_ivf_topk" -> ivfSql,

@@ -348,6 +348,71 @@ object Similarity {
       .select(col("q_id"), col("c_id"), col("cos"))
   }
 
+  /** Build and PERSIST an IVF index: Lloyd-refined centroids plus every
+    * corpus vector's cell assignment, written as parquet with the
+    * assignments PARTITIONED BY CELL. This is the build-once/query-many
+    * split every ANN service runs: build pays the same sweeps as
+    * [[ivfTopKRefined]] exactly once; each later query set probes its
+    * `nprobe` cells and — because cells are parquet partitions — the scan
+    * PRUNES to those cells' files (dynamic partition pruning off the
+    * broadcast probe join; IvfIndexSpec asserts it in the plan). At
+    * 100 TB a query touches nprobe/C of the index FILES, not just
+    * nprobe/C of the rows.
+    */
+  def buildIvfIndex(corpus: DataFrame, centroidPred: String, dim: Int,
+                    path: String, refineIters: Int = 1, gridScale: Int = 1024,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val spark = corpus.sparkSession
+    val dot = nativeDot(corpus)
+    var cents = corpus.filter(centroidPred)
+      .select(col(idCol).as("cid"), col(vecCol).as("cv0"))
+    for (_ <- 0 until refineIters)
+      cents = refineCentroids(corpus, cents, dim, gridScale, idCol, vecCol)
+    cents.write.mode("overwrite").parquet(s"$path/centroids")
+    // re-read so the assignment sweep doesn't recompute the refinement
+    val centsR = broadcast(spark.read.parquet(s"$path/centroids")
+      .withColumn("cn0", sqrt(dot(col("cv0"), col("cv0")))))
+    corpus.select(col(idCol).as("c_id"), col(vecCol).as("v"))
+      .withColumn("n", sqrt(dot(col("v"), col("v"))))
+      .crossJoin(centsR)
+      .withColumn("ccos", cosine(dot(col("v"), col("cv0")), col("n"), col("cn0")))
+      .groupBy(col("c_id"))
+      .agg(first(col("v")).as("v"), first(col("n")).as("n"),
+        max_by(col("cid"), struct(col("ccos"), (-col("cid")).as("nc"))).as("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/assigned")
+  }
+
+  /** Query a persisted [[buildIvfIndex]] index: probe cells against the
+    * (small, broadcast) centroid table, then score ONLY the stored
+    * vectors of probed cells. No assignment sweep at query time — the
+    * defining win of a persisted index — and the partitioned layout
+    * prunes the files read down to the probed cells.
+    */
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+                     queries: DataFrame, k: Int, nprobe: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val dot = nativeDot(queries)
+    val cents = broadcast(spark.read.parquet(s"$path/centroids")
+      .withColumn("cn0", sqrt(dot(col("cv0"), col("cv0")))))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("v"))
+      .withColumn("n", sqrt(dot(col("v"), col("v"))))
+    val wq = Window.partitionBy(col("q_id")).orderBy(col("ccos").desc, col("cid").asc)
+    val qCells = q.crossJoin(cents)
+      .withColumn("ccos", cosine(dot(col("v"), col("cv0")), col("n"), col("cn0")))
+      .withColumn("crn", row_number().over(wq))
+      .filter(col("crn") <= nprobe)
+      .select(col("q_id"), col("cid").as("cell"))
+    val assigned = spark.read.parquet(s"$path/assigned")
+      .withColumn("cell", col("cell").cast("long")) // partition col inference
+    val scored = assigned.join(broadcast(qCells), Seq("cell"))
+      .filter(col("q_id") =!= col("c_id"))
+      .join(broadcast(q.select(col("q_id"), col("v").as("qv"), col("n").as("qn"))),
+        Seq("q_id"))
+      .withColumn("cos", cosine(dot(col("qv"), col("v")), col("qn"), col("n")))
+      .select(col("q_id"), col("c_id"), col("cos"))
+    rankTopK(scored, k)
+  }
+
   /** One Lloyd refinement step: assign every corpus vector to its nearest
     * (max-cosine) current centroid, then replace each nonempty cell's
     * centroid with the componentwise mean of its members. The assignment is
