@@ -560,6 +560,67 @@ object Dedup {
     docs.join(dropped, Seq(idCol), "left_anti")
   }
 
+  /** Streaming NEAR-dup gate (embedding cosine) — completes the
+    * at-ingest family (exact / SimHash-Hamming / MinHash-Jaccard /
+    * embedding-cosine): emits (dup_id, of_id, cos) for every arriving
+    * vector whose cosine against a previously seen vector reaches
+    * `threshold`, using the SAME multi-table hyperplane index as the
+    * batch [[graft.sim.Similarity.cosinePairsLsh]].
+    *
+    * Shape: the wide bucket is one codegen'd native expression per
+    * vector (map-only, no pre-state shuffle), each (table, bucket) is a
+    * keyed state entry holding the (id, vector) of docs seen there, and
+    * the arriving vector verifies EXACT cosine against only its bucket's
+    * occupants — the same left-to-right accumulation as the batch dot,
+    * so scores are bit-identical to `cosinePairsLsh`'s
+    * (DedupStreamSpec pins candidate-and-score parity on ordered
+    * arrival). Recall is banding-carried, as in the batch form: near
+    * duplicates agree on almost every sign bit and collide in ≥ 1 of the
+    * `tables` tables w.h.p. First-wins in-batch by id; flagged vectors
+    * still register; pairs can repeat across tables — `.distinct()` per
+    * batch if consumed as a set. State per vector = `tables` entries of
+    * `dim` floats; `idleTimeoutMs` evicts cold buckets.
+    */
+  def embedNearDupStream(vecs: DataFrame, threshold: Double, dim: Int,
+                         planes: Int, tables: Int,
+                         idCol: String = "vec_id", vecCol: String = "embedding",
+                         idleTimeoutMs: Option[Long] = None)
+      : org.apache.spark.sql.Dataset[(Long, Long, Double)] = {
+    require(planes * tables <= 63, "wide bucket must fit one long")
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    graft.functions.LshBucket.register(spark, dim, planes * tables)
+    val mask = (1L << planes) - 1
+    val banded = vecs
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .withColumn("wide", graft.functions.LshBucket(col("v")))
+      .select(col("id"), col("v"), col("wide"),
+        explode(sequence(lit(0), lit(tables - 1))).as("t"))
+      .withColumn("bucket", col("t").cast("long") * (mask + 1) +
+        expr(s"shiftrightunsigned(wide, t * $planes) & $mask"))
+      .select(col("bucket"), col("id"), col("v"))
+      .as[(Long, Long, Array[Float])]
+    // exact cosine, the batch accumulation order (left-to-right doubles)
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      val n = math.min(a.length, b.length)
+      var acc = 0.0; var i = 0
+      while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    graft.streaming.StateMachines
+      .runMachine[Long, (Long, Long, Array[Float]), Seq[(Long, Array[Float])],
+        (Long, Long, Double)](
+        banded, key = _._1, order = _._2, init = Seq.empty,
+        idleTimeoutMs = idleTimeoutMs) { case (reps, (_, id, v)) =>
+        val n = math.sqrt(dot(v, v))
+        val hits = reps.flatMap { case (rid, rv) =>
+          val c = dot(v, rv) / (n * math.sqrt(dot(rv, rv)))
+          if (c >= threshold) Some((id, rid, c)) else None
+        }
+        (reps :+ ((id, v)), hits)
+      }
+  }
+
   /** Embedding-cosine near-dup dedup: drop every vector that has a
     * more-canonical (lower-id) neighbor with cosine >= `threshold`, keep
     * the rest — the greedy one-pass keeper rule (deterministic, id-stable

@@ -166,6 +166,38 @@ class DedupStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("embedNearDupStream matches the batch LSH pairs — candidates AND scores") {
+    val dim = 16
+    def vec(i: Int): Array[Float] =
+      Array.tabulate(dim)(d => (((i * 131 + d * 17) % 1009) / 1009.0f) - 0.5f)
+    // 40 vectors; 35-37 are exact copies of 0-2 (cos 1.0 near-dups)
+    val rows = (0 until 40).map(i =>
+      (i.toLong, if (i >= 35 && i < 38) vec(i - 35) else vec(i)))
+    val (planes, tables, th) = (12, 4, 0.95)
+    val batch = graft.sim.Similarity
+      .cosinePairsLsh(rows.toDF("vec_id", "embedding"), th, dim, planes, tables)
+      .collect()
+      .map(r => (r.getAs[Long]("j"), r.getAs[Long]("i"), r.getAs[Double]("cos")))
+      .toSet // stream emits (later, earlier) on ordered arrival
+    assert(batch.nonEmpty && batch.forall(_._3 >= th))
+
+    val in = MemoryStream[(Long, Array[Float])](spark)
+    val q = Dedup.embedNearDupStream(in.toDS().toDF("vec_id", "embedding"),
+        th, dim, planes, tables)
+      .toDF("dup_id", "of_id", "cos")
+      .writeStream.format("memory").queryName("emb_neardup")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      in.addData(rows.take(20): _*)
+      q.processAllAvailable()
+      in.addData(rows.drop(20): _*) // the copies arrive in a LATER batch
+      q.processAllAvailable()
+      val got = spark.table("emb_neardup")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got == batch, s"got $got want $batch")
+    } finally q.stop()
+  }
+
   test("exactStreamWithinWatermark: bounded state, exact dedup inside the window") {
     def ts(s: Long) = new java.sql.Timestamp(1735689600000L + s * 1000)
     val in = MemoryStream[(Long, java.sql.Timestamp, String)](spark)
