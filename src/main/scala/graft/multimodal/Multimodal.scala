@@ -7,10 +7,15 @@ import org.apache.spark.sql.functions._
   * treated as opaque `binary` payloads with typed metadata, a REAL PNG
   * decode (javax.imageio over complete valid files inside the
   * mapPartitions decode stage, plus fixed-offset IHDR column
-  * expressions), and — for the codec-less modalities only — a
+  * expressions), and — for the non-replayable modalities only — a
   * deterministic, clearly-labelled FAKE feature extract with the real
   * Spark plumbing (schema, partitioning, batch shape) that a
-  * codec-backed implementation would drop into.
+  * codec-backed implementation would drop into. ("Non-replayable":
+  * JPEG encoding is lossy and encoder-dependent, so real JPEG bytes
+  * cannot be rebuilt by SQL arithmetic the way the stored-zlib PNGs
+  * can — the DuckDB oracle could verify nothing about them; MP4 has no
+  * JDK demuxer at all. The constraint is oracle byte-determinism, not
+  * a missing decoder — ImageIO ships a JPEG codec.)
   *
   * The synthetic corpus carries no real media, so payloads are
   * materialized per doc: PNG docs get a COMPLETE spec-valid file —
@@ -385,7 +390,7 @@ object Multimodal {
     * the IDAT and the dimensions AND the feature vector derive from the
     * decoded pixel content (MultimodalSpec proves the round-trip; the
     * m2/m5 oracles replay the pixel math from doc_id). The remaining
-    * modalities (JPEG/WAV/MP4 — codec-less in this container) keep the
+    * modalities (JPEG/WAV/MP4 — not byte-replayable, see class doc) keep the
     * clearly-labelled deterministic FAKE: hashed dimensions and body
     * chunk-sum features. The Spark shape is the real one either way: one
     * iterator pass per partition (codec init amortizes here), no per-row
@@ -410,7 +415,7 @@ object Multimodal {
                   new String(b.payload.slice(12, 16), "US-ASCII") == "IHDR")
                 (beInt(b.payload, 16), beInt(b.payload, 20)) // header only
               else {
-                // FAKE dimensions for codec-less modalities
+                // FAKE dimensions for the non-replayable modalities
                 val h = body.foldLeft(17L)((a, x) => (a * 31 + (x & 0xff)) % 1000003L)
                 (64 + (h % 512).toInt, 64 + ((h / 512) % 512).toInt)
               }

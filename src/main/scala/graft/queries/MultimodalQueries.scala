@@ -28,7 +28,7 @@ import org.apache.spark.sql.functions.col
   *
   * m2 proves the full multimodal → embedding → ANN pipeline end-to-end:
   * blobs → decode (the per-partition-init `mapPartitions` stage; PNG
-  * features are REAL pixel-content chunk sums, codec-less modalities the
+  * features are REAL pixel-content chunk sums, non-replayable modalities the
   * labelled byte-sum stub) → `graft.sim` brute-force top-k over the
   * decoded feature vectors.
   */
