@@ -155,6 +155,26 @@ object SimQueries {
       .withColumn("rank", col("rank").cast("long"))
   }
 
+  /** s9 — FILTERED vector search over the persisted index: the `label`
+    * metadata rides in the index (`carry`), the predicate filters
+    * candidates BEFORE scoring on the cell-pruned scan, and top-k is
+    * over qualifying vectors only — the filtered-ANN shape every vector
+    * store is asked for. Exact vs the twin (same refine/probe math plus
+    * the candidate predicate).
+    */
+  val FilterPred = "label < 4"
+
+  def s9IvfFiltered(s: SparkSession, dir: String): DataFrame = {
+    val base = new java.io.File(
+      s"target/ivfindexf${dir.replaceAll("[^a-zA-Z0-9]", "_")}").getAbsolutePath
+    val lab = Tables.embeddings(s, dir).select(col("vec_id"), col("label"))
+    val e = clustered(s, dir).join(lab, "vec_id")
+    Similarity.buildIvfIndex(e, ClusterCentPred, Dim, base, carry = Seq("label"))
+    Similarity.ivfTopKIndexed(s, base, e.filter(QueryPred), K, NProbe,
+        candidateFilter = Some(org.apache.spark.sql.functions.expr(FilterPred)))
+      .withColumn("rank", col("rank").cast("long"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_ann_topk" -> (s1AnnTopK _),
     "s2_cosine_pairs_blocked" -> (s2CosinePairsBlocked _),
@@ -163,7 +183,8 @@ object SimQueries {
     "s5_lsh_pairs" -> (s5LshPairs _),
     "s6_ivf_refined" -> (s6IvfRefined _),
     "s7_q8_topk" -> (s7Q8TopK _),
-    "s8_ivf_indexed" -> (s8IvfIndexed _)
+    "s8_ivf_indexed" -> (s8IvfIndexed _),
+    "s9_ivf_filtered" -> (s9IvfFiltered _)
   )
 
   // ---- generated DuckDB twins ----------------------------------------
@@ -306,15 +327,20 @@ object SimQueries {
     * the two argmax assignments use the (cos DESC, cid ASC) tie-break that
     * equals the Spark side's max_by struct.
     */
-  private def ivfRefinedSql: String = {
+  private def ivfRefinedSql: String = ivfRefinedSqlWhere("TRUE")
+
+  /** [[ivfRefinedSql]] with a candidate predicate (over `v.*`, e.g.
+    * `v.label < 4`) applied BEFORE ranking — the filtered-search twin.
+    */
+  private def ivfRefinedSqlWhere(candPred: String): String = {
     val sumList = (1 to Dim)
       .map(k => s"CAST(sum(CAST(embedding[$k] * 1024 AS BIGINT)) AS BIGINT)")
       .mkString("[", ",\n    ", "]")
     s"""WITH cvec AS (
-       |  SELECT vec_id, ${graft.sim.PlantedClusters.sqlVec("vec_id")} AS embedding
+       |  SELECT vec_id, label, ${graft.sim.PlantedClusters.sqlVec("vec_id")} AS embedding
        |  FROM embeddings
        |), v AS (
-       |  SELECT vec_id, embedding,
+       |  SELECT vec_id, label, embedding,
        |    sqrt(${dotSql("embedding", "embedding")}) AS n
        |  FROM cvec
        |), c0 AS (
@@ -359,7 +385,7 @@ object SimQueries {
        |  JOIN cassign a ON a.vec_id = v.vec_id
        |  JOIN qprobe p ON p.cell = a.cell
        |  JOIN q ON q.q_id = p.q_id
-       |  WHERE q.q_id <> v.vec_id
+       |  WHERE q.q_id <> v.vec_id AND $candPred
        |), ranked AS (
        |  SELECT q_id, c_id, cos,
        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS BIGINT) AS "rank"
@@ -435,6 +461,8 @@ object SimQueries {
     // s8 must equal s6 by construction (same seed/refine/probe math, just
     // persisted between build and query) — the identical twin pins that
     "s8_ivf_indexed" -> ivfRefinedSql,
+    // s9: the same twin plus the candidate predicate before ranking
+    "s9_ivf_filtered" -> ivfRefinedSqlWhere(s"v.$FilterPred"),
     "s1_ann_topk" -> topKSql,
     "s3_lsh_topk" -> lshMultiSql,
     "s4_ivf_topk" -> ivfSql,

@@ -361,7 +361,8 @@ object Similarity {
     */
   def buildIvfIndex(corpus: DataFrame, centroidPred: String, dim: Int,
                     path: String, refineIters: Int = 1, gridScale: Int = 1024,
-                    idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    carry: Seq[String] = Nil): Unit = {
     val spark = corpus.sparkSession
     val dot = nativeDot(corpus)
     var cents = corpus.filter(centroidPred)
@@ -372,13 +373,18 @@ object Similarity {
     // re-read so the assignment sweep doesn't recompute the refinement
     val centsR = broadcast(spark.read.parquet(s"$path/centroids")
       .withColumn("cn0", sqrt(dot(col("cv0"), col("cv0")))))
-    corpus.select(col(idCol).as("c_id"), col(vecCol).as("v"))
+    // `carry` = metadata columns stored alongside each vector — what
+    // makes FILTERED search answerable from the index alone
+    val aggs = Seq(first(col("v")).as("v"), first(col("n")).as("n")) ++
+      carry.map(c => first(col(c)).as(c)) :+
+      max_by(col("cid"), struct(col("ccos"), (-col("cid")).as("nc"))).as("cell")
+    corpus.select(col(idCol).as("c_id") +: col(vecCol).as("v") +:
+        carry.map(col): _*)
       .withColumn("n", sqrt(dot(col("v"), col("v"))))
       .crossJoin(centsR)
       .withColumn("ccos", cosine(dot(col("v"), col("cv0")), col("n"), col("cn0")))
       .groupBy(col("c_id"))
-      .agg(first(col("v")).as("v"), first(col("n")).as("n"),
-        max_by(col("cid"), struct(col("ccos"), (-col("cid")).as("nc"))).as("cell"))
+      .agg(aggs.head, aggs.tail: _*)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/assigned")
   }
 
@@ -390,7 +396,8 @@ object Similarity {
     */
   def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
                      queries: DataFrame, k: Int, nprobe: Int,
-                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     candidateFilter: Option[Column] = None): DataFrame = {
     val dot = nativeDot(queries)
     val cents = broadcast(spark.read.parquet(s"$path/centroids")
       .withColumn("cn0", sqrt(dot(col("cv0"), col("cv0")))))
@@ -402,8 +409,13 @@ object Similarity {
       .withColumn("crn", row_number().over(wq))
       .filter(col("crn") <= nprobe)
       .select(col("q_id"), col("cid").as("cell"))
-    val assigned = spark.read.parquet(s"$path/assigned")
+    val assigned0 = spark.read.parquet(s"$path/assigned")
       .withColumn("cell", col("cell").cast("long")) // partition col inference
+    // FILTERED search: the predicate lands on the already-cell-pruned
+    // scan over `carry` metadata (parquet predicate pushdown composes
+    // with the partition pruning) — candidates are filtered BEFORE
+    // scoring, so top-k is over the qualifying vectors only
+    val assigned = candidateFilter.fold(assigned0)(assigned0.filter)
     val scored = assigned.join(broadcast(qCells), Seq("cell"))
       .filter(col("q_id") =!= col("c_id"))
       .join(broadcast(q.select(col("q_id"), col("v").as("qv"), col("n").as("qn"))),

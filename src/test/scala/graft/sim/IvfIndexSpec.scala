@@ -41,6 +41,29 @@ class IvfIndexSpec extends SparkSpec {
       s"probe join must dynamically prune the cell partitions:\n$plan")
   }
 
+  test("filtered search: predicate excludes candidates BEFORE ranking and pushes to the scan") {
+    val lab = graft.io.Tables.embeddings(spark, dir).select(col("vec_id"), col("label"))
+    val c = corpus.join(lab, "vec_id")
+    val p = java.nio.file.Files.createTempDirectory("ivfindexf").toString
+    Similarity.buildIvfIndex(c, SimQueries.ClusterCentPred, SimQueries.Dim, p,
+      carry = Seq("label"))
+    val q = c.filter(SimQueries.QueryPred)
+    val filtered = Similarity.ivfTopKIndexed(spark, p, q, SimQueries.K,
+      SimQueries.NProbe, candidateFilter = Some(col("label") < 4))
+    val rows = filtered.join(lab.withColumnRenamed("vec_id", "c_id"), "c_id").collect()
+    assert(rows.nonEmpty)
+    // every returned candidate satisfies the predicate — it ran before
+    // ranking, not as a post-filter that can under-fill the top-k
+    assert(rows.forall(_.getAs[Int]("label") < 4))
+    val perQuery = rows.groupBy(_.getAs[Long]("q_id")).values
+    assert(perQuery.exists(_.size == SimQueries.K), "top-k stays full under the filter")
+    // the predicate reaches the parquet scan over the index
+    filtered.count()
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") && plan.contains("LessThan(label,4)"),
+      s"label predicate must push into the index scan:\n$plan")
+  }
+
   test("query path has no assignment sweep") {
     val q = corpus.filter(SimQueries.QueryPred)
     val plan = Similarity.ivfTopKIndexed(spark, path, q, SimQueries.K,
