@@ -64,7 +64,10 @@ final case class PartitionedLog(dir: String, partitions: Int = 4) extends LogTra
   /** partition id recovered from the segment's directory name. */
   private def withPartition(df: DataFrame): DataFrame =
     df.withColumn("partition",
-      regexp_extract(input_file_name(), "/p(\\d+)/", 1).cast("int"))
+      // Anchored to the segment's PARENT directory: a base dir that itself
+      // contains a '/pN/' component (e.g. /data/p2/alerts) must not
+      // mis-label rows, so only the last directory before the file counts.
+      regexp_extract(input_file_name(), "/p(\\d+)/[^/]+$", 1).cast("int"))
 
   def stream(spark: SparkSession): DataFrame = {
     createAll()

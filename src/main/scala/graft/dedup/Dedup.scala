@@ -509,6 +509,12 @@ object Dedup {
     * Emits (doc_id, cluster). Docs in no pair are singletons — trivially
     * their own cluster — and are omitted; union them back from the
     * corpus if a total assignment is needed ([[dedupByClusters]] does).
+    *
+    * The result is a `localCheckpoint`-backed DataFrame: its cache blocks
+    * live until the caller `unpersist()`s it (or the session ends). Call
+    * sites that run many closures in one session should unpersist each
+    * result once consumed — or copy it out of the checkpoint — to avoid
+    * accumulating executor cache blocks.
     */
   def dupClusters(pairs: DataFrame, maxIters: Int = 25,
                   iCol: String = "i", jCol: String = "j"): DataFrame = {
@@ -539,9 +545,12 @@ object Dedup {
       it += 1
     }
     edges.unpersist(false)
-    require(changed == 0,
-      s"dupClusters did not converge in $maxIters sweeps — component " +
-        "diameter exceeds the bound; raise maxIters")
+    if (changed != 0) {
+      labels.unpersist(false) // don't leak the last sweep's checkpoint blocks
+      throw new IllegalArgumentException(
+        s"requirement failed: dupClusters did not converge in $maxIters " +
+          "sweeps — component diameter exceeds the bound; raise maxIters")
+    }
     labels.select(col("id").as("doc_id"), col("label").as("cluster"))
   }
 

@@ -54,6 +54,23 @@ object MinhashSig {
   val Name = "graft_minhash_sig"
   private val P = 2147483647L // 2^31-1, Dedup.P
 
+  /** ha/hb permutation tables are a pure function of `numPerms` — built
+    * once per width, not per row. At most a handful of widths live in a
+    * session, so an unbounded-in-theory map is fine in practice.
+    */
+  private val permTables =
+    new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
+  private def perms(numPerms: Int): (Array[Long], Array[Long]) =
+    permTables.computeIfAbsent(numPerms, n =>
+      (Array.tabulate(n)(graft.dedup.Dedup.hashA),
+        Array.tabulate(n)(graft.dedup.Dedup.hashB)))
+
+  /** MessageDigest is not thread-safe but is reusable — one per executor
+    * thread, reset per shingle.
+    */
+  private val digests = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("MD5"))
+
   /** The kernel (static-forwarded for generated code). `strId` semantics:
     * first 15 hex chars of md5 = the high 60 bits of the first 8 digest
     * bytes, reduced mod P — byte-for-byte what
@@ -63,9 +80,8 @@ object MinhashSig {
     val n = arr.numElements()
     if (n == 0) return null
     val mins = Array.fill(numPerms)(P)
-    val ha = Array.tabulate(numPerms)(graft.dedup.Dedup.hashA)
-    val hb = Array.tabulate(numPerms)(graft.dedup.Dedup.hashB)
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val (ha, hb) = perms(numPerms)
+    val md = digests.get()
     var i = 0
     while (i < n) {
       md.reset()

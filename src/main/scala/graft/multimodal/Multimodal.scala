@@ -384,7 +384,12 @@ object Multimodal {
         }
         (w, h, chunks, chans)
       }
-    } catch { case _: java.io.IOException => None }
+    } catch {
+      // Broken codecs throw more than IOException (IndexOutOfBounds,
+      // IllegalArgument on malformed/foreign bytes) — any undecodable
+      // payload must fall back to the IHDR-prefix parse, not kill the task.
+      case scala.util.control.NonFatal(_) => None
+    }
 
   /** Decode stage. PNGs are decoded for REAL — `javax.imageio` inflates
     * the IDAT and the dimensions AND the feature vector derive from the
