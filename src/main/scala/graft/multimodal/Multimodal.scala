@@ -4,30 +4,33 @@ import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Multimodal columns for training-data pipelines: image/audio/video
-  * treated as opaque `binary` payloads with typed metadata, a REAL PNG
-  * decode (javax.imageio over complete valid files inside the
-  * mapPartitions decode stage, plus fixed-offset IHDR column
-  * expressions), and — for the non-replayable modalities only — a
-  * deterministic, clearly-labelled FAKE feature extract with the real
-  * Spark plumbing (schema, partitioning, batch shape) that a
-  * codec-backed implementation would drop into. ("Non-replayable":
-  * JPEG encoding is lossy and encoder-dependent, so real JPEG bytes
-  * cannot be rebuilt by SQL arithmetic the way the stored-zlib PNGs
-  * can — the DuckDB oracle could verify nothing about them; MP4 has no
-  * JDK demuxer at all. The constraint is oracle byte-determinism, not
-  * a missing decoder — ImageIO ships a JPEG codec.)
+  * treated as opaque `binary` payloads with typed metadata, REAL PNG and
+  * WAV decodes (javax.imageio / javax.sound.sampled over complete valid
+  * files inside the mapPartitions decode stage, plus fixed-offset
+  * IHDR/fmt column expressions), and — for the non-replayable modalities
+  * only — a deterministic, clearly-labelled FAKE feature extract with
+  * the real Spark plumbing (schema, partitioning, batch shape) that a
+  * codec-backed implementation would drop into. ("Non-replayable" is now
+  * exactly JPEG and MP4: JPEG encoding is lossy and encoder-dependent,
+  * so real JPEG bytes cannot be rebuilt by SQL arithmetic the way the
+  * stored-zlib PNGs and raw-PCM WAVs can — the DuckDB oracle could
+  * verify nothing about them; MP4 has no JDK demuxer at all. The
+  * constraint is oracle byte-determinism, not a missing decoder —
+  * ImageIO ships a JPEG codec.)
   *
   * The synthetic corpus carries no real media, so payloads are
   * materialized per doc: PNG docs get a COMPLETE spec-valid file —
   * signature, IHDR (real CRC-32), one IDAT chunk holding the filter-0
   * scanlines of a deterministic pixel grid in stored-mode zlib, IEND —
   * that `javax.imageio.ImageIO.read` decodes (MultimodalSpec proves it);
-  * WAV docs a complete RIFF/fmt/data header (real little-endian PCM
-  * geometry, proven through javax.sound.sampled); the rest magic bytes
-  * (JPEG/MP4-ftyp) + the UTF-8 body. Every derived statistic — byte
-  * totals (file geometry arithmetic), IHDR fields (prefix byte reads),
-  * pixel sums and pixel-derived features (the [[pixelValue]] formula) —
-  * is integer-exact and DuckDB-replayable.
+  * WAV docs a COMPLETE RIFF/fmt/data file — real little-endian PCM
+  * geometry and a data chunk of deterministic [[pixelValue]] bytes —
+  * that `javax.sound.sampled.AudioSystem` decodes (MultimodalSpec
+  * proves samples round-trip); the rest magic bytes (JPEG/MP4-ftyp) +
+  * the UTF-8 body. Every derived statistic — byte totals (file geometry
+  * arithmetic), IHDR/fmt fields (prefix byte reads), pixel/sample sums
+  * and content-derived features (the [[pixelValue]] formula) — is
+  * integer-exact and DuckDB-replayable.
   */
 object Multimodal {
 
@@ -90,7 +93,8 @@ object Multimodal {
     * PCM fmt chunk (format 1, channels, sample rate, byte rate, block
     * align, bits per sample — all little-endian per the RIFF spec), and
     * the "data" chunk tag. Only the RIFF size (bytes 4-7) and data size
-    * (bytes 40-43) depend on the body and are encoded per row.
+    * (bytes 40-43) depend on the data-chunk length and are encoded per
+    * row.
     */
   val WavStaticBlocks: Seq[Array[Byte]] = (0 until 20).map { i =>
     val ch = wavChannelsInt(i); val sr = wavRateInt(i); val bits = wavBitsInt(i)
@@ -101,24 +105,30 @@ object Multimodal {
       "data".getBytes("US-ASCII")
   }
 
-  /** Little-endian 4-byte encoding of a non-negative int column (byte
-    * reversal of the big-endian hex form — pure string/binary exprs).
+  /** PCM frame count for a doc: 64 + doc_id % 64 ∈ {64..127} — like the
+    * PNG dimension cycle, a small deterministic spread both engines
+    * compute from the id alone.
     */
-  private def leInt4(c: Column): Column = {
-    val h = lpad(hex(c), 8, "0")
-    unhex(concat(substring(h, 7, 2), substring(h, 5, 2),
-      substring(h, 3, 2), substring(h, 1, 2)))
-  }
+  def wavFrames(docId: Long): Int = 64 + (docId % 64).toInt
 
-  /** A spec-valid RIFF/WAVE PCM header (44 bytes, the canonical layout
-    * every WAV reader parses) for a doc; the UTF-8 body plays the role of
-    * the sample data, so the declared data size is exact.
+  /** A COMPLETE spec-valid RIFF/WAVE PCM file for a doc: the canonical
+    * 44-byte header (real little-endian geometry, sizes exact for the
+    * data chunk) followed by a REAL data chunk whose byte stream is the
+    * [[pixelValue]] formula — the audio twin of [[pngFile]]'s pixel
+    * grid. `javax.sound.sampled.AudioSystem` decodes it (MultimodalSpec
+    * proves samples round-trip exactly), and every derived statistic —
+    * frame counts, per-channel sample sums, chunk byte-sums — is
+    * integer-exact and DuckDB-replayable from doc_id. Data byte count
+    * `N = frames · blockAlign`; file length `44 + N`.
     */
-  def wavHeader(docId: Column, text: Column): Column = {
-    val len = octet_length(encode(text, "UTF-8"))
-    concat(lit(WavMagic), leInt4(len + 36),
-      element_at(typedLit(WavStaticBlocks), (docId % 20 + 1).cast("int")),
-      leInt4(len))
+  def wavFile(docId: Long): Array[Byte] = {
+    val i = (docId % 20).toInt
+    val blockAlign = wavChannelsInt(i) * wavBitsInt(i) / 8
+    val n = wavFrames(docId) * blockAlign
+    val data = new Array[Byte](n)
+    var p = 0
+    while (p < n) { data(p) = pixelValue(docId, p).toByte; p += 1 }
+    WavMagic ++ le4(36L + n) ++ WavStaticBlocks(i) ++ le4(n.toLong) ++ data
   }
 
   // ---- full PNG synthesis (deterministic pixels, real zlib IDAT) -------
@@ -209,35 +219,39 @@ object Multimodal {
       pngChunk("IDAT", storedZlib(raw)) ++ pngChunk("IEND", Array.emptyByteArray)
   }
 
-  /** Payload column for the NON-PNG modalities (pure codegen'd exprs):
-    * container header + UTF-8 content.
+  /** Payload column for the JPEG/MP4 modalities (pure codegen'd exprs):
+    * container magic + UTF-8 content.
     */
-  private def nonPngPayload(docId: Column, source: Column, text: Column): Column =
+  private def plainPayload(source: Column, text: Column): Column =
     concat(
-      when(modality(source) === 1, lit(JpegMagic))
-        .when(modality(source) === 2, wavHeader(docId, text))
-        .otherwise(lit(Mp4Magic)),
+      when(modality(source) === 1, lit(JpegMagic)).otherwise(lit(Mp4Magic)),
       encode(text, "UTF-8"))
 
-  /** (doc_id, payload) for every doc. PNG docs carry a COMPLETE valid
-    * file ([[pngFile]] + the UTF-8 body as trailing data past IEND, which
-    * conforming readers ignore); other modalities are pure column exprs.
-    * The two branches union map-side — no shuffle, no driver loop. At
-    * 100 TB the payload column is real media read straight from parquet;
-    * this synthesizer exists only because the test corpus is text.
+  /** (doc_id, payload) for every doc. PNG and WAV docs carry a COMPLETE
+    * valid file ([[pngFile]] / [[wavFile]] + the UTF-8 body as trailing
+    * data past IEND / past the declared RIFF size, which conforming
+    * readers ignore); JPEG/MP4 are pure column exprs. The branches union
+    * map-side — no shuffle, no driver loop. At 100 TB the payload column
+    * is real media read straight from parquet; this synthesizer exists
+    * only because the test corpus is text.
     */
   def payloads(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val nonPng = docs.filter(modality(col("source")) =!= 0)
+    val plain = docs.filter(modality(col("source")).isin(1, 3))
       .select(col("doc_id"),
-        nonPngPayload(col("doc_id"), col("source"), col("text")).as("payload"))
+        plainPayload(col("source"), col("text")).as("payload"))
     val png = docs.filter(modality(col("source")) === 0)
       .select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
       .map { case (id, text) => (id, pngFile(id) ++ text.getBytes("UTF-8")) }
       .toDF("doc_id", "payload")
-    nonPng.unionByName(png)
+    val wav = docs.filter(modality(col("source")) === 2)
+      .select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) => (id, wavFile(id) ++ text.getBytes("UTF-8")) }
+      .toDF("doc_id", "payload")
+    plain.unionByName(png).unionByName(wav)
   }
 
   // ---- PNG IHDR parsing (column expressions over the byte prefix) ------
@@ -391,25 +405,81 @@ object Multimodal {
       case scala.util.control.NonFatal(_) => None
     }
 
-  /** Decode stage. PNGs are decoded for REAL — `javax.imageio` inflates
-    * the IDAT and the dimensions AND the feature vector derive from the
-    * decoded pixel content (MultimodalSpec proves the round-trip; the
-    * m2/m5 oracles replay the pixel math from doc_id). The remaining
-    * modalities (JPEG/WAV/MP4 — not byte-replayable, see class doc) keep the
-    * clearly-labelled deterministic FAKE: hashed dimensions and body
-    * chunk-sum features. The Spark shape is the real one either way: one
-    * iterator pass per partition (codec init amortizes here), no per-row
-    * setup, no driver-side collection, schema fixed by the MediaFeatures
-    * encoder. A PNG that fails to decode (truncated/foreign bytes) falls
-    * back to the IHDR prefix parse for dims and the fake features.
+  /** Decode a WAV payload for REAL: `javax.sound.sampled.AudioSystem`
+    * parses the RIFF/fmt geometry and streams the data-chunk bytes
+    * (honoring the declared sizes — the UTF-8 trailer past the RIFF size
+    * never leaks in). Returns (frames, channels, 8 chunk byte-sums over
+    * the PCM data, per-channel SAMPLE sums — 8-bit unsigned, wider
+    * depths signed little-endian, the PCM spec's value semantics).
+    * None when the bytes are not a decodable WAV.
+    */
+  private def decodeWav(payload: Array[Byte])
+      : Option[(Int, Int, Array[Long], Array[Long])] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = in.getFormat
+        val ch = fmt.getChannels
+        val bps = fmt.getSampleSizeInBits / 8
+        if (ch < 1 || bps < 1 || bps > 8) None
+        else {
+          val data = in.readAllBytes()
+          val frames = data.length / (ch * bps)
+          val chunks = Array.fill(FeatureDim)(0L)
+          var p = 0
+          while (p < data.length) { chunks(p % FeatureDim) += (data(p) & 0xff); p += 1 }
+          val chans = Array.fill(ch)(0L)
+          var f = 0
+          while (f < frames) {
+            var c = 0
+            while (c < ch) {
+              val off = (f * ch + c) * bps
+              var raw = 0L; var k = 0
+              while (k < bps) { raw |= (data(off + k) & 0xffL) << (8 * k); k += 1 }
+              val v =
+                if (bps == 1) raw // 8-bit PCM is unsigned
+                else if ((raw & (1L << (8 * bps - 1))) != 0) raw - (1L << (8 * bps))
+                else raw
+              chans(c) += v
+              c += 1
+            }
+            f += 1
+          }
+          Some((frames, ch, chunks, chans))
+        }
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Decode stage. PNGs and WAVs are decoded for REAL — `javax.imageio`
+    * inflates the IDAT and `javax.sound.sampled` streams the PCM data
+    * chunk; dimensions and the feature vector derive from the decoded
+    * content (MultimodalSpec proves both round-trips; the m2/m5/m6
+    * oracles replay the pixel/sample math from doc_id). For audio the
+    * (width, height) metadata carries the PCM grid's two axes:
+    * (frames, channels). The remaining modalities (JPEG/MP4 — not
+    * byte-replayable, see class doc) keep the clearly-labelled
+    * deterministic FAKE: hashed dimensions and body chunk-sum features.
+    * The Spark shape is the real one either way: one iterator pass per
+    * partition (codec init amortizes here), no per-row setup, no
+    * driver-side collection, schema fixed by the MediaFeatures encoder.
+    * A payload that fails to decode falls back to the prefix parse for
+    * dims and the fake features.
     */
   def decode(blobs: Dataset[MediaBlob]): Dataset[MediaFeatures] = {
     import blobs.sparkSession.implicits._
     blobs.mapPartitions { it =>
       // per-partition codec init would happen here
       it.map { b =>
-        val png = if (b.mime == "image/png") decodePng(b.payload) else None
-        png match {
+        val real = b.mime match {
+          case "image/png" => decodePng(b.payload)
+          case "audio/wav" =>
+            decodeWav(b.payload).map { case (frames, ch, chunks, _) =>
+              (frames, ch, chunks, Array.empty[Long])
+            }
+          case _ => None
+        }
+        real match {
           case Some((w, h, chunks, _)) =>
             MediaFeatures(b.doc_id, b.mime, w, h, b.payload.length.toLong,
               normed(chunks))
@@ -451,6 +521,28 @@ object Multimodal {
         }
       }
     }.toDF("doc_id", "width", "height", "sum_r", "sum_g", "sum_b")
+  }
+
+  /** Per-clip PCM sample statistics from the REAL decode: frame/channel
+    * geometry and integer-exact per-channel sample sums, straight off the
+    * `AudioSystem`-streamed data chunk (the m6 oracle recomputes them
+    * from [[pixelValue]] in DuckDB — agreement pins the whole
+    * synthesize→parse→stream→sample-assemble loop, 8-bit unsigned and
+    * wider-depth signed LE semantics included). Non-WAV and undecodable
+    * payloads are dropped; clips beyond 2 channels report the first two
+    * (the fixture's ceiling — a wider schema is a column-list change).
+    */
+  def wavSampleStats(blobs: Dataset[MediaBlob]): DataFrame = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions { it =>
+      it.flatMap { b =>
+        val wav = if (b.mime == "audio/wav") decodeWav(b.payload) else None
+        wav.map { case (frames, ch, _, chans) =>
+          (b.doc_id, frames.toLong, ch.toLong,
+            chans(0), if (ch > 1) chans(1) else 0L)
+        }
+      }
+    }.toDF("doc_id", "n_frames", "channels", "sum_ch0", "sum_ch1")
   }
 
   /** The full ingest shape: documents → payloads → blobs for decode. */

@@ -8,9 +8,10 @@ import org.apache.spark.sql.functions.col
 
 /** Multimodal-column queries over the `documents` table (payloads are
   * synthesized binary — PNG docs carry COMPLETE valid files with real
-  * zlib IDAT pixel data, WAV docs real RIFF/fmt headers, the rest magic
-  * bytes + UTF-8 body — because the test corpus ships no real media; the
-  * sniffing/parsing/decoding/statistics paths are the real ones).
+  * zlib IDAT pixel data, WAV docs COMPLETE valid files with real PCM
+  * data chunks, the rest magic bytes + UTF-8 body — because the test
+  * corpus ships no real media; the sniffing/parsing/decoding/statistics
+  * paths are the real ones).
   *
   * Oracle strategy, per derived value:
   *  - header fields (m3/m4): ONE shared payload-SQL generator rebuilds
@@ -19,17 +20,19 @@ import org.apache.spark.sql.functions.col
   *  - byte totals (m1): the file-geometry arithmetic — PNG length is
   *    `63 + 5*ceil(N/65535) + N + body` with `N = d(1+3d)` because the
   *    IDAT uses stored-mode zlib (length a pure function of content
-  *    size), WAV/JPEG/MP4 are `44/4/8 + body`;
-  *  - pixel content (m5) and pixel-derived features (m2's PNG branch):
-  *    DuckDB recomputes `Multimodal.pixelValue` from doc_id directly —
-  *    agreement with the Spark side pins the whole synthesize → deflate
-  *    → ImageIO-inflate → decode loop, since the Spark numbers come off
-  *    the DECODED image, never the formula.
+  *    size), WAV is `44 + frames·blockAlign + body`, JPEG/MP4 are
+  *    `4/8 + body`;
+  *  - content (m5 pixels, m6 PCM samples) and content-derived features
+  *    (m2's PNG and WAV branches): DuckDB recomputes
+  *    `Multimodal.pixelValue` from doc_id directly — agreement with the
+  *    Spark side pins the whole synthesize → encode → real-decoder →
+  *    statistics loop, since the Spark numbers come off the DECODED
+  *    image / STREAMED data chunk, never the formula.
   *
   * m2 proves the full multimodal → embedding → ANN pipeline end-to-end:
-  * blobs → decode (the per-partition-init `mapPartitions` stage; PNG
-  * features are REAL pixel-content chunk sums, non-replayable modalities the
-  * labelled byte-sum stub) → `graft.sim` brute-force top-k over the
+  * blobs → decode (the per-partition-init `mapPartitions` stage; PNG and
+  * WAV features are REAL content chunk sums, non-replayable modalities
+  * the labelled byte-sum stub) → `graft.sim` brute-force top-k over the
   * decoded feature vectors.
   */
 object MultimodalQueries {
@@ -74,12 +77,17 @@ object MultimodalQueries {
     Multimodal.pngPixelStats(
       Multimodal.toBlobs(Tables.documents(s, dir)))
 
+  def m6WavSampleStats(s: SparkSession, dir: String): DataFrame =
+    Multimodal.wavSampleStats(
+      Multimodal.toBlobs(Tables.documents(s, dir)))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_media_stats" -> (m1MediaStats _),
     "m2_decode_ann" -> (m2DecodeAnn _),
     "m3_png_ihdr" -> (m3PngIhdr _),
     "m4_wav_fmt" -> (m4WavFmt _),
-    "m5_pixel_stats" -> (m5PixelStats _)
+    "m5_pixel_stats" -> (m5PixelStats _),
+    "m6_wav_sample_stats" -> (m6WavSampleStats _)
   )
 
   // ---- generated DuckDB twins ----------------------------------------
@@ -99,18 +107,30 @@ object MultimodalQueries {
 
   /** The deterministic pixel byte at RGB-stream index `p` of doc `d` —
     * the SQL twin of `Multimodal.pixelValue` (plain 64-bit arithmetic).
+    * WAV data chunks reuse the same byte formula, so this is also the
+    * PCM-byte twin.
     */
   private def pixSql(doc: String, p: String): String =
     s"(xor(xor($doc * ${Multimodal.PixelMulDoc}, $p * ${Multimodal.PixelMulPos}), " +
       s"($doc + $p) * ${Multimodal.PixelMulCross}) & 255)"
 
+  /** WAV data-chunk byte count N = frames · blockAlign as doc_id
+    * arithmetic — the twin of `wavFrames(id) * (channels * bits / 8)`
+    * with the geometry's mod-cycles inlined.
+    */
+  private def wavBytesSql: String =
+    s"(64 + doc_id % 64) * ((1 + doc_id % 2) * " +
+      s"(([8, 16, 24, 32])[(doc_id % 4)::INT + 1] // 8))"
+
   /** The header CTE both engines agree on: PNG docs get the byte PREFIX
     * every reader parses (signature + length/type + dimensions + depth/
     * color + the doc's precomputed IHDR CRC); WAV docs the complete
-    * 44-byte RIFF/fmt header; other modalities magic only; then the
-    * UTF-8 text body. For PNG this is the prefix of the full file, not
-    * the whole file — the IDAT/IEND tail is covered by the m1 length
-    * arithmetic and the m5 pixel replay, and its checksums by the
+    * 44-byte RIFF/fmt/data header (sizes counting the PCM data chunk);
+    * other modalities magic only; then the UTF-8 text body. For PNG and
+    * WAV this is the prefix of the full file, not the whole file — the
+    * IDAT/data-chunk tails are covered by the m1 length arithmetic and
+    * the m5/m6 content replays (every consumer of this CTE reads only
+    * header offsets for those modalities), and the PNG checksums by the
     * ImageIO round-trip in MultimodalSpec (CRC-32 is not expressible as
     * SQL arithmetic). Also carries `m`, the modality index.
     */
@@ -129,9 +149,9 @@ object MultimodalQueries {
        |        ($crcList)[(doc_id % 16)::INT + 1]
        |      WHEN 1 THEN ${blobLit(Multimodal.JpegMagic)}
        |      WHEN 2 THEN ${blobLit(Multimodal.WavMagic)} ||
-       |        ${le4Sql("octet_length(encode(text)) + 36")} ||
+       |        ${le4Sql(s"36 + $wavBytesSql")} ||
        |        ($wavList)[(doc_id % 20)::INT + 1] ||
-       |        ${le4Sql("octet_length(encode(text))")}
+       |        ${le4Sql(wavBytesSql)}
        |      ELSE ${blobLit(Multimodal.Mp4Magic)}
        |    END || encode(text) AS payload
        |  FROM documents""".stripMargin
@@ -155,7 +175,7 @@ object MultimodalQueries {
         |      WHEN 0 THEN 63 + 5 * ((d * (1 + 3 * d) + 65534) // 65535)
         |                  + d * (1 + 3 * d) + tl
         |      WHEN 1 THEN 4 + tl
-        |      WHEN 2 THEN 44 + tl
+        |      WHEN 2 THEN 44 + $wavBytesSql + tl
         |      ELSE 8 + tl
         |    END AS len
         |  FROM d0
@@ -167,15 +187,18 @@ object MultimodalQueries {
         |FROM s GROUP BY mime""".stripMargin,
     // decode twin. PNG branch: chunk sums over the FORMULA pixels (the
     // Spark side sums the ImageIO-decoded grid — agreement pins the
-    // deflate/inflate loop). Non-PNG branch: chunk sums over the header+
-    // body bytes, hex-parsed. Then L2-normalize to FLOAT with the same
-    // double ops and index order as the Scala stage, and the s1
-    // brute-force ANN shape over the decoded features.
+    // deflate/inflate loop). WAV branch: chunk sums over the FORMULA
+    // data-chunk bytes (the Spark side sums the AudioSystem-streamed
+    // PCM — agreement pins header parse + data-chunk extraction).
+    // JPEG/MP4 branch: chunk sums over the header+body bytes,
+    // hex-parsed. Then L2-normalize to FLOAT with the same double ops
+    // and index order as the Scala stage, and the s1 brute-force ANN
+    // shape over the decoded features.
     "m2_decode_ann" ->
       s"""WITH p AS (
         |  $payloadSql
         |), b AS (
-        |  SELECT doc_id, substring(hex(payload), 17) AS hx FROM p WHERE m <> 0
+        |  SELECT doc_id, substring(hex(payload), 17) AS hx FROM p WHERE m IN (1, 3)
         |), idx AS (
         |  SELECT doc_id, hx, unnest(range(0, length(hx) // 2)) AS i FROM b
         |), bytesums AS (
@@ -189,8 +212,16 @@ object MultimodalQueries {
         |), pngsums AS (
         |  SELECT doc_id, px % 8 AS chunk, SUM(${pixSql("doc_id", "px")}) AS c
         |  FROM pngpx GROUP BY 1, 2
+        |), wavpx AS (
+        |  SELECT doc_id, unnest(range(0, n)) AS px
+        |  FROM (SELECT doc_id, $wavBytesSql AS n FROM documents
+        |        WHERE substring(source, 4)::INT % 4 = 2) wd
+        |), wavsums AS (
+        |  SELECT doc_id, px % 8 AS chunk, SUM(${pixSql("doc_id", "px")}) AS c
+        |  FROM wavpx GROUP BY 1, 2
         |), sums AS (
         |  SELECT * FROM bytesums UNION ALL SELECT * FROM pngsums
+        |  UNION ALL SELECT * FROM wavsums
         |), grid AS (
         |  SELECT doc_id, unnest(range(0, 8)) AS chunk FROM p
         |), chunks AS (
@@ -266,6 +297,43 @@ object MultimodalQueries {
     // from pixelValue over the full d×d grid; the Spark side reports
     // what ImageIO actually DECODED — a hash match proves the emitted
     // IDAT inflates back to exactly the formula grid.
+    // PCM sample replay: DuckDB recomputes frame/channel geometry and
+    // per-channel SAMPLE sums from pixelValue over the data chunk —
+    // little-endian assembly, 8-bit unsigned / wider signed two's
+    // complement — while the Spark side reports what AudioSystem
+    // actually STREAMED; a hash match proves the emitted data chunk
+    // survives the real audio parser byte-for-byte and the sample
+    // semantics agree.
+    "m6_wav_sample_stats" ->
+      s"""WITH wav AS (
+        |  SELECT doc_id, 1 + doc_id % 2 AS ch,
+        |    ([8, 16, 24, 32])[(doc_id % 4)::INT + 1] // 8 AS bps,
+        |    64 + doc_id % 64 AS frames
+        |  FROM documents WHERE substring(source, 4)::INT % 4 = 2
+        |), fx AS (
+        |  SELECT doc_id, ch, bps, frames, unnest(range(0, frames)) AS f FROM wav
+        |), cc AS (SELECT unnest([0, 1]) AS c),
+        |sm AS (
+        |  SELECT doc_id, bps, c,
+        |    list_sum(list_transform(range(0, bps), k ->
+        |      ${pixSql("doc_id", "((f * ch + c) * bps + k)")}
+        |        * (1::BIGINT << (8 * k)))) AS raw
+        |  FROM fx CROSS JOIN cc WHERE cc.c < fx.ch
+        |), sv AS (
+        |  SELECT doc_id, c,
+        |    CASE WHEN bps = 1 THEN raw
+        |         WHEN raw >= (1::BIGINT << (8 * bps - 1))
+        |           THEN raw - (1::BIGINT << (8 * bps))
+        |         ELSE raw END AS v
+        |  FROM sm
+        |)
+        |SELECT w.doc_id,
+        |  CAST(w.frames AS BIGINT) AS n_frames,
+        |  CAST(w.ch AS BIGINT) AS channels,
+        |  CAST(SUM(CASE WHEN c = 0 THEN v END) AS BIGINT) AS sum_ch0,
+        |  CAST(COALESCE(SUM(CASE WHEN c = 1 THEN v END), 0) AS BIGINT) AS sum_ch1
+        |FROM sv JOIN wav w USING (doc_id)
+        |GROUP BY w.doc_id, w.frames, w.ch""".stripMargin,
     "m5_pixel_stats" ->
       s"""WITH png AS (
         |  SELECT doc_id, 16 * (doc_id % 16 + 1) AS d FROM documents

@@ -175,6 +175,42 @@ object SimQueries {
       .withColumn("rank", col("rank").cast("long"))
   }
 
+  /** s10 — INCREMENTAL index maintenance: build the persisted index over
+    * the even-id HALF of the corpus (centroids refine over that half and
+    * are then FIXED), append the odd-id half against the stored
+    * centroids, query the combined index. Because assignment against
+    * fixed centroids is a pure per-vector function, build+append is
+    * row-for-row one full assignment sweep at those centroids — which is
+    * exactly what the oracle replays (refine over the initial half,
+    * assign ALL vectors).
+    */
+  val InitPred = "vec_id % 2 = 0"
+
+  def s10IvfAppend(s: SparkSession, dir: String): DataFrame = {
+    val base = new java.io.File(
+      s"target/ivfappend${dir.replaceAll("[^a-zA-Z0-9]", "_")}").getAbsolutePath
+    val e = clustered(s, dir)
+    Similarity.buildIvfIndex(e.filter(InitPred), ClusterCentPred, Dim, base)
+    Similarity.appendToIvfIndex(e.filter(s"NOT ($InitPred)"), base)
+    Similarity.ivfTopKIndexed(s, base, e.filter(QueryPred), K, NProbe)
+      .withColumn("rank", col("rank").cast("long"))
+  }
+
+  /** s11 — FILTERED vector search on the LSH path: the `label` metadata
+    * rides the corpus side of the bucket index (`carry`) and the
+    * predicate prunes candidates BEFORE bucketing/scoring — the
+    * filtered-ANN shape for the corpora the router sends to LSH (s9
+    * covers the IVF route). Runs on the near-uniform `embeddings`
+    * corpus, LSH's home fixture.
+    */
+  def s11LshFiltered(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Similarity.lshTopKMulti(e.filter(QueryPred), e, K, Dim, Planes, NTables,
+        ProbeR, carry = Seq("label"),
+        candidateFilter = Some(org.apache.spark.sql.functions.expr(FilterPred)))
+      .withColumn("rank", col("rank").cast("long"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_ann_topk" -> (s1AnnTopK _),
     "s2_cosine_pairs_blocked" -> (s2CosinePairsBlocked _),
@@ -184,7 +220,9 @@ object SimQueries {
     "s6_ivf_refined" -> (s6IvfRefined _),
     "s7_q8_topk" -> (s7Q8TopK _),
     "s8_ivf_indexed" -> (s8IvfIndexed _),
-    "s9_ivf_filtered" -> (s9IvfFiltered _)
+    "s9_ivf_filtered" -> (s9IvfFiltered _),
+    "s10_ivf_append" -> (s10IvfAppend _),
+    "s11_lsh_filtered" -> (s11LshFiltered _)
   )
 
   // ---- generated DuckDB twins ----------------------------------------
@@ -239,14 +277,18 @@ object SimQueries {
   /** Multi-table multi-probe LSH top-k — twin of Similarity.lshTopKMulti at
     * the same (Planes, NTables, ProbeR): wide bucket cut into per-table
     * buckets, query buckets expanded by every Hamming<=ProbeR mask, equi-join
-    * on (table, bucket), max-dedup, rank.
+    * on (table, bucket), max-dedup, rank. `candPred` (over `c.*`, e.g.
+    * `c.label < 4`) is the filtered-search twin: candidates excluded
+    * before scoring.
     */
-  private def lshMultiSql: String = {
+  private def lshMultiSql: String = lshMultiSqlWhere("TRUE")
+
+  private def lshMultiSqlWhere(candPred: String): String = {
     val bmask = (1L << Planes) - 1
     val masks = Similarity.probeMasks(Planes, ProbeR).mkString(", ")
     val tablesList = (0 until NTables).mkString(", ")
     s"""WITH v AS (
-       |  SELECT vec_id, embedding,
+       |  SELECT vec_id, label, embedding,
        |    sqrt(${dotSql("embedding", "embedding")}) AS n,
        |    ${wideBucketSql("embedding", Planes * NTables)} AS wb
        |  FROM embeddings
@@ -255,7 +297,7 @@ object SimQueries {
        |), tt AS (SELECT unnest([$tablesList]) AS t),
        |mm AS (SELECT unnest([$masks]) AS m),
        |cband AS (
-       |  SELECT vec_id AS c_id, embedding AS cv, n AS cn, t,
+       |  SELECT vec_id AS c_id, label, embedding AS cv, n AS cn, t,
        |    ((wb >> ($Planes * t)) & $bmask) AS bk
        |  FROM v CROSS JOIN tt
        |), probes AS (
@@ -267,7 +309,7 @@ object SimQueries {
        |  FROM cband c
        |  JOIN probes p ON c.t = p.t AND c.bk = p.bk
        |  JOIN q ON q.q_id = p.q_id
-       |  WHERE p.q_id <> c.c_id
+       |  WHERE p.q_id <> c.c_id AND $candPred
        |  GROUP BY p.q_id, c.c_id
        |), ranked AS (
        |  SELECT q_id, c_id, cos,
@@ -330,9 +372,14 @@ object SimQueries {
   private def ivfRefinedSql: String = ivfRefinedSqlWhere("TRUE")
 
   /** [[ivfRefinedSql]] with a candidate predicate (over `v.*`, e.g.
-    * `v.label < 4`) applied BEFORE ranking — the filtered-search twin.
+    * `v.label < 4`) applied BEFORE ranking — the filtered-search twin —
+    * and a build predicate restricting which vectors the Lloyd sweep
+    * refines over (the incremental-append twin: seeds and refinement see
+    * only the INITIAL corpus, the final assignment sees everything —
+    * appended vectors never move fixed centroids).
     */
-  private def ivfRefinedSqlWhere(candPred: String): String = {
+  private def ivfRefinedSqlWhere(candPred: String,
+                                 buildPred: String = "TRUE"): String = {
     val sumList = (1 to Dim)
       .map(k => s"CAST(sum(CAST(embedding[$k] * 1024 AS BIGINT)) AS BIGINT)")
       .mkString("[", ",\n    ", "]")
@@ -343,14 +390,16 @@ object SimQueries {
        |  SELECT vec_id, label, embedding,
        |    sqrt(${dotSql("embedding", "embedding")}) AS n
        |  FROM cvec
+       |), bv AS (
+       |  SELECT * FROM v WHERE $buildPred
        |), c0 AS (
-       |  SELECT vec_id AS cid, embedding AS cv, n AS cn FROM v WHERE $ClusterCentPred
+       |  SELECT vec_id AS cid, embedding AS cv, n AS cn FROM bv WHERE $ClusterCentPred
        |), a0 AS (
        |  SELECT vec_id, cid AS cell FROM (
        |    SELECT v.vec_id, c.cid,
        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
        |        ${dotSql("v.embedding", "c.cv")} / (v.n * c.cn) DESC, c.cid ASC) AS rn
-       |    FROM v CROSS JOIN c0 c)
+       |    FROM bv v CROSS JOIN c0 c)
        |  WHERE rn = 1
        |), ref AS (
        |  SELECT cell, count(*) AS cnt,
@@ -463,6 +512,11 @@ object SimQueries {
     "s8_ivf_indexed" -> ivfRefinedSql,
     // s9: the same twin plus the candidate predicate before ranking
     "s9_ivf_filtered" -> ivfRefinedSqlWhere(s"v.$FilterPred"),
+    // s10: refine over the initial half only, assign ALL vectors to the
+    // resulting fixed centroids — the build+append composition
+    "s10_ivf_append" -> ivfRefinedSqlWhere("TRUE", InitPred),
+    // s11: the LSH twin plus the candidate predicate before scoring
+    "s11_lsh_filtered" -> lshMultiSqlWhere(s"c.$FilterPred"),
     "s1_ann_topk" -> topKSql,
     "s3_lsh_topk" -> lshMultiSql,
     "s4_ivf_topk" -> ivfSql,

@@ -1,6 +1,6 @@
 package graft.sim
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
@@ -174,9 +174,11 @@ object Similarity {
   def lshTopKMulti(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
                    planes: Int, tables: Int, probeRadius: Int,
                    hintBroadcast: Boolean = true,
-                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+                   idCol: String = "vec_id", vecCol: String = "embedding",
+                   carry: Seq[String] = Nil,
+                   candidateFilter: Option[Column] = None): DataFrame =
     rankTopK(lshMultiScored(queries, corpus, dim, planes, tables, probeRadius,
-      hintBroadcast, idCol, vecCol), k)
+      hintBroadcast, idCol, vecCol, carry, candidateFilter), k)
 
   /** The deduped candidate relation behind [[lshTopKMulti]]: one
     * (q_id, c_id, cos) row per scored candidate pair. Exposed so recall
@@ -189,11 +191,22 @@ object Similarity {
     * driver-small. Spark honors the hint REGARDLESS of size, so a caller
     * with a large query set must pass false, which leaves a plain shuffle
     * hash join on (t, bk) for AQE to plan — same results, no driver OOM.
+    *
+    * `carry` = metadata columns riding the corpus side of the bucket
+    * index; `candidateFilter` = a predicate over them that prunes
+    * candidates BEFORE scoring (the filtered-ANN shape on the LSH path,
+    * completing `ivfTopKIndexed`'s `candidateFilter` for the corpora the
+    * router sends to LSH). Top-k is over qualifying vectors only, and
+    * because the filter lands on the corpus relation before the bucket
+    * join, Catalyst pushes it into the corpus scan — filtered-out rows
+    * are never bucketed, joined, or scored.
     */
   def lshMultiScored(queries: DataFrame, corpus: DataFrame, dim: Int,
                      planes: Int, tables: Int, probeRadius: Int,
                      hintBroadcast: Boolean = true,
-                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     carry: Seq[String] = Nil,
+                     candidateFilter: Option[Column] = None): DataFrame = {
     require(planes * tables <= 63, "wide bucket must fit one long")
     val dot = nativeDot(corpus)
     graft.functions.LshBucket.register(corpus.sparkSession, dim, planes * tables)
@@ -217,7 +230,11 @@ object Similarity {
         explode(typedLit(probeMasks(planes, probeRadius))).as("m"))
       .select(col("q_id"), col("t"), col("qb").bitwiseXOR(col("m")).as("bk"))
 
-    val c = corpus.select(col(idCol).as("c_id"), col(vecCol).as("cv"))
+    val cAll = corpus.select(col(idCol).as("c_id") +: col(vecCol).as("cv") +:
+      carry.map(col): _*)
+    // filter BEFORE bucketing: excluded vectors never enter the index
+    // sweep — and on a stored corpus the predicate reaches the scan
+    val c = candidateFilter.fold(cAll)(cAll.filter)
       .withColumn("cn", sqrt(dot(col("cv"), col("cv"))))
       .withColumn("wide", graft.functions.LshBucket(col("cv")))
       .select(col("c_id"), col("cv"), col("cn"), banded(col("wide"), "bk").as("tb"))
@@ -363,14 +380,72 @@ object Similarity {
                     path: String, refineIters: Int = 1, gridScale: Int = 1024,
                     idCol: String = "vec_id", vecCol: String = "embedding",
                     carry: Seq[String] = Nil): Unit = {
-    val spark = corpus.sparkSession
     val dot = nativeDot(corpus)
     var cents = corpus.filter(centroidPred)
       .select(col(idCol).as("cid"), col(vecCol).as("cv0"))
     for (_ <- 0 until refineIters)
       cents = refineCentroids(corpus, cents, dim, gridScale, idCol, vecCol)
     cents.write.mode("overwrite").parquet(s"$path/centroids")
-    // re-read so the assignment sweep doesn't recompute the refinement
+    assignIntoIndex(corpus, path, SaveMode.Overwrite, idCol, vecCol, carry)
+  }
+
+  /** Incrementally admit NEW vectors into a persisted [[buildIvfIndex]]
+    * index: assign ONLY the delta against the STORED centroids (the same
+    * broadcast-assign sweep the build runs, restricted to the delta) and
+    * APPEND the result to the cell-partitioned layout — existing files
+    * are never touched, new rows land as new files inside their cell's
+    * partition directory, and query-time pruning keeps working because
+    * the layout is unchanged. This is what makes a growing corpus
+    * affordable: the per-batch cost is |delta| × C broadcast scores, not
+    * a full rebuild.
+    *
+    * Because the centroids are FIXED, each vector's cell is a pure
+    * function of the vector — so build-on-a-subset + append-the-rest is
+    * row-for-row identical to one assignment sweep over the whole corpus
+    * against the same centroids (IvfIndexSpec proves it, and the
+    * `s10_ivf_append` oracle replays refine-over-initial + assign-all in
+    * DuckDB). The trade every IVF service accepts: appended vectors do
+    * not move the centroids, so after enough drift the cells stop
+    * matching corpus density and a rebuild re-refines — rebuild
+    * threshold policy stays with the caller.
+    */
+  def appendToIvfIndex(delta: DataFrame, path: String,
+                       idCol: String = "vec_id", vecCol: String = "embedding",
+                       carry: Seq[String] = Nil): Unit =
+    assignIntoIndex(delta, path, SaveMode.Append, idCol, vecCol, carry)
+
+  /** Streaming form of [[appendToIvfIndex]]: every micro-batch of
+    * arriving vectors is assigned against the stored centroids and
+    * appended. `foreachBatch` reuses the batch path verbatim, so the
+    * streamed index is row-for-row the batch index of the same rows
+    * (IvfIndexSpec pins it); exactly-once lands on the caller's
+    * checkpoint + the idempotent cell layout (replayed batches re-append —
+    * at-least-once, as the alert log's sink contract).
+    */
+  def appendToIvfIndexStream(vectors: DataFrame, path: String,
+                             checkpoint: String,
+                             idCol: String = "vec_id", vecCol: String = "embedding",
+                             carry: Seq[String] = Nil)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        appendToIvfIndex(batch, path, idCol, vecCol, carry)
+      }
+      .start()
+
+  /** The shared assignment sweep: score `vecs` against the index's stored
+    * centroids (broadcast), pick each vector's argmax cell, write into the
+    * cell-partitioned layout under `mode`.
+    */
+  private def assignIntoIndex(vecs: DataFrame, path: String, mode: SaveMode,
+                              idCol: String, vecCol: String,
+                              carry: Seq[String]): Unit = {
+    val spark = vecs.sparkSession
+    val dot = nativeDot(vecs)
+    // read (don't recompute) the centroids: build reuses its just-written
+    // refinement, append sees exactly what the build stored
     val centsR = broadcast(spark.read.parquet(s"$path/centroids")
       .withColumn("cn0", sqrt(dot(col("cv0"), col("cv0")))))
     // `carry` = metadata columns stored alongside each vector — what
@@ -378,14 +453,14 @@ object Similarity {
     val aggs = Seq(first(col("v")).as("v"), first(col("n")).as("n")) ++
       carry.map(c => first(col(c)).as(c)) :+
       max_by(col("cid"), struct(col("ccos"), (-col("cid")).as("nc"))).as("cell")
-    corpus.select(col(idCol).as("c_id") +: col(vecCol).as("v") +:
+    vecs.select(col(idCol).as("c_id") +: col(vecCol).as("v") +:
         carry.map(col): _*)
       .withColumn("n", sqrt(dot(col("v"), col("v"))))
       .crossJoin(centsR)
       .withColumn("ccos", cosine(dot(col("v"), col("cv0")), col("n"), col("cn0")))
       .groupBy(col("c_id"))
       .agg(aggs.head, aggs.tail: _*)
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/assigned")
+      .write.mode(mode).partitionBy("cell").parquet(s"$path/assigned")
   }
 
   /** Query a persisted [[buildIvfIndex]] index: probe cells against the

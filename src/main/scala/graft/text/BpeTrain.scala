@@ -93,6 +93,91 @@ object BpeTrain {
     learned.result()
   }
 
+  /** Batched-greedy training: per round, ONE pair-count job selects up to
+    * `maxBatch` merge rules instead of one — the production-vocab scale
+    * posture. [[learn]]'s cost is `numMerges` sequential driver
+    * round-trips (a 32k-merge tokenizer = 32k jobs); this cuts the round
+    * count by the accepted-batch size (dozens per round on natural text)
+    * while staying EXACTLY equal to the sequential result, which
+    * BpeTrainSpec gates on every fixture.
+    *
+    * Why the selection is exact (and where it must stop): sort the
+    * round's pair counts in the argmax order (cnt DESC, a ASC, b ASC) and
+    * walk the prefix. A prefix pair that is symbol-disjoint from every
+    * earlier accepted pair has its count untouched by those merges, so it
+    * is still the running argmax — EXCEPT that an earlier merge (a,b) can
+    * create brand-new pairs (x,ab)/(ab,y). Every such new pair inherits
+    * count ≤ cnt(x,a) (each occurrence was an (x,a) occurrence), and
+    * (x,a) shares the symbol `a`, so it sits at or past the first
+    * CONFLICTING (symbol-sharing) pair in the sorted order. Therefore:
+    * stop at the first conflict and keep only accepted pairs with count
+    * STRICTLY above the conflict's count (strictness because an equal
+    * count could lose the lexicographic tie-break to a new pair) — every
+    * kept pair beats every possible new pair, and the batch replays the
+    * sequential selection verbatim. When the fetch window itself is the
+    * bound (no conflict among the fetched rows), the last fetched count
+    * bounds all unfetched pairs the same way. If the guard empties the
+    * batch (top-2 tie on a shared symbol), fall back to the plain argmax
+    * — one rule, trivially exact — so progress is always ≥ 1 rule/round.
+    */
+  def learnBatched(docs: DataFrame, numMerges: Int,
+                   textCol: String = "text", maxBatch: Int = 64): Seq[Merge] = {
+    require(numMerges >= 1, "need at least one merge round")
+    require(maxBatch >= 1, "need a positive batch size")
+    var vocab = wordFreq(docs, textCol)
+      .withColumn("sym", regexp_replace(col("word"), "(.)", "($1)"))
+      .select("freq", "sym")
+      .localCheckpoint(true) // phase one ends: corpus never re-read
+    val learned = Seq.newBuilder[Merge]
+    var nLearned = 0
+    var exhausted = false
+    while (nLearned < numMerges && !exhausted) {
+      val fetch = maxBatch.min(numMerges - nLearned) + 1 // +1: conflict probe
+      val rows = vocab
+        .select(col("freq"), explode(adjacentPairs(col("sym"))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+        .limit(fetch)
+        .collect()
+        .map(r => Merge(r.getAs[String]("a"), r.getAs[String]("b"),
+          r.getAs[Long]("cnt")))
+      if (rows.isEmpty) exhausted = true
+      else {
+        val used = scala.collection.mutable.Set[String]()
+        val accepted = Vector.newBuilder[Merge]
+        var conflictCnt = -1L
+        var sawConflict = false
+        var i = 0
+        while (i < rows.length && !sawConflict) {
+          val m = rows(i)
+          if (used(m.a) || used(m.b)) { sawConflict = true; conflictCnt = m.cnt }
+          else { accepted += m; used += m.a; used += m.b }
+          i += 1
+        }
+        val acc = accepted.result()
+        // count bound for unseen/new pairs: the first conflict, or —
+        // when the whole fetch window was disjoint — the last fetched row
+        val bound =
+          if (sawConflict) conflictCnt
+          else if (rows.length == fetch) rows.last.cnt
+          else Long.MinValue
+        val keep0 = acc.filter(_.cnt > bound)
+        val keep = (if (keep0.isEmpty) acc.take(1) else keep0)
+          .take(numMerges - nLearned)
+        for (m <- keep) {
+          learned += m
+          vocab = vocab.withColumn("sym",
+            org.apache.spark.sql.functions.replace(
+              col("sym"), lit(s"(${m.a})(${m.b})"), lit(s"(${m.a}${m.b})")))
+        }
+        nLearned += keep.length
+        vocab = vocab.localCheckpoint(true) // bounded plan per round
+      }
+    }
+    learned.result()
+  }
+
   /** The learned table in [[Text.bpeEncode]]'s merges format. */
   def asMerges(learned: Seq[Merge]): Seq[(String, String)] =
     learned.map(m => (m.a, m.b))

@@ -7,11 +7,12 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.BinaryType
 
 /** Multimodal plumbing: payload synthesis (COMPLETE valid PNGs with real
-  * zlib IDAT pixel data + real WAV headers), MIME/IHDR/fmt column
-  * parsing, the javax.imageio round-trip in BOTH directions (our files
-  * through ImageIO's decoder; ImageIO-encoded files through our
-  * parsers), and the decode stage's schema, partitioning, determinism,
-  * and downstream similarity integration.
+  * zlib IDAT pixel data + COMPLETE valid WAVs with real PCM data
+  * chunks), MIME/IHDR/fmt column parsing, the javax.imageio and
+  * javax.sound.sampled round-trips (our files through the JDK's real
+  * decoders; ImageIO-encoded files through our parsers), and the decode
+  * stage's schema, partitioning, determinism, and downstream similarity
+  * integration.
   */
 class MultimodalSpec extends SparkSpec {
 
@@ -23,6 +24,11 @@ class MultimodalSpec extends SparkSpec {
     (2L, "wav doc body yy", "en", "src2", 15L),
     (3L, "mp4 doc body zzz", "en", "src3", 16L),
     (4L, "png again", "en", "src4", 9L),
+    // wav geometry coverage: the doc_id cycles pick stereo/16-bit,
+    // stereo/32-bit, and mono/8-bit clips (doc 2 is mono/24-bit)
+    (5L, "wav stereo 16", "en", "src6", 13L),
+    (7L, "wav stereo 32", "en", "src10", 13L),
+    (8L, "wav mono 8", "en", "src14", 10L),
     // same text, same modality, same dim class (doc_id mod 16) as doc 0 —
     // but pixels are a function of the FULL doc_id, so the payload must
     // share the header yet differ in content
@@ -31,6 +37,12 @@ class MultimodalSpec extends SparkSpec {
     // codec-less modalities have no per-doc content synthesis)
     (17L, "jpeg doc body x", "en", "src17", 15L)
   ).toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  /** data-chunk byte count for a wav doc. */
+  private def wavN(id: Long): Int = {
+    val i = (id % 20).toInt
+    wavFrames(id) * (wavChannelsInt(i) * wavBitsInt(i) / 8)
+  }
 
   private def pays = payloads(docs)
 
@@ -126,7 +138,7 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("synthesized WAV header is spec-valid: javax.sound.sampled parses it") {
-    // doc 2 is the wav-modality doc; its header must be a real RIFF/WAVE
+    // doc 2 is a wav-modality doc; its header must be a real RIFF/WAVE
     // PCM header any conforming audio reader accepts
     val p2 = pay(2L)
     val fmt = javax.sound.sampled.AudioSystem.getAudioFileFormat(
@@ -136,10 +148,58 @@ class MultimodalSpec extends SparkSpec {
     assert(af.getChannels == wavChannelsInt(2))         // 1 + 2 % 2 = 1
     assert(af.getSampleRate.toInt == wavRateInt(2))     // 22050
     assert(af.getSampleSizeInBits == wavBitsInt(2))     // 24
-    // declared data size is exactly the UTF-8 body length
+    // file = header + declared PCM data + the UTF-8 body as a trailer
+    // past the RIFF size (readers ignore it, like the PNG post-IEND text)
+    val n = wavN(2L)
     val body = "wav doc body yy".getBytes("UTF-8")
-    assert(p2.length == 44 + body.length)
-    assert(new String(p2.drop(44), "UTF-8") == "wav doc body yy")
+    assert(p2.length == 44 + n + body.length)
+    assert(new String(p2.drop(44 + n), "UTF-8") == "wav doc body yy")
+  }
+
+  test("wavFile is a complete valid WAV: AudioSystem streams the exact formula PCM") {
+    // all four bit depths and both channel counts across the wav docs
+    for (id <- Seq(2L, 5L, 7L, 8L)) {
+      val i = (id % 20).toInt
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(pay(id)))
+      val af = in.getFormat
+      assert(af.getChannels == wavChannelsInt(i), s"doc $id channels")
+      assert(af.getSampleSizeInBits == wavBitsInt(i), s"doc $id bits")
+      assert(in.getFrameLength == wavFrames(id), s"doc $id frames")
+      val data = in.readAllBytes()
+      in.close()
+      val n = wavN(id)
+      assert(data.length == n, s"doc $id data bytes")
+      // every streamed byte equals pixelValue — the data chunk survives
+      // the real audio parser bit-exactly, trailer excluded
+      for (p <- 0 until n)
+        assert((data(p) & 0xff) == pixelValue(id, p.toLong), s"doc $id byte $p")
+    }
+  }
+
+  test("wavSampleStats: streamed per-channel sample sums equal the formula sums") {
+    val stats = wavSampleStats(toBlobs(docs)).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_frames"), r.getAs[Long]("channels"),
+          r.getAs[Long]("sum_ch0"), r.getAs[Long]("sum_ch1")))).toMap
+    assert(stats.keySet == Set(2L, 5L, 7L, 8L))
+    for (id <- Seq(2L, 5L, 7L, 8L)) {
+      val i = (id % 20).toInt
+      val ch = wavChannelsInt(i); val bps = wavBitsInt(i) / 8
+      val frames = wavFrames(id)
+      val sums = Array.fill(2)(0L)
+      for (f <- 0 until frames; c <- 0 until ch) {
+        var raw = 0L
+        for (k <- 0 until bps)
+          raw |= pixelValue(id, ((f * ch + c) * bps + k).toLong).toLong << (8 * k)
+        val v =
+          if (bps == 1) raw
+          else if ((raw & (1L << (8 * bps - 1))) != 0) raw - (1L << (8 * bps))
+          else raw
+        sums(c) += v
+      }
+      assert(stats(id) == ((frames.toLong, ch.toLong, sums(0), sums(1))), s"doc $id")
+    }
   }
 
   test("WAV fmt parse columns read back the synthesized geometry") {
@@ -153,10 +213,14 @@ class MultimodalSpec extends SparkSpec {
         ((r.getAs[Long]("ch"), r.getAs[Long]("sr"), r.getAs[Long]("br"),
           r.getAs[Long]("ba"), r.getAs[Long]("bits"), r.getAs[Long]("db"))))
       .toMap
-    assert(parsed.keySet == Set(2L)) // the wav-modality doc
-    val ba = wavChannelsInt(2) * wavBitsInt(2) / 8
-    assert(parsed(2L) == ((wavChannelsInt(2).toLong, wavRateInt(2).toLong,
-      wavRateInt(2).toLong * ba, ba.toLong, wavBitsInt(2).toLong, 15L)))
+    assert(parsed.keySet == Set(2L, 5L, 7L, 8L)) // the wav-modality docs
+    for (id <- Seq(2L, 5L, 7L, 8L)) {
+      val i = (id % 20).toInt
+      val ba = wavChannelsInt(i) * wavBitsInt(i) / 8
+      assert(parsed(id) == ((wavChannelsInt(i).toLong, wavRateInt(i).toLong,
+        wavRateInt(i).toLong * ba, ba.toLong, wavBitsInt(i).toLong,
+        wavN(id).toLong)), s"doc $id")
+    }
   }
 
   test("MIME sniff recognizes each container from its signature") {
@@ -164,6 +228,7 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(mimes == Map(0L -> "image/png", 1L -> "image/jpeg",
       2L -> "audio/wav", 3L -> "video/mp4", 4L -> "image/png",
+      5L -> "audio/wav", 7L -> "audio/wav", 8L -> "audio/wav",
       16L -> "image/png", 17L -> "image/jpeg"))
   }
 
@@ -175,7 +240,9 @@ class MultimodalSpec extends SparkSpec {
     val pngTotal = Seq((0L, 12), (4L, 9), (16L, 12))
       .map { case (id, bodyLen) => pngFile(id).length + bodyLen }.sum
     assert(stats("image/png") == pngTotal.toLong)
-    assert(stats("audio/wav") == 44L + 15L)
+    val wavTotal = Seq((2L, 15), (5L, 13), (7L, 13), (8L, 10))
+      .map { case (id, bodyLen) => 44 + wavN(id) + bodyLen }.sum
+    assert(stats("audio/wav") == wavTotal.toLong)
     assert(stats.keySet ==
       Set("image/png", "image/jpeg", "audio/wav", "video/mp4"))
   }
@@ -184,7 +251,7 @@ class MultimodalSpec extends SparkSpec {
     val blobs = toBlobs(docs)
     assert(blobs.schema("payload").dataType == BinaryType)
     assert(blobs.schema.fieldNames.toSeq == Seq("doc_id", "mime", "payload"))
-    assert(blobs.count() == 7)
+    assert(blobs.count() == 10)
   }
 
   test("decode: real PNG dims + pixel features, deterministic, partitioning preserved") {
@@ -192,15 +259,18 @@ class MultimodalSpec extends SparkSpec {
     val feats = Multimodal.decode(blobs)
     assert(feats.rdd.getNumPartitions == 3) // mapPartitions keeps the layout
     val rows = feats.collect().sortBy(_.doc_id)
-    assert(rows.map(_.doc_id).toSeq == Seq(0L, 1L, 2L, 3L, 4L, 16L, 17L))
+    assert(rows.map(_.doc_id).toSeq == Seq(0L, 1L, 2L, 3L, 4L, 5L, 7L, 8L, 16L, 17L))
     assert(rows.forall(_.feature.length == FeatureDim))
     assert(rows.forall(r => math.abs(r.feature.map(f => f.toDouble * f).sum - 1.0) < 1e-3))
     // png dims come from the DECODED image
     assert(rows(0).width == 16 && rows(0).height == 16)
     assert(rows(4).width == 80 && rows(4).height == 80)
+    // wav (width, height) = the DECODED PCM grid's (frames, channels)
+    assert(rows(2).width == wavFrames(2L) && rows(2).height == 1)
+    assert(rows(5).width == wavFrames(5L) && rows(5).height == 2)
     // png features come from the decoded PIXELS: doc 16 shares doc 0's
     // dims and text but its grid differs -> different features
-    val (a, b) = (rows(0), rows(5))
+    val (a, b) = (rows(0), rows(8))
     assert(a.width == b.width && a.height == b.height)
     assert(a.feature.toSeq != b.feature.toSeq)
     // the features ARE the normalized formula chunk sums

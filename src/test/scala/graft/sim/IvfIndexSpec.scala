@@ -64,6 +64,98 @@ class IvfIndexSpec extends SparkSpec {
       s"label predicate must push into the index scan:\n$plan")
   }
 
+  // ---- incremental maintenance (appendToIvfIndex) --------------------
+
+  private def assignedRows(p: String): Set[Seq[Any]] =
+    spark.read.parquet(s"$p/assigned")
+      .select(col("c_id"), col("cell").cast("long"), col("v"), col("n"))
+      .collect().map(_.toSeq.map {
+        case a: scala.collection.Seq[_] => a.toList
+        case x => x
+      }).toSet
+
+  private def fileSnapshot(p: String): Map[String, Long] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    walk(new java.io.File(s"$p/assigned"))
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getAbsolutePath -> f.length()).toMap
+  }
+
+  test("build-half + append-rest equals one full sweep at the same fixed centroids") {
+    val init = corpus.filter(SimQueries.InitPred)
+    val rest = corpus.filter(s"NOT (${SimQueries.InitPred})")
+    val pA = java.nio.file.Files.createTempDirectory("ivfappA").toString
+    Similarity.buildIvfIndex(init, SimQueries.ClusterCentPred, SimQueries.Dim, pA)
+    Similarity.appendToIvfIndex(rest, pA)
+    // reference: the SAME stored centroids, one sweep over the whole
+    // corpus — append into an index that has centroids but no assignments
+    val pB = java.nio.file.Files.createTempDirectory("ivfappB").toString
+    spark.read.parquet(s"$pA/centroids").write.parquet(s"$pB/centroids")
+    Similarity.appendToIvfIndex(corpus, pB)
+    assert(assignedRows(pA) == assignedRows(pB),
+      "append must be row-for-row a full assignment sweep at fixed centroids")
+    val q = corpus.filter(SimQueries.QueryPred)
+    val a = Similarity.ivfTopKIndexed(spark, pA, q, SimQueries.K, SimQueries.NProbe)
+      .collect().map(_.toSeq).toSet
+    val b = Similarity.ivfTopKIndexed(spark, pB, q, SimQueries.K, SimQueries.NProbe)
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
+  test("append touches only delta rows: existing files unchanged, delta lands as new files") {
+    val init = corpus.filter(SimQueries.InitPred)
+    val rest = corpus.filter(s"NOT (${SimQueries.InitPred})")
+    val p = java.nio.file.Files.createTempDirectory("ivfappdelta").toString
+    Similarity.buildIvfIndex(init, SimQueries.ClusterCentPred, SimQueries.Dim, p)
+    val before = fileSnapshot(p)
+    val rowsBefore = spark.read.parquet(s"$p/assigned").count()
+    Similarity.appendToIvfIndex(rest, p)
+    val after = fileSnapshot(p)
+    // every pre-append file survives byte-for-byte (same path, same length)
+    assert(before.forall { case (f, len) => after.get(f).contains(len) },
+      "append must never rewrite existing index files")
+    assert(after.size > before.size, "the delta must land as NEW files")
+    assert(spark.read.parquet(s"$p/assigned").count() == rowsBefore + rest.count(),
+      "appended row count must equal the delta row count")
+    // pruning still holds on the appended layout
+    val q = corpus.filter(SimQueries.QueryPred)
+    val df = Similarity.ivfTopKIndexed(spark, p, q, SimQueries.K, SimQueries.NProbe)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"probe join must still prune the appended cell partitions:\n$plan")
+  }
+
+  test("streaming ingest: foreachBatch appends arriving vectors batch by batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val init = corpus.filter(SimQueries.InitPred)
+    val restRows = corpus.filter(s"NOT (${SimQueries.InitPred})")
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[scala.collection.Seq[Float]]("embedding").toArray))
+    val p = java.nio.file.Files.createTempDirectory("ivfappstream").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ivfappckpt").toString
+    Similarity.buildIvfIndex(init, SimQueries.ClusterCentPred, SimQueries.Dim, p)
+    val in = MemoryStream[(Long, Array[Float])](spark)
+    val q = Similarity.appendToIvfIndexStream(
+      in.toDS().toDF("vec_id", "embedding"), p, ckpt)
+    try {
+      val (b1, b2) = restRows.splitAt(restRows.length / 2)
+      in.addData(b1.toIndexedSeq: _*)
+      q.processAllAvailable()
+      in.addData(b2.toIndexedSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // the streamed index equals the batch build+append of the same rows
+    val pRef = java.nio.file.Files.createTempDirectory("ivfappstreamref").toString
+    spark.read.parquet(s"$p/centroids").write.parquet(s"$pRef/centroids")
+    Similarity.appendToIvfIndex(corpus, pRef)
+    assert(assignedRows(p) == assignedRows(pRef),
+      "streamed appends must produce the batch index row-for-row")
+  }
+
   test("query path has no assignment sweep") {
     val q = corpus.filter(SimQueries.QueryPred)
     val plan = Similarity.ivfTopKIndexed(spark, path, q, SimQueries.K,

@@ -46,6 +46,44 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("filtered LSH search: predicate excludes candidates BEFORE scoring and pushes to the scan") {
+    val labeled = corpus.withColumn("label", col("vec_id") % 8)
+    // the planted duplicate of query 3 carries label 103 % 8 = 7 — a
+    // label-<4 filter must EXCLUDE it from the results, not rank it
+    val filtered = Similarity.lshTopKMulti(
+      labeled.filter(col("vec_id") < 5), labeled, 3, Dim,
+      planes = 12, tables = 5, probeRadius = 1,
+      carry = Seq("label"), candidateFilter = Some(col("label") < 4))
+    val rows = filtered
+      .join(labeled.select(col("vec_id").as("c_id"), col("label")), "c_id")
+      .collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("label") < 4),
+      "every returned candidate must satisfy the predicate")
+    val perQuery = rows.groupBy(_.getAs[Long]("q_id")).view.mapValues(_.toSeq).toMap
+    assert(perQuery.values.exists(_.size == 3), "top-k stays full under the filter")
+    assert(!perQuery(3L).exists(_.getAs[Long]("c_id") == 103L),
+      "the label-7 duplicate must be excluded, not post-filtered")
+    // equivalent to LSH over the pre-filtered corpus (filter-then-index)
+    val pre = Similarity.lshTopKMulti(
+      labeled.filter(col("vec_id") < 5), labeled.filter(col("label") < 4), 3,
+      Dim, planes = 12, tables = 5, probeRadius = 1)
+      .collect().map(_.toSeq).toSet
+    assert(filtered.select("q_id", "c_id", "cos", "rank")
+      .collect().map(_.toSeq).toSet == pre)
+    // on a stored corpus the predicate reaches the parquet scan
+    val p = java.nio.file.Files.createTempDirectory("lshfilt").toString
+    labeled.write.parquet(s"$p/corpus")
+    val stored = spark.read.parquet(s"$p/corpus")
+    val sf = Similarity.lshTopKMulti(stored.filter(col("vec_id") < 5), stored,
+      3, Dim, planes = 12, tables = 5, probeRadius = 1,
+      carry = Seq("label"), candidateFilter = Some(col("label") < 4))
+    sf.count()
+    val plan = sf.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") && plan.contains("LessThan(label,4)"),
+      s"label predicate must push into the corpus scan:\n$plan")
+  }
+
   test("approximate top-1 never beats exact brute force") {
     val brute = top1(Similarity.bruteForceTopK(queries, corpus, 3))
     val lsh = top1(Similarity.lshTopKMulti(queries, corpus, 3, Dim,

@@ -80,6 +80,44 @@ class BpeTrainSpec extends SparkSpec {
     assert(one.map(m => (m.a, m.b)) == Seq(("a", "b")))
   }
 
+  test("learnBatched equals sequential learn rule-for-rule (counts included)") {
+    // natural-ish text: batches of disjoint pairs accepted per round
+    val docs = docsOf(
+      "the then there the quick brown fox", "then the anthem of the north",
+      "there and then the quick fox ran", "quick brown foxes run north")
+    for (rounds <- Seq(1, 4, 12, 24)) {
+      val seqRules = BpeTrain.learn(docs, rounds).map(m => (m.a, m.b, m.cnt))
+      val batched = BpeTrain.learnBatched(docs, rounds).map(m => (m.a, m.b, m.cnt))
+      assert(batched == seqRules, s"rounds=$rounds")
+    }
+    // tiny batch windows force the conflict-probe/fetch-bound paths
+    for (mb <- Seq(1, 2, 3)) {
+      val seqRules = BpeTrain.learn(docs, 10).map(m => (m.a, m.b, m.cnt))
+      val batched = BpeTrain.learnBatched(docs, 10, maxBatch = mb)
+        .map(m => (m.a, m.b, m.cnt))
+      assert(batched == seqRules, s"maxBatch=$mb")
+    }
+  }
+
+  test("learnBatched strictness guard: top-2 tie on a shared symbol falls back to argmax") {
+    // cnt(t,h)=cnt(h,e)=3 share 'h': the batch must NOT take both (merging
+    // (h,e) first would change (t,h)'s standing); the guard empties the
+    // batch and the fallback takes exactly the argmax, staying sequential
+    val docs = docsOf("the the the")
+    val seqRules = BpeTrain.learn(docs, 4).map(m => (m.a, m.b, m.cnt))
+    val batched = BpeTrain.learnBatched(docs, 4).map(m => (m.a, m.b, m.cnt))
+    assert(batched == seqRules)
+    // and both equal the naive reference
+    val expected = naive(Map("the" -> 3L), 4)
+    assert(batched == expected)
+  }
+
+  test("learnBatched stops early when the vocab runs out of pairs") {
+    assert(BpeTrain.learnBatched(docsOf("a b c", "b c a"), 5).isEmpty)
+    val one = BpeTrain.learnBatched(docsOf("ab ab ab"), 5)
+    assert(one.map(m => (m.a, m.b)) == Seq(("a", "b")))
+  }
+
   test("the learned table drives the existing encoder") {
     val docs = docsOf("the the the cat", "the cat sat")
     val merges = BpeTrain.asMerges(BpeTrain.learn(docs, 4))
