@@ -32,10 +32,14 @@ object GraftSession {
     * All of these are dynamic SQL confs, safe to set post-construction.
     */
   def tune(spark: SparkSession): SparkSession = {
-    // The driver-generated events.parquet stores TIMESTAMP(NANOS) which
-    // Spark's parquet reader rejects; read it as raw nanosecond longs and
-    // convert explicitly (see Tables.events).
+    // events.parquet has shipped as both TIMESTAMP(NANOS) and
+    // TIMESTAMP(MICROS) across driver runs; this conf lets the NANOS
+    // encoding decode (as raw longs) and is a no-op on MICROS files.
+    // Tables.events dispatches on the decoded type.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Deterministic timestamp semantics against the DuckDB oracle: NTZ
+    // wall-clocks must read as UTC instants whoever built the session.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark
   }
 

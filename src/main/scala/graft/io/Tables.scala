@@ -26,15 +26,32 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = read(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")
 
-  /** The events table stores `ts` as parquet TIMESTAMP(NANOS), which Spark
-    * cannot read natively; `nanosAsLong` maps it to a raw nanosecond long.
-    * We expose both the long (`ts_ns`, exact — matches DuckDB `epoch_ns(ts)`)
-    * and a microsecond-truncated proper timestamp column `ts`.
+  /** The events table's `ts` has shipped under two physical parquet
+    * encodings across driver runs: TIMESTAMP(NANOS) — which Spark only
+    * reads as a raw long via `spark.sql.legacy.parquet.nanosAsLong` — and
+    * plain TIMESTAMP(MICROS). The reader dispatches on the decoded Spark
+    * type rather than assuming either, mirroring the reference's defensive
+    * per-field access (ryu/src/deployed_controller/DIPA_Controller.py:468).
+    * Either way callers see the same logical schema:
+    *   - `ts_ns`: LongType epoch nanoseconds, exact — matches the DuckDB
+    *     oracle's `epoch_ns(ts)` on both encodings;
+    *   - `ts`: TimestampType at microsecond precision.
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    read(s, d, "events")
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    val raw = read(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType => // NANOS file read as long
+        raw
+          .withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      case _ => // TIMESTAMP(MICROS), tz-adjusted or NTZ. The NTZ→LTZ cast
+        // interprets wall-clock in the session tz, pinned UTC by
+        // GraftSession.tune — same instants DuckDB's epoch_ns(ts) sees.
+        raw
+          .withColumn("ts", col("ts").cast(TimestampType))
+          .withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
+    }
   }
 }

@@ -12,9 +12,9 @@ import org.apache.spark.sql.functions._
   * count-window means, argmax election, last-snapshot aggregation,
   * cross-domain anomaly statistics, set-difference alert gating.
   *
-  * `events.ts` is stored as parquet TIMESTAMP(NANOS); Spark reads it as a
-  * long (`ts_ns`, see Tables.events) so all ordering uses `ts_ns, event_id`
-  * — identical to DuckDB's `ts, event_id` ordering.
+  * `Tables.events` exposes `ts_ns` (epoch-nanosecond long) on every physical
+  * encoding of the table, so all ordering uses `ts_ns, event_id` — identical
+  * to DuckDB's `ts, event_id` ordering.
   */
 object EventAnalytics {
 

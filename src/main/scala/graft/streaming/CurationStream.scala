@@ -1,0 +1,128 @@
+package graft.streaming
+
+import graft.dedup.Dedup
+import graft.text.Text
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** The corpus-curation gates COMPOSED as chained checkpointed streaming
+  * queries — the at-ingest form of the batch `u1` pipeline's front half
+  * (quality filter → exact dedup → near-dup dedup). The reference's
+  * equivalent is a continuous loop, not a batch
+  * (`ryu/src/deployed_controller/DIPA_Controller.py:308-320`); here each
+  * stage is its own Structured Streaming query with its own checkpoint,
+  * chained through parquet file batches:
+  *
+  *   stage 1 (one query): quality gate (stateless projection predicate) →
+  *     exact-digest dedup (one keyed-state entry per distinct content
+  *     digest) → per-micro-batch parquet.
+  *   stage 2 (second query): file-stream over stage 1's output → MinHash
+  *     banded near-dup gate (per-bucket keyed state; flags an arriving
+  *     doc whose est-Jaccard vs any previously seen bucket occupant
+  *     clears the threshold) → flagged (dup_id, of_id, est) parquet.
+  *   keepers = stage 1 survivors ANTI-JOIN stage 2 flags — the curated
+  *     corpus a consumer materializes.
+  *
+  * Restart recovery rides the checkpoints: each query resumes from its
+  * committed source offsets, and the per-micro-batch output dirs are
+  * written with `overwrite`, so a replayed batch id is idempotent rather
+  * than duplicated (the file-sink analog of transactional sinks; a
+  * production deployment would chain through a transactional table
+  * format instead of raw parquet and get the same property).
+  *
+  * Semantics vs batch `u1`: the exact stage keeps the MIN doc_id per
+  * digest under ordered arrival (the state machine replays each
+  * micro-batch in doc_id order, so this holds exactly, not just
+  * first-seen-wins); the near-dup stage is the GREEDY ordered gate — a
+  * doc is flagged iff it matches some EARLIER doc (flagged docs still
+  * register as representatives, so the flag set equals the batch banding
+  * pair rule's right-hand sides). Batch `u1` instead runs min-label
+  * transitive-closure clustering: on a "bridge" topology (doc x's only
+  * near-neighbor arrives AFTER x yet connects x to an earlier
+  * component), closure drops x but the greedy gate keeps it — inherent
+  * to at-ingest decisions, which cannot retract an already-admitted doc.
+  * CurationStreamSpec pins composed-keeper parity against the batch
+  * composition of the same three gate rules, plus restart recovery and
+  * bounded state in both stateful stages.
+  */
+object CurationStream {
+
+  /** The curation row: the columns `u1`'s downstream stages consume. */
+  final case class CurationDoc(doc_id: Long, lang: String, n_chars: Long, text: String)
+
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  private def md5hex(s: String): String =
+    digest.get().digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Quality gate + deterministic exact-digest dedup as one streaming
+    * transform. The state entry is a digest key + one boolean — 16-ish
+    * bytes per distinct document ever seen, never the text. Works on a
+    * streaming or batch frame (state starts empty).
+    */
+  def qualityExactGate(docs: DataFrame, qualityTh: Double): Dataset[CurationDoc] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val qs = Text.qualityMetrics(col("text")).toMap.apply("quality_score")
+    val typed = docs.filter(qs >= qualityTh)
+      .select(col("doc_id").cast("long").as("doc_id"), col("lang"),
+        col("n_chars").cast("long").as("n_chars"), col("text"))
+      .as[CurationDoc]
+    StateMachines.runMachine[String, CurationDoc, Boolean, CurationDoc](
+      typed, key = d => md5hex(d.text), order = _.doc_id, init = false) {
+      case (seen, d) => if (seen) (true, Nil) else (true, Seq(d))
+    }
+  }
+
+  /** Start stage 1: quality + exact-digest gate over `docs` (a streaming
+    * frame), sinking each micro-batch to `outDir/batch=<id>` (overwrite =
+    * replay-idempotent). Caller owns the checkpoint dir lifecycle.
+    */
+  def startQualityExactStage(docs: DataFrame, qualityTh: Double,
+                             outDir: String, checkpointDir: String): StreamingQuery =
+    qualityExactGate(docs, qualityTh).writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[CurationDoc], batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+      }
+      .start()
+
+  /** Start stage 2: the MinHash near-dup flag gate as a second
+    * checkpointed query, file-streaming stage 1's output. Emits flagged
+    * (dup_id, of_id, est) rows to `outDir/batch=<id>`.
+    */
+  def startNearDupStage(spark: SparkSession, stage1Dir: String,
+                        outDir: String, checkpointDir: String,
+                        k: Int = 3, numPerms: Int = 16, bands: Int = 4,
+                        threshold: Double = 0.5): StreamingQuery = {
+    val in = spark.readStream
+      .schema(Encoders.product[CurationDoc].schema)
+      .parquet(s"$stage1Dir/batch=*")
+    Dedup.minhashNearDupStream(in, k = k, numPerms = numPerms,
+        bands = bands, threshold = threshold)
+      .toDF("dup_id", "of_id", "est")
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+      }
+      .start()
+  }
+
+  /** Materialize the curated corpus: stage 1 survivors minus stage 2
+    * flags. A stateless anti-join any consumer (batch or a third
+    * streaming stage) applies at read time.
+    */
+  def keepers(spark: SparkSession, stage1Dir: String, stage2Dir: String): DataFrame = {
+    val kept = spark.read.parquet(stage1Dir).drop("batch")
+    val flagged = spark.read.parquet(stage2Dir).drop("batch")
+      .select(col("dup_id").as("doc_id")).distinct()
+    kept.join(flagged, Seq("doc_id"), "left_anti")
+  }
+}

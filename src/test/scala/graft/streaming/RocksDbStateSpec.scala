@@ -42,6 +42,24 @@ class RocksDbStateSpec extends SparkSpec {
     (got, progress)
   }
 
+  test("selectStateStore picks RocksDB at large cardinality, in-heap below") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    try {
+      DetectionStream.selectStateStore(spark, DetectionStream.LargeStateRowThreshold)
+      assert(spark.conf.get(key).contains("RocksDB"))
+      DetectionStream.selectStateStore(spark, DetectionStream.LargeStateRowThreshold - 1)
+      assert(spark.conf.get(key).contains("HDFSBacked"))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+      spark.conf.unset(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
+    }
+  }
+
   test("alerts identical on RocksDB and default providers; RocksDB really engaged") {
     val (onHeap, heapProgress) = runAlerts()
     assert(!heapProgress.contains("rocksdb"), "baseline run must use the default provider")
