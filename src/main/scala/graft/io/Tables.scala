@@ -16,6 +16,25 @@ object Tables {
   private def read(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Cast listed columns to their expected type ONLY where the physical
+    * file disagrees — a no-op projection (zero plan change, pushdown
+    * intact) when the schema already matches, which is the steady state.
+    * This is the round-6 lesson generalized: the testdata's physical
+    * encodings drift between driver generations (events.ts micros↔nanos
+    * was the first instance), and every operator with a typed contract —
+    * the native `graft_dot`/LSH expressions require array<float>, typed
+    * Datasets require long ids — dies at analysis when they do. Types are
+    * compared by `catalogString` so nullability differences don't force
+    * spurious casts.
+    */
+  private def conform(df: DataFrame, wanted: (String, String)*): DataFrame =
+    wanted.foldLeft(df) { case (d, (name, typ)) =>
+      if (d.schema.fieldNames.contains(name) &&
+          d.schema(name).dataType.catalogString != typ)
+        d.withColumn(name, col(name).cast(typ))
+      else d
+    }
+
   def region(s: SparkSession, d: String): DataFrame   = read(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame   = read(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = read(s, d, "customer")
@@ -23,8 +42,11 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = read(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame   = read(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = read(s, d, "lineitem")
-  def documents(s: SparkSession, d: String): DataFrame = read(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")
+  def documents(s: SparkSession, d: String): DataFrame =
+    conform(read(s, d, "documents"), "doc_id" -> "bigint", "n_chars" -> "bigint")
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    conform(read(s, d, "embeddings"),
+      "vec_id" -> "bigint", "embedding" -> "array<float>")
 
   /** The events table's `ts` has shipped under two physical parquet
     * encodings across driver runs: TIMESTAMP(NANOS) — which Spark only
@@ -40,7 +62,8 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.types.{LongType, TimestampType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = read(s, d, "events")
+    val raw = conform(read(s, d, "events"),
+      "event_id" -> "bigint", "user_id" -> "bigint", "value" -> "double")
     raw.schema("ts").dataType match {
       case LongType => // NANOS file read as long
         raw
