@@ -150,6 +150,30 @@ object Dedup {
     widen(docs).select(col(idCol).as("doc_id"),
         explode(array_distinct(Text.shingles(Text.tokens(col(textCol)), k))).as("sh"))
 
+  /** Benchmark decontamination: drop every corpus document sharing at
+    * least one word k-gram with the benchmark set — the training-data
+    * hygiene step of GPT-3 (Brown et al. 2020, §4/Appendix C, 13-gram)
+    * and PaLM (Chowdhery et al. 2022, §6.6, 8-gram); default k = 8.
+    * Benchmark documents present in the corpus remove themselves (full
+    * self-overlap), which is the desired semantics — test rows must not
+    * be trained on.
+    *
+    * Distributed shape: distinct benchmark k-grams (small by nature —
+    * eval sets are thousands of rows, so AQE broadcasts them at scale)
+    * semi-join the corpus gram stream for contaminated ids, then one
+    * anti-join restores full rows. No similarity math, no candidate
+    * blowup: cost is one pass over corpus grams.
+    */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame, k: Int = 8,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val benchGrams = docShingles(benchmark, k, idCol, textCol)
+      .select("sh").distinct()
+    val contaminated = docShingles(corpus, k, idCol, textCol)
+      .join(benchGrams, "sh")
+      .select(col("doc_id").as(idCol)).distinct()
+    corpus.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** Drop shingles whose document frequency exceeds `dfCap` (0 = keep all).
     * The standard guard against the inverted-index skew blowup: one
     * stop-shingle shared by 1M docs would otherwise emit ~5*10^11 pairs.

@@ -97,6 +97,27 @@ object TextQueries {
       .toDF("rank", "a", "b", "cnt")
   }
 
+  /** t8 — Gopher-family repetition metrics + keep verdict per document
+    * (Text.repetitionStats). Catches boilerplate whose t2 quality score
+    * looks fine; two key-local gram shuffles.
+    */
+  def t8Repetition(s: SparkSession, dir: String): DataFrame =
+    graft.text.Text.repetitionStats(Tables.documents(s, dir))
+
+  /** t9 — benchmark decontamination (Dedup.decontaminate, 8-gram): drop
+    * docs overlapping the pseudo-benchmark slice (doc_id % 97 = 0 — a
+    * deterministic ~1% stand-in for a real eval set). Text column
+    * excluded from the output so the oracle row stays small.
+    */
+  val DecontamModulus = 97
+
+  def t9Decontam(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    graft.dedup.Dedup.decontaminate(
+        docs, docs.filter(col("doc_id") % DecontamModulus === 0))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_token_stats" -> (t1TokenStats _),
     "t2_quality" -> (t2Quality _),
@@ -104,7 +125,9 @@ object TextQueries {
     "t4_token_topk" -> (t4TokenTopK _),
     "t5_bpe_tokens" -> (t5BpeTokens _),
     "t6_bpe_merges" -> (t6BpeMerges _),
-    "t7_bpe_train" -> (t7BpeTrain _)
+    "t7_bpe_train" -> (t7BpeTrain _),
+    "t8_repetition" -> (t8Repetition _),
+    "t9_decontam" -> (t9Decontam _)
   )
 
   /** DuckDB lambda twin of Text.tokens. */
@@ -173,8 +196,66 @@ object TextQueries {
        |$out""".stripMargin
   }
 
+  /** Twin of Text.repetitionStats: same per-gram counts, same explicit
+    * DOUBLE divisions (DuckDB sum→HUGEINT, hence the casts), same
+    * thresholds. Bigram list mirrors Text.shingles at k=2.
+    */
+  private def t8Sql: String = {
+    val (dupMax, topWMax, topBMax) =
+      (Text.DupWordMax, Text.TopWordMax, Text.TopBigramMax)
+    s"""WITH t AS MATERIALIZED (
+       |  SELECT doc_id, $toksSql AS tk FROM documents
+       |), wc AS MATERIALIZED (
+       |  SELECT doc_id, w, count(*) AS cnt
+       |  FROM (SELECT doc_id, unnest(tk) AS w FROM t) GROUP BY 1, 2
+       |), ws AS MATERIALIZED (
+       |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_words,
+       |         count(*) AS n_distinct, max(cnt) AS top_word
+       |  FROM wc GROUP BY 1
+       |), bc AS MATERIALIZED (
+       |  SELECT doc_id, g, count(*) AS cnt
+       |  FROM (SELECT doc_id, unnest(CASE WHEN len(tk) < 2 THEN []::VARCHAR[]
+       |          ELSE list_transform(range(1, len(tk)), i -> array_to_string(tk[i:i+1], ' '))
+       |          END) AS g FROM t) GROUP BY 1, 2
+       |), bs AS MATERIALIZED (
+       |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams, max(cnt) AS top_bigram
+       |  FROM bc GROUP BY 1
+       |)
+       |SELECT ws.doc_id, ws.n_words,
+       |  1 - ws.n_distinct::DOUBLE / ws.n_words::DOUBLE AS dup_word_frac,
+       |  ws.top_word::DOUBLE / ws.n_words::DOUBLE AS top_word_frac,
+       |  COALESCE(bs.top_bigram::DOUBLE / bs.n_bigrams::DOUBLE, 0.0) AS top_bigram_frac,
+       |  ((1 - ws.n_distinct::DOUBLE / ws.n_words::DOUBLE) <= $dupMax
+       |   AND ws.top_word::DOUBLE / ws.n_words::DOUBLE <= $topWMax
+       |   AND COALESCE(bs.top_bigram::DOUBLE / bs.n_bigrams::DOUBLE, 0.0) <= $topBMax) AS keep
+       |FROM ws LEFT JOIN bs ON ws.doc_id = bs.doc_id""".stripMargin
+  }
+
+  /** Twin of Dedup.decontaminate at k=8: distinct word 8-grams of the
+    * pseudo-benchmark slice semi-join the corpus grams; overlapping docs
+    * (benchmark rows included, by self-overlap) are dropped.
+    */
+  private def t9Sql: String =
+    s"""WITH t AS MATERIALIZED (
+       |  SELECT doc_id, $toksSql AS tk FROM documents
+       |), g AS MATERIALIZED (
+       |  SELECT doc_id, unnest(list_distinct(
+       |    CASE WHEN len(tk) < 8 THEN []::VARCHAR[]
+       |    ELSE list_transform(range(1, len(tk) - 6), i -> array_to_string(tk[i:i+7], ' '))
+       |    END)) AS sh
+       |  FROM t
+       |), bsh AS MATERIALIZED (
+       |  SELECT DISTINCT sh FROM g WHERE doc_id % $DecontamModulus = 0
+       |), contam AS MATERIALIZED (
+       |  SELECT DISTINCT g.doc_id FROM g JOIN bsh USING (sh)
+       |)
+       |SELECT doc_id, lang, source, n_chars FROM documents
+       |WHERE doc_id NOT IN (SELECT doc_id FROM contam)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "t7_bpe_train" -> t7Sql,
+    "t8_repetition" -> t8Sql,
+    "t9_decontam" -> t9Sql,
     "t1_token_stats" ->
       s"""SELECT doc_id,
          |  CAST(len($toksSql) AS BIGINT) AS n_tokens,

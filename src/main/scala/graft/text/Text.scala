@@ -152,6 +152,52 @@ object Text {
     * linear blend — the kind of cheap heuristic used to pre-filter web
     * corpora before expensive model-based scoring).
     */
+  /** Gopher-style repetition filter thresholds (Rae et al. 2021,
+    * "Scaling Language Models: Methods, Analysis & Insights from
+    * Training Gopher", Table A1 family — the word-count variant of
+    * their character-mass rules, the common reimplementation).
+    */
+  val DupWordMax = 0.30
+  val TopWordMax = 0.20
+  val TopBigramMax = 0.18
+
+  /** Per-document repetition metrics — the filter family that catches
+    * boilerplate/spam text whose per-token quality looks fine:
+    * `dup_word_frac` (1 − distinct/total words), `top_word_frac` and
+    * `top_bigram_frac` (mass of the single most repeated 1-/2-gram),
+    * plus the composite `keep` verdict at the thresholds above.
+    *
+    * Distributed shape: one explode per gram order, per-(doc, gram)
+    * count, per-doc aggregate — key-local shuffles only, no per-row
+    * frequency maps, so a 100 TB corpus is bounded by its gram
+    * cardinality, not its document sizes. Docs shorter than 2 tokens
+    * have no bigrams: their `top_bigram_frac` is 0 (never filtered on a
+    * gram order they can't form).
+    */
+  def repetitionStats(docs: org.apache.spark.sql.DataFrame,
+                      idCol: String = "doc_id",
+                      textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    val toks = tokens(col(textCol))
+    val base = docs.select(col(idCol).as("doc_id"), toks.as("tk"))
+    def gramStats(gram: Column, nTotal: String, nTop: String) =
+      base.select(col("doc_id"), explode(gram).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
+        .groupBy("doc_id").agg(
+          sum("cnt").as(nTotal), count(lit(1)).as(s"${nTotal}_distinct"),
+          max("cnt").as(nTop))
+    val words = gramStats(col("tk"), "n_words", "top_word")
+    val bigrams = gramStats(shingles(col("tk"), 2), "n_bigrams", "top_bigram")
+    val dup = lit(1.0) - col("n_words_distinct").cast(DoubleType) / col("n_words").cast(DoubleType)
+    val topW = col("top_word").cast(DoubleType) / col("n_words").cast(DoubleType)
+    val topB = coalesce(
+      col("top_bigram").cast(DoubleType) / col("n_bigrams").cast(DoubleType), lit(0.0))
+    words.join(bigrams, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        dup.as("dup_word_frac"), topW.as("top_word_frac"),
+        topB.as("top_bigram_frac"),
+        (dup <= DupWordMax && topW <= TopWordMax && topB <= TopBigramMax).as("keep"))
+  }
+
   def qualityMetrics(text: Column): Seq[(String, Column)] = {
     val toks = tokens(text)
     val nTok = size(toks).cast(DoubleType)
