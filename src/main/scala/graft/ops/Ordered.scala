@@ -60,6 +60,46 @@ object Ordered {
       .drop("__bkt", "__local", "__off")
   }
 
+  /** Deterministic global corpus SHUFFLE for training order: every row
+    * gets a dense 0-based `out` position in salted-hash order — the
+    * reproducible epoch permutation a data loader re-derives instead of
+    * storing (same salt → same order; new salt → an independent
+    * permutation for the next epoch; retry/append-stable like all
+    * [[graft.ops.Sampling]] hash derivations, and portable — the oracle
+    * replays the identical md5 arithmetic).
+    *
+    * Same two-phase shape as [[prefixSum]], with COUNTS as the summed
+    * value: the hash space [0, 2^60) splits into `nBuckets` contiguous
+    * ranges (each a parallel rank window), and only the per-bucket
+    * counts — `nBuckets` rows — touch the single-partition offset
+    * window. Hash ties (15-hex-digit collisions) break on the key, so
+    * positions are total and deterministic.
+    */
+  def shuffleOrder(df: DataFrame, keyCol: String, salt: String,
+                   nBuckets: Int = 4096, out: String = "pos"): DataFrame = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    val reserved = Seq("__h", "__bkt", "__rn", "__n", "__off", out)
+      .intersect(df.columns)
+    require(reserved.isEmpty,
+      s"input uses reserved/output column names: $reserved — rename them first")
+    val width = math.max(1L, Sampling.Space / nBuckets)
+    val withH = df
+      .withColumn("__h", Sampling.hashUnit(col(keyCol), salt))
+      .withColumn("__bkt", expr(s"__h div $width"))
+    val local = Window.partitionBy(col("__bkt"))
+      .orderBy(col("__h"), col(keyCol))
+    val ranked = withH.withColumn("__rn", row_number().over(local))
+    val offsets = withH.groupBy("__bkt").agg(count(lit(1)).as("__n"))
+      .withColumn("__off",
+        coalesce(sum(col("__n")).over(
+          Window.orderBy(col("__bkt"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__bkt", "__off")
+    ranked.join(broadcast(offsets), "__bkt")
+      .withColumn(out, (col("__off") + col("__rn") - 1).cast("long"))
+      .drop("__h", "__bkt", "__rn", "__off")
+  }
+
   /** Budget prefix: the rows that fit a total-`size` budget in
     * `orderCol` order (cumulative size ≤ `budget`) — "take the first
     * N billion tokens" as one prefix sum + a filter, no driver loop,

@@ -42,10 +42,24 @@ object PackingQueries {
       Tables.documents(s, dir).select("doc_id", "n_chars"),
       "doc_id", col("n_chars"), Budget, BucketWidth)
 
+  /** Salt for the g4 epoch permutation. */
+  val ShuffleSalt = "epoch0:"
+
+  /** g4: deterministic training-order shuffle — dense hash-ordered
+    * positions for every document (Ordered.shuffleOrder). The oracle is
+    * the single-task row_number-over-global-order formulation the
+    * two-phase scan replaces.
+    */
+  def g4ShuffleOrder(s: SparkSession, dir: String): DataFrame =
+    Ordered.shuffleOrder(
+        Tables.documents(s, dir).select("doc_id"), "doc_id", ShuffleSalt)
+      .select("doc_id", "pos")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g1_prefix_pack" -> (g1PrefixPack _),
     "g2_pack_stats" -> (g2PackStats _),
-    "g3_take_budget" -> (g3TakeBudget _)
+    "g3_take_budget" -> (g3TakeBudget _),
+    "g4_shuffle_order" -> (g4ShuffleOrder _)
   )
 
   private val cumSql =
@@ -69,6 +83,12 @@ object PackingQueries {
     "g3_take_budget" ->
       s"""WITH c AS ($cumSql)
          |SELECT doc_id, n_chars FROM c
-         |WHERE cum_size <= ${Budget}""".stripMargin
+         |WHERE cum_size <= ${Budget}""".stripMargin,
+    "g4_shuffle_order" ->
+      s"""SELECT doc_id,
+         |  CAST(row_number() OVER (ORDER BY
+         |    ('0x' || substring(md5('$ShuffleSalt' || doc_id::VARCHAR), 1, 15))::BIGINT,
+         |    doc_id) - 1 AS BIGINT) AS pos
+         |FROM documents""".stripMargin
   )
 }

@@ -58,6 +58,45 @@ class OrderedSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(got == naiveKeep)
   }
 
+  test("shuffleOrder: dense deterministic permutation, salt-independent epochs") {
+    val n = docs.count()
+    val a = Ordered.shuffleOrder(docs, "id", "epochA:", nBuckets = 64)
+      .select("id", "pos").as[(Long, Long)].collect().toMap
+    // dense bijection 0..n-1
+    assert(a.values.toSeq.sorted == (0L until n).toSeq)
+    // deterministic: a rerun is identical
+    val a2 = Ordered.shuffleOrder(docs, "id", "epochA:", nBuckets = 64)
+      .select("id", "pos").as[(Long, Long)].collect().toMap
+    assert(a2 == a)
+    // bucket count must not change the permutation, only the plan
+    val a3 = Ordered.shuffleOrder(docs, "id", "epochA:", nBuckets = 7)
+      .select("id", "pos").as[(Long, Long)].collect().toMap
+    assert(a3 == a)
+    // a different salt is a different (still dense) permutation
+    val b = Ordered.shuffleOrder(docs, "id", "epochB:", nBuckets = 64)
+      .select("id", "pos").as[(Long, Long)].collect().toMap
+    assert(b.values.toSeq.sorted == (0L until n).toSeq)
+    assert(b != a)
+    // and it is really hash order: positions sort like the hash values
+    val hashed = docs.select($"id", graft.ops.Sampling.hashUnit($"id", "epochA:").as("h"))
+      .as[(Long, Long)].collect().sortBy { case (id, h) => (h, id) }
+      .map(_._1).zipWithIndex.map { case (id, i) => id -> i.toLong }.toMap
+    assert(a == hashed)
+  }
+
+  test("shuffleOrder: no unpartitioned window over the full input") {
+    val plan = Ordered.shuffleOrder(docs, "id", "epochA:", nBuckets = 64)
+      .queryExecution.executedPlan
+    val globals = collectWithSubqueries(plan) {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+    globals.foreach { w =>
+      assert(w.child.exists(_.nodeName.toLowerCase.contains("aggregate")),
+        s"global window must read per-bucket counts, not raw rows:\n$w")
+    }
+    assert(globals.size <= 1)
+  }
+
   test("packBySize: packs are contiguous, capacity-consistent, stable") {
     val packed = Ordered.packBySize(docs, "id", $"size", 4096L, 97L)
       .select($"id", $"size", $"cum_size", $"pack")
