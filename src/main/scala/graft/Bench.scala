@@ -371,7 +371,11 @@ object Bench {
             // 10x density in the same 30-day span multiplies its PAIRS
             // 100x, an output property, not a plan property)
             "z1_asof_join", "z3_range_join_keyed", "p1_sessionize",
-            "v1_hash_split").map { name =>
+            "v1_hash_split",
+            // round-7 curation ops: gram-cardinality (t8/t9) and the
+            // two-phase rank (g4) are linear by design — the probe holds
+            // them to it
+            "t8_repetition", "t9_decontam", "g4_shuffle_order").map { name =>
           timed("sf1_" + name, n = 2) {
             SparkEntry.queries(name)(spark, sf1Dir).count(); ()
           }
