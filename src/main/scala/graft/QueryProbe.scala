@@ -1,0 +1,31 @@
+package graft
+
+/** One-query diagnostic runner: time a single `SparkEntry.queries` entry
+  * against a testdata dir without the full Bench/Verify sweep — for
+  * attributing a single row's regression (pair with the env-gated
+  * diagnosis hooks: SPARK_GRAFT_CC_DEBUG sweep counts,
+  * SPARK_GRAFT_POLL_DEBUG poll series).
+  *
+  * Usage: tools/run.sh graft.QueryProbe <name> [sfDir] [trials]
+  */
+object QueryProbe {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: QueryProbe <queryName> [sfDir] [trials]")
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val trials = if (args.length > 2) args(2).toInt else 1
+    val fn = SparkEntry.queries.getOrElse(name,
+      sys.error(s"unknown query '$name'; known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}"))
+    val spark = GraftSession.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt, "query-probe")
+    spark.sparkContext.setLogLevel("WARN")
+    for (t <- 1 to trials) {
+      val t0 = System.nanoTime()
+      val n = fn(spark, sfDir).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"$name trial $t: $n rows in $dt%.2f s")
+      spark.catalog.clearCache()
+    }
+    spark.stop()
+  }
+}

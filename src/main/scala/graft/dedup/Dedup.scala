@@ -555,20 +555,40 @@ object Dedup {
         .join(labels.select(col("id").as("b"), col("label").as("nl")), "b")
         .groupBy(col("a").as("id"))
         .agg(min(col("nl")).as("nl"))
-      val next = labels
+      val nm = labels
         .join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
         .localCheckpoint(true) // eager: truncates lineage, constant plan size
+      // pointer jumping: label(v) := min(label(v), label(label(v))).
+      // Neighbor-min alone moves a chain's min ONE hop per sweep (O(diameter)
+      // sweeps — measured 9 at sf0.1); shortcutting through the label table
+      // roughly halves the remaining distance per sweep (O(log diameter)).
+      // Labels only ever hold node ids, so the self-join resolves every row;
+      // the fixpoint test below is still the neighbor-min criterion, whose
+      // fixpoint forces label equality across every (symmetric) edge — the
+      // shortcut only accelerates, it cannot change the fixpoint.
+      val next = nm.as("x")
+        .join(nm.select(col("id").as("lbl_id"), col("label").as("ll")),
+          col("x.label") === col("lbl_id"), "left")
+        .select(col("x.id").as("id"),
+          least(col("x.label"), coalesce(col("ll"), col("x.label"))).as("label"))
+        .localCheckpoint(true)
       changed = next
         .join(labels.select(col("id"), col("label").as("old")), "id")
         .filter(col("label") =!= col("old"))
         .count() // the driver sees ONE long
       labels.unpersist(false)
+      nm.unpersist(false)
       labels = next
       it += 1
     }
     edges.unpersist(false)
+    // diagnosis hook (cf. the poll-series hook in Bench): d7's wall time
+    // is sweeps × per-sweep job cost, so attributing a regression needs
+    // the sweep count, which nothing else surfaces
+    if (sys.env.get("SPARK_GRAFT_CC_DEBUG").contains("1"))
+      System.err.println(s"dupClusters: converged in $it sweeps")
     if (changed != 0) {
       labels.unpersist(false) // don't leak the last sweep's checkpoint blocks
       throw new IllegalArgumentException(
