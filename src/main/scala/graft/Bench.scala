@@ -140,6 +140,21 @@ object Bench {
       "t7_bpe_64_batched_rounds" -> bpeStats.rounds.toDouble,
       "t7_bpe_64_batched_meanbatch" -> bpeStats.meanBatch)
 
+    // the SCALE-SAFE mode at production-leaning merge count: the
+    // epoch-synchronized learner (bounded divergence, see BpeTrain
+    // scaladoc + BpeTrainSpec) recomputes pair counts once per batch of
+    // 64 — rounds must come out ≪ merges (vs learnBatched's measured
+    // meanBatch ≈ 1.1, which is why this mode exists)
+    var epochStats = graft.text.BpeTrain.BatchStats(0, 0)
+    val bpeEpochTimes = Seq(
+      timed("t7_bpe_512_epoch", n = 1) {
+        epochStats = graft.text.BpeTrain.learnEpochStats(
+          graft.io.Tables.documents(spark, sfDir), 512, batch = 64)._2; ()
+      },
+      "t7_bpe_512_epoch_rounds" -> epochStats.rounds.toDouble,
+      "t7_bpe_512_epoch_merges" -> epochStats.merges.toDouble,
+      "t7_bpe_512_epoch_meanbatch" -> epochStats.meanBatch)
+
     // untimed: ANN recall vs the s1 exact ground truth — the scale gate for
     // the multi-probe LSH geometry and the Lloyd-refined IVF (target >= 0.9
     // at the bench sf)
@@ -388,7 +403,7 @@ object Bench {
     val loadAfter = loadavg1m()
     val wallSec = (System.nanoTime() - wallStart) / 1e9
 
-    val results = queryTimes.toSeq ++ bpeTimes ++ recall ++ filteredRecall ++
+    val results = queryTimes.toSeq ++ bpeTimes ++ bpeEpochTimes ++ recall ++ filteredRecall ++
       clusteredGates ++ annAuto ++ detectTimes ++ sustained ++ detect10x ++
       sf1Times
     def jq(s: String): String = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
@@ -402,7 +417,16 @@ object Bench {
       s""""load_gate":$loadGate,"load_gate_waited_sec":$loadWaited,""" +
       s""""load_gate_timeout":$loadGateTimeout,"load_gate_override":$loadOverride,""" +
       s""""wall_sec":$wallSec"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson$sentinel,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson$sentinel,"sf":"$sfDir"}"""
+    println(line)
+    // standalone artifact: the driver's BENCH_r{N}.json truncates stdout to
+    // a 2000-char tail, losing the head of the per-query series — persist
+    // the full object verbatim so every row survives every round
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")),
+        (line + "\n").getBytes("UTF-8"))
+    } catch { case e: Exception => System.err.println(s"bench_out.json write failed: $e") }
     spark.stop()
   }
 }

@@ -51,9 +51,29 @@ object Dedup {
     * of raw text to unlock N-way parallelism for the expensive part.
     */
   private def widen(df: DataFrame): DataFrame = {
-    if (df.isStreaming) return df // micro-batches are already split; .rdd is illegal here
-    val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+    if (df.isStreaming) return df // micro-batches are already split
+    val sess = df.sparkSession
+    val p = sess.sparkContext.defaultParallelism
+    // estimate the scan's parallelism from ANALYZED-plan leaf stats (file
+    // sizes) instead of df.rdd.getNumPartitions — the latter forces a full
+    // plan-to-RDD conversion per call just to read a count. Spark splits
+    // files at ~maxPartitionBytes, so a scan under p×maxPartitionBytes
+    // cannot fill p tasks → widen; anything bigger (every real corpus)
+    // already parallelizes and this is a no-op. Non-file leaves report
+    // huge default stats and correctly skip the widen.
+    val leaves = df.queryExecution.analyzed.collectLeaves()
+    val bytes = leaves.map(_.stats.sizeInBytes).sum
+    val files = leaves.map {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.inputFiles.length
+          case _ => 0
+        }
+      case _ => 0
+    }.sum
+    val maxPart = BigInt(sess.sessionState.conf.filesMaxPartitionBytes)
+    if (bytes < maxPart * p && files < p) df.repartition(p) else df
   }
 
   /** Streaming exact dedup — dedup-at-ingest: first-seen documents pass,
@@ -337,12 +357,20 @@ object Dedup {
         (Long, Long, Double)](
         banded, key = _._1, order = _._2, init = Seq.empty,
         idleTimeoutMs = idleTimeoutMs) { case (reps, (_, id, sig)) =>
+        // rid != id: an upstream-stage replay can re-deliver a doc that
+        // already registered in this bucket (file-stream sources track
+        // files by PATH, and a replayed overwrite batch gets fresh part
+        // file names); matching a doc against itself would flag — and so
+        // dedup away — a legitimately unique document
         val hits = reps.flatMap { case (rid, rsig) =>
           val est = rsig.iterator.zip(sig.iterator)
             .count { case (a, b) => a == b }.toDouble / numPerms
-          if (est >= threshold) Some((id, rid, est)) else None
+          if (est >= threshold && rid != id) Some((id, rid, est)) else None
         }
-        (reps :+ ((id, sig)), hits)
+        // idempotent registration under the same replay: never store a
+        // second copy of an id this bucket already holds
+        val reps1 = if (reps.exists(_._1 == id)) reps else reps :+ ((id, sig))
+        (reps1, hits)
       }
   }
 
@@ -509,26 +537,39 @@ object Dedup {
     * stop short of (their greedy keeper rules are one-pass; a chain
     * a~b~c dedups fully only under the closure).
     *
-    * Implementation: iterative min-label propagation. Labels start as
-    * self; each sweep takes the min of a node's label and its neighbors'
-    * labels (one equi-join + one aggregate — both plain shuffles on the
-    * node id at any scale); the loop stops at a fixpoint, detected by a
-    * per-sweep changed-count. The driver-side loop is the legitimate
-    * iterative-algorithm shape (same as [[graft.sim.Similarity.refineCentroids]]'s
-    * sweep loop): each iteration is a full distributed pass, the driver
-    * only compares a count. Converges in O(component diameter) sweeps —
-    * near-dup components are cliques and short chains, so a handful;
-    * `maxIters` bounds pathological chains, and hitting it throws rather
-    * than silently returning half-merged clusters. Each sweep's labels
-    * are `localCheckpoint`ed EAGERLY: without lineage truncation the
+    * Implementation: iterative min-label propagation with pointer
+    * jumping FUSED into the propagation join. Labels start as self; each
+    * sweep unions the (symmetric) id↔label pointer links into the edge
+    * list and takes one min-aggregate of neighbor labels over that
+    * augmented graph — so a single join+aggregate simultaneously moves
+    * each chain's min one hop (neighbor-min) AND shortcuts every node to
+    * its label's label (pointer jumping, O(log diameter) sweeps).
+    * Pointer rows stay inside the component (labels only ever hold
+    * reachable ids) and labels decrease monotonically toward the
+    * component min, so the augmentation accelerates but cannot change
+    * the fixpoint: at convergence every real edge has equal labels on
+    * both endpoints — true connected components. The loop stops at a
+    * fixpoint, detected by a per-sweep changed-count. The driver-side
+    * loop is the legitimate iterative-algorithm shape (same as
+    * [[graft.sim.Similarity.refineCentroids]]'s sweep loop): each
+    * iteration is a full distributed pass, the driver only compares a
+    * count; `maxIters` bounds pathological chains, and hitting it throws
+    * rather than silently returning half-merged clusters.
+    *
+    * Cost shape (round-8 fusion): each sweep is ONE materialization
+    * barrier — the propagate+jump frame is built in a single plan
+    * (carrying the previous label as `old`), eagerly `localCheckpoint`ed,
+    * and the fixpoint count is then a shuffle-free local scan of the
+    * checkpointed blocks. Round 7 paid 3 barriers per sweep (neighbor-min
+    * checkpoint, jump checkpoint, change-count join job); fusing them
+    * roughly halves per-sweep wall time at equal sweep counts. Eager
+    * checkpointing stays mandatory: without lineage truncation the
     * logical plan doubles per sweep (labels feed both join sides) and an
     * iterative query compounds to an exponentially large plan — the
     * standard Spark iterative-algorithm trap. localCheckpoint is
     * executor-local (fast, no DFS write); a production run that must
     * survive executor loss mid-computation swaps in reliable
-    * `checkpoint()` — same shape, one conf. (For graphs with
-    * continent-sized diameters the large-star/small-star variant halves
-    * rounds; near-dup graphs do not need it.)
+    * `checkpoint()` — same shape, one conf.
     *
     * Emits (doc_id, cluster). Docs in no pair are singletons — trivially
     * their own cluster — and are omitted; union them back from the
@@ -542,45 +583,70 @@ object Dedup {
     */
   def dupClusters(pairs: DataFrame, maxIters: Int = 25,
                   iCol: String = "i", jCol: String = "j"): DataFrame = {
-    val edges = pairs.select(col(iCol).as("a"), col(jCol).as("b"))
-      .union(pairs.select(col(jCol).as("a"), col(iCol).as("b")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // localCheckpoint, NOT persist: each sweep embeds `edges` inside a
+    // fresh union (the pointer links below), and Dataset.union flattens
+    // nested unions EAGERLY (CombineUnions at Dataset construction) — so
+    // the cached Union(i→a, j→b) subtree never reappears in the sweep
+    // plan and a persist() is silently bypassed, recomputing the whole
+    // upstream pair pipeline (SimHash/MinHash joins) once per sweep.
+    // Measured at sf1: pair recompute dominated every sweep. A
+    // checkpointed RDD is immune to plan rewrites: the pair graph is
+    // computed exactly once, every sweep scans the materialized blocks.
+    // (checkpoint the PAIRS, half the rows; the symmetric edge view is
+    // two free projections of the materialized blocks)
+    val p0 = pairs.select(col(iCol).cast("long").as("i"), col(jCol).cast("long").as("j"))
+      .localCheckpoint(true)
+    val edges = p0.select(col("i").as("a"), col("j").as("b"))
+      .union(p0.select(col("j").as("a"), col("i").as("b")))
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(true)
     var changed = 1L
     var it = 0
+    val ccDebug = sys.env.get("SPARK_GRAFT_CC_DEBUG").contains("1")
     while (changed > 0 && it < maxIters) {
-      val neighborMin = edges
+      val t0 = System.nanoTime()
+      // pointer links: id↔label rows folded into the edge list make the
+      // single neighbor-min aggregate below ALSO perform pointer jumping
+      // (label(v) picks up label(label(v)) through the v→label(v) row).
+      // Symmetric like the real edges so propagation runs both ways.
+      val ptr = labels.filter(col("id") =!= col("label"))
+        .select(col("id").as("a"), col("label").as("b"))
+      val g = edges
+        .union(ptr)
+        .union(ptr.select(col("b").as("a"), col("a").as("b")))
+      val neighborMin = g
         .join(labels.select(col("id").as("b"), col("label").as("nl")), "b")
         .groupBy(col("a").as("id"))
         .agg(min(col("nl")).as("nl"))
-      val nm = labels
+      // m = one fused propagate+jump step against the OLD labels. Lazily
+      // persisted, NOT checkpointed: both sides of the second jump below
+      // reference it inside the SAME action, so it is computed once into
+      // cache mid-job — no extra barrier.
+      val m = labels
         .join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("label").as("old"),
           least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
-        .localCheckpoint(true) // eager: truncates lineage, constant plan size
-      // pointer jumping: label(v) := min(label(v), label(label(v))).
-      // Neighbor-min alone moves a chain's min ONE hop per sweep (O(diameter)
-      // sweeps — measured 9 at sf0.1); shortcutting through the label table
-      // roughly halves the remaining distance per sweep (O(log diameter)).
-      // Labels only ever hold node ids, so the self-join resolves every row;
-      // the fixpoint test below is still the neighbor-min criterion, whose
-      // fixpoint forces label equality across every (symmetric) edge — the
-      // shortcut only accelerates, it cannot change the fixpoint.
-      val next = nm.as("x")
-        .join(nm.select(col("id").as("lbl_id"), col("label").as("ll")),
-          col("x.label") === col("lbl_id"), "left")
-        .select(col("x.id").as("id"),
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // second, SEQUENTIAL pointer jump through the just-updated m
+      // (label(v) := min(m(v), m(m(v)))) — squares the shortcut distance
+      // per sweep instead of doubling it, still within one job
+      val pre = m.as("x")
+        .join(m.select(col("id").as("lid"), col("label").as("ll")),
+          col("x.label") === col("lid"), "left")
+        .select(col("x.id").as("id"), col("x.old").as("old"),
           least(col("x.label"), coalesce(col("ll"), col("x.label"))).as("label"))
-        .localCheckpoint(true)
-      changed = next
-        .join(labels.select(col("id"), col("label").as("old")), "id")
-        .filter(col("label") =!= col("old"))
-        .count() // the driver sees ONE long
+      val next = pre.localCheckpoint(true) // the sweep's ONE barrier (eager: truncates lineage)
+      // fixpoint test over the just-checkpointed blocks: no join, no
+      // shuffle — a local scan comparing the carried `old` column
+      val t1 = System.nanoTime()
+      m.unpersist(false)
+      changed = next.filter(col("label") =!= col("old")).count()
+      if (ccDebug)
+        System.err.println(f"dupClusters sweep $it: checkpoint ${(t1 - t0) / 1e9}%.2f s, " +
+          f"count ${(System.nanoTime() - t1) / 1e9}%.2f s, changed $changed")
       labels.unpersist(false)
-      nm.unpersist(false)
-      labels = next
+      labels = next.select(col("id"), col("label"))
       it += 1
     }
     edges.unpersist(false)
@@ -666,11 +732,14 @@ object Dedup {
         banded, key = _._1, order = _._2, init = Seq.empty,
         idleTimeoutMs = idleTimeoutMs) { case (reps, (_, id, v)) =>
         val n = math.sqrt(dot(v, v))
+        // rid != id + idempotent registration: same upstream-replay
+        // defense as minhashNearDupStream (see the comment there)
         val hits = reps.flatMap { case (rid, rv) =>
           val c = dot(v, rv) / (n * math.sqrt(dot(rv, rv)))
-          if (c >= threshold) Some((id, rid, c)) else None
+          if (c >= threshold && rid != id) Some((id, rid, c)) else None
         }
-        (reps :+ ((id, v)), hits)
+        val reps1 = if (reps.exists(_._1 == id)) reps else reps :+ ((id, v))
+        (reps1, hits)
       }
   }
 

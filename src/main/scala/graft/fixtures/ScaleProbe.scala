@@ -28,6 +28,22 @@ object ScaleProbe {
   val Replicas = 10
   val IdStride = 10000000L
 
+  /** Standalone generation (Bench generates lazily; this lets QueryProbe
+    * sessions reuse the same dir): `tools/run.sh graft.fixtures.ScaleProbe
+    * [srcDir] [outDir]`.
+    */
+  def main(args: Array[String]): Unit = {
+    val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val out = if (args.length > 1) args(1)
+              else new java.io.File("target/sf1").getAbsolutePath
+    val spark = graft.GraftSession.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt, "scale-probe-gen")
+    spark.sparkContext.setLogLevel("WARN")
+    ensure(spark, src, out)
+    println(s"probe data at $out (src $src)")
+    spark.stop()
+  }
+
   /** Generate into `outDir` unless already generated from this `srcDir`.
     * (The events check upgrades probe dirs generated before events were
     * part of the probe.)

@@ -62,6 +62,11 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.types.{LongType, TimestampType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the MICROS-NTZ branch's cast interprets wall-clock in the session
+    // tz — pin UTC here too (not only in GraftSession.tune) so a caller
+    // reading through an untuned session on a non-UTC host still gets
+    // oracle-identical instants
+    s.conf.set("spark.sql.session.timeZone", "UTC")
     val raw = conform(read(s, d, "events"),
       "event_id" -> "bigint", "user_id" -> "bigint", "value" -> "double")
     raw.schema("ts").dataType match {

@@ -26,10 +26,18 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *
   * Restart recovery rides the checkpoints: each query resumes from its
   * committed source offsets, and the per-micro-batch output dirs are
-  * written with `overwrite`, so a replayed batch id is idempotent rather
-  * than duplicated (the file-sink analog of transactional sinks; a
-  * production deployment would chain through a transactional table
-  * format instead of raw parquet and get the same property).
+  * written with `overwrite`, so a replayed batch id is idempotent FOR
+  * THE SAME QUERY'S SINK — stage 2 restarts replay cleanly
+  * (CurationStreamSpec pins it). A STAGE-1 replay is weaker: the
+  * overwrite rewrites `batch=N` with fresh part-file names, and stage
+  * 2's file-stream source tracks files by path, so it re-ingests the
+  * replayed docs as duplicate rows. The near-dup gate defends in depth:
+  * it skips self-matches and re-registration of an id its bucket
+  * already holds (see `minhashNearDupStream`), and [[keepers]] drops
+  * any residual self-flags — so a re-ingested doc cannot dedup ITSELF
+  * away; it can at most repeat its original verdict. A production
+  * deployment chains through a transactional table format and gets
+  * exactly-once between stages outright.
   *
   * Semantics vs batch `u1`: the exact stage keeps the MIN doc_id per
   * digest under ordered arrival (the state machine replays each
@@ -121,7 +129,11 @@ object CurationStream {
     */
   def keepers(spark: SparkSession, stage1Dir: String, stage2Dir: String): DataFrame = {
     val kept = spark.read.parquet(stage1Dir).drop("batch")
+    // dup_id =!= of_id: belt-and-braces against self-flags from an
+    // upstream replay (see the class doc) — a doc is never dropped for
+    // matching itself
     val flagged = spark.read.parquet(stage2Dir).drop("batch")
+      .filter(col("dup_id") =!= col("of_id"))
       .select(col("dup_id").as("doc_id")).distinct()
     kept.join(flagged, Seq("doc_id"), "left_anti")
   }

@@ -56,6 +56,12 @@ object DetectionStream {
     else {
       spark.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+      // restore the FULL provider conf surface: a prior useRocksDbState on
+      // this session also enabled RocksDB changelog checkpointing, which
+      // the in-heap provider must not inherit (the switch back would
+      // otherwise be asymmetric and leak into later queries)
+      spark.conf.unset(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
       spark
     }
   }

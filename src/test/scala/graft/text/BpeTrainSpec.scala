@@ -118,6 +118,53 @@ class BpeTrainSpec extends SparkSpec {
     assert(one.map(m => (m.a, m.b)) == Seq(("a", "b")))
   }
 
+  test("learnEpoch: batch=1 degenerates to the exact sequential learner") {
+    val docs = docsOf(
+      "the then there the quick brown fox", "then the anthem of the north",
+      "there and then the quick fox ran", "quick brown foxes run north")
+    val seqRules = BpeTrain.learn(docs, 10).map(m => (m.a, m.b, m.cnt))
+    val epoch = BpeTrain.learnEpoch(docs, 10, batch = 1).map(m => (m.a, m.b, m.cnt))
+    assert(epoch == seqRules)
+  }
+
+  test("learnEpoch: rounds ≈ merges/batch, deterministic, bounded divergence from exact") {
+    val docs = docsOf(
+      "the then there the quick brown fox", "then the anthem of the north",
+      "there and then the quick fox ran", "quick brown foxes run north")
+    val (rules, stats) = BpeTrain.learnEpochStats(docs, 24, batch = 8)
+    // the round-count win learnBatched cannot deliver (its exactness guard
+    // accepts ~1.1 rules/round on natural text): ~batch rules per epoch
+    assert(stats.rounds <= 4, s"rounds=${stats.rounds}")
+    assert(stats.meanBatch >= 4.0, s"meanBatch=${stats.meanBatch}")
+    // deterministic: same corpus, same rules, bit-for-bit
+    val again = BpeTrain.learnEpochStats(docs, 24, batch = 8)._1
+    assert(again.map(m => (m.a, m.b, m.cnt)) == rules.map(m => (m.a, m.b, m.cnt)))
+    // divergence vs the exact learner, QUANTIFIED: the epoch relaxation
+    // may reorder/substitute rules within an epoch window, but most of
+    // the learned set must coincide on natural text
+    val seqSet = BpeTrain.learn(docs, 24).map(m => (m.a, m.b)).toSet
+    val epochSet = rules.map(m => (m.a, m.b)).toSet
+    // realized value on this fixture: 16/24 ≈ 0.67 — a WORST-CASE-ish
+    // corpus (4 docs, so 24 merges reach deep into cascading multi-char
+    // pairs, exactly where the epoch defers); larger corpora spend more
+    // epochs in the flat head of the pair distribution where the sets
+    // coincide. Deterministic, so pinned at the measured floor.
+    val overlap = (seqSet & epochSet).size.toDouble / math.max(1, seqSet.size)
+    assert(overlap >= 0.66, s"overlap=$overlap (seq=${seqSet.size}, epoch=${epochSet.size})")
+    // and the epoch table remains a usable greedy merge table downstream
+    val merges = BpeTrain.asMerges(rules)
+    val n = docs.limit(1)
+      .select(Text.bpeSymbolCount(lit("the"), merges).as("n"))
+      .collect().head.getAs[Int]("n")
+    assert(n == 1, "'the' must compress fully under its own corpus's epoch rules")
+  }
+
+  test("learnEpoch stops early when the vocab runs out of pairs") {
+    assert(BpeTrain.learnEpoch(docsOf("a b c", "b c a"), 5).isEmpty)
+    val one = BpeTrain.learnEpoch(docsOf("ab ab ab"), 5)
+    assert(one.map(m => (m.a, m.b)) == Seq(("a", "b")))
+  }
+
   test("the learned table drives the existing encoder") {
     val docs = docsOf("the the the cat", "the cat sat")
     val merges = BpeTrain.asMerges(BpeTrain.learn(docs, 4))

@@ -61,9 +61,15 @@ def main():
                 hits[key].append(f"{rel}:{line}:{m.group(0)[:80]}")
     commit = subprocess.run(["git", "rev-parse", "HEAD"], cwd=ROOT,
                             capture_output=True, text=True).stdout.strip()
+    # the scan walks the WORKING TREE; record whether that tree differs
+    # from HEAD so the commit stamp can't silently over-claim what was
+    # scanned (a dirty tree means "HEAD plus these uncommitted edits")
+    dirty = subprocess.run(["git", "status", "--porcelain"], cwd=ROOT,
+                           capture_output=True, text=True).stdout.strip()
     out = {
         "round": rnd,
         "scanned_commit": commit,
+        "worktree_dirty": bool(dirty),
         "scanned_at_utc": datetime.datetime.now(datetime.timezone.utc)
             .strftime("%Y-%m-%dT%H:%M:%SZ"),
         "n_hits": sum(len(v) for v in hits.values()),
