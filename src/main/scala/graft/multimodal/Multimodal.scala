@@ -4,19 +4,14 @@ import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Multimodal columns for training-data pipelines: image/audio/video
-  * treated as opaque `binary` payloads with typed metadata, REAL PNG and
-  * WAV decodes (javax.imageio / javax.sound.sampled over complete valid
-  * files inside the mapPartitions decode stage, plus fixed-offset
-  * IHDR/fmt column expressions), and — for the non-replayable modalities
-  * only — a deterministic, clearly-labelled FAKE feature extract with
-  * the real Spark plumbing (schema, partitioning, batch shape) that a
-  * codec-backed implementation would drop into. ("Non-replayable" is now
-  * exactly JPEG and MP4: JPEG encoding is lossy and encoder-dependent,
-  * so real JPEG bytes cannot be rebuilt by SQL arithmetic the way the
-  * stored-zlib PNGs and raw-PCM WAVs can — the DuckDB oracle could
-  * verify nothing about them; MP4 has no JDK demuxer at all. The
-  * constraint is oracle byte-determinism, not a missing decoder —
-  * ImageIO ships a JPEG codec.)
+  * treated as opaque `binary` payloads with typed metadata, REAL PNG,
+  * JPEG and WAV decodes (javax.imageio / javax.sound.sampled over
+  * complete valid files inside the mapPartitions decode stage, plus
+  * fixed-offset IHDR/fmt column expressions), and — for MP4, the ONE
+  * remaining non-decodable modality (no JDK demuxer exists) — a
+  * deterministic, clearly-labelled FAKE feature extract with the real
+  * Spark plumbing (schema, partitioning, batch shape) that a
+  * codec-backed implementation would drop into.
   *
   * The synthetic corpus carries no real media, so payloads are
   * materialized per doc: PNG docs get a COMPLETE spec-valid file —
@@ -26,11 +21,19 @@ import org.apache.spark.sql.functions._
   * WAV docs a COMPLETE RIFF/fmt/data file — real little-endian PCM
   * geometry and a data chunk of deterministic [[pixelValue]] bytes —
   * that `javax.sound.sampled.AudioSystem` decodes (MultimodalSpec
-  * proves samples round-trip); the rest magic bytes (JPEG/MP4-ftyp) +
-  * the UTF-8 body. Every derived statistic — byte totals (file geometry
-  * arithmetic), IHDR/fmt fields (prefix byte reads), pixel/sample sums
-  * and content-derived features (the [[pixelValue]] formula) — is
-  * integer-exact and DuckDB-replayable.
+  * proves samples round-trip); JPEG docs one of 16 CHECKED-IN complete
+  * JFIF files ([[JpegFixtures]], variant = doc_id % 16, + the UTF-8
+  * body past the EOI marker) that ImageIO decodes; MP4 docs magic
+  * bytes + the UTF-8 body. Every derived statistic is
+  * DuckDB-replayable: byte totals by file-geometry arithmetic, IHDR/fmt
+  * fields by prefix byte reads, PNG/WAV pixel/sample sums by the
+  * [[pixelValue]] formula, and JPEG decoded statistics by AUTHOR-TIME
+  * constants — JPEG is lossy and encoder-dependent, so its decoded
+  * pixels are not SQL arithmetic; instead the fixture bytes AND their
+  * ImageIO-decoded statistics were captured together when the fixtures
+  * were authored (tools/AuthorJpegFixtures.java), and the m7 oracle
+  * replays those constants while the Spark side reports the LIVE
+  * decode.
   */
 object Multimodal {
 
@@ -219,28 +222,37 @@ object Multimodal {
       pngChunk("IDAT", storedZlib(raw)) ++ pngChunk("IEND", Array.emptyByteArray)
   }
 
-  /** Payload column for the JPEG/MP4 modalities (pure codegen'd exprs):
-    * container magic + UTF-8 content.
+  /** Payload column for the JPEG/MP4 modalities (pure codegen'd exprs —
+    * the 16 checked-in JFIF files are an `element_at` over an array of
+    * binary literals, no per-row codec work): a complete
+    * [[JpegFixtures]] file (variant = doc_id % 16) or the MP4-ftyp
+    * magic, + UTF-8 content.
     */
-  private def plainPayload(source: Column, text: Column): Column =
+  private def plainPayload(docId: Column, source: Column, text: Column): Column =
     concat(
-      when(modality(source) === 1, lit(JpegMagic)).otherwise(lit(Mp4Magic)),
+      when(modality(source) === 1,
+        element_at(array(JpegFixtures.Bytes.map(lit): _*),
+          pmod(docId, lit(16)).cast("int") + 1))
+        .otherwise(lit(Mp4Magic)),
       encode(text, "UTF-8"))
 
   /** (doc_id, payload) for every doc. PNG and WAV docs carry a COMPLETE
     * valid file ([[pngFile]] / [[wavFile]] + the UTF-8 body as trailing
     * data past IEND / past the declared RIFF size, which conforming
-    * readers ignore); JPEG/MP4 are pure column exprs. The branches union
-    * map-side — no shuffle, no driver loop. At 100 TB the payload column
-    * is real media read straight from parquet; this synthesizer exists
-    * only because the test corpus is text.
+    * readers ignore); JPEG docs a COMPLETE checked-in JFIF file
+    * ([[JpegFixtures]] + the body past the EOI marker, which conforming
+    * readers also ignore — pinned at authoring time); MP4 are pure
+    * column exprs. The branches union map-side — no shuffle, no driver
+    * loop. At 100 TB the payload column is real media read straight
+    * from parquet; this synthesizer exists only because the test corpus
+    * is text.
     */
   def payloads(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val plain = docs.filter(modality(col("source")).isin(1, 3))
       .select(col("doc_id"),
-        plainPayload(col("source"), col("text")).as("payload"))
+        plainPayload(col("doc_id"), col("source"), col("text")).as("payload"))
     val png = docs.filter(modality(col("source")) === 0)
       .select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
@@ -366,13 +378,16 @@ object Multimodal {
     chunks.map(c => (c / norm).toFloat)
   }
 
-  /** Decode a PNG payload for REAL: `ImageIO.read` inflates the IDAT and
-    * returns the pixel grid; dims from the decoded image, per-channel
-    * sums and 8 chunk byte-sums (chunk = stream index mod 8, the shape
-    * the m2/m5 oracles replay from [[pixelValue]]) from the pixels.
-    * None when the bytes are not a decodable PNG.
+  /** Decode an image payload for REAL: `ImageIO.read` sniffs the
+    * container (PNG inflates the IDAT, JPEG runs the JDK's JFIF codec —
+    * both built-in readers) and returns the pixel grid; dims from the
+    * decoded image, per-channel sums and 8 chunk byte-sums (chunk =
+    * stream index mod 8, the shape the m2/m5/m7 oracles replay — from
+    * [[pixelValue]] for PNG, from the [[JpegFixtures]] author-time
+    * constants for JPEG) from the pixels. None when the bytes are not a
+    * decodable image.
     */
-  private def decodePng(payload: Array[Byte])
+  private def decodeImage(payload: Array[Byte])
       : Option[(Int, Int, Array[Long], Array[Long])] =
     try {
       Option(javax.imageio.ImageIO.read(
@@ -451,20 +466,21 @@ object Multimodal {
       } finally in.close()
     } catch { case scala.util.control.NonFatal(_) => None }
 
-  /** Decode stage. PNGs and WAVs are decoded for REAL — `javax.imageio`
-    * inflates the IDAT and `javax.sound.sampled` streams the PCM data
-    * chunk; dimensions and the feature vector derive from the decoded
-    * content (MultimodalSpec proves both round-trips; the m2/m5/m6
-    * oracles replay the pixel/sample math from doc_id). For audio the
-    * (width, height) metadata carries the PCM grid's two axes:
-    * (frames, channels). The remaining modalities (JPEG/MP4 — not
-    * byte-replayable, see class doc) keep the clearly-labelled
-    * deterministic FAKE: hashed dimensions and body chunk-sum features.
-    * The Spark shape is the real one either way: one iterator pass per
-    * partition (codec init amortizes here), no per-row setup, no
-    * driver-side collection, schema fixed by the MediaFeatures encoder.
-    * A payload that fails to decode falls back to the prefix parse for
-    * dims and the fake features.
+  /** Decode stage. PNGs, JPEGs and WAVs are decoded for REAL —
+    * `javax.imageio` inflates the IDAT / runs the JFIF codec and
+    * `javax.sound.sampled` streams the PCM data chunk; dimensions and
+    * the feature vector derive from the decoded content (MultimodalSpec
+    * proves the round-trips; the m2/m5/m6/m7 oracles replay the
+    * pixel/sample math from doc_id — author-time constants for JPEG).
+    * For audio the (width, height) metadata carries the PCM grid's two
+    * axes: (frames, channels). The ONE remaining modality (MP4 — no JDK
+    * demuxer) keeps the clearly-labelled deterministic FAKE: hashed
+    * dimensions and body chunk-sum features. The Spark shape is the
+    * real one either way: one iterator pass per partition (codec init
+    * amortizes here), no per-row setup, no driver-side collection,
+    * schema fixed by the MediaFeatures encoder. A payload that fails to
+    * decode falls back to the prefix parse for dims and the fake
+    * features.
     */
   def decode(blobs: Dataset[MediaBlob]): Dataset[MediaFeatures] = {
     import blobs.sparkSession.implicits._
@@ -472,7 +488,7 @@ object Multimodal {
       // per-partition codec init would happen here
       it.map { b =>
         val real = b.mime match {
-          case "image/png" => decodePng(b.payload)
+          case "image/png" | "image/jpeg" => decodeImage(b.payload)
           case "audio/wav" =>
             decodeWav(b.payload).map { case (frames, ch, chunks, _) =>
               (frames, ch, chunks, Array.empty[Long])
@@ -515,8 +531,28 @@ object Multimodal {
     import blobs.sparkSession.implicits._
     blobs.mapPartitions { it =>
       it.flatMap { b =>
-        val png = if (b.mime == "image/png") decodePng(b.payload) else None
+        val png = if (b.mime == "image/png") decodeImage(b.payload) else None
         png.map { case (w, h, _, chans) =>
+          (b.doc_id, w.toLong, h.toLong, chans(0), chans(1), chans(2))
+        }
+      }
+    }.toDF("doc_id", "width", "height", "sum_r", "sum_g", "sum_b")
+  }
+
+  /** Per-image pixel statistics from the REAL JPEG decode: dimensions
+    * and integer-exact per-channel sums, straight off the
+    * ImageIO-decoded grid of the checked-in [[JpegFixtures]] file (the
+    * m7 oracle replays the AUTHOR-TIME decode constants keyed by
+    * doc_id % 16 — agreement pins payload synthesis, the live JFIF
+    * decode, and the trailing-body handling in one hash). Non-JPEG and
+    * undecodable payloads are dropped.
+    */
+  def jpegPixelStats(blobs: Dataset[MediaBlob]): DataFrame = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions { it =>
+      it.flatMap { b =>
+        val jpg = if (b.mime == "image/jpeg") decodeImage(b.payload) else None
+        jpg.map { case (w, h, _, chans) =>
           (b.doc_id, w.toLong, h.toLong, chans(0), chans(1), chans(2))
         }
       }

@@ -9,9 +9,10 @@ import org.apache.spark.sql.functions.col
 /** Multimodal-column queries over the `documents` table (payloads are
   * synthesized binary — PNG docs carry COMPLETE valid files with real
   * zlib IDAT pixel data, WAV docs COMPLETE valid files with real PCM
-  * data chunks, the rest magic bytes + UTF-8 body — because the test
-  * corpus ships no real media; the sniffing/parsing/decoding/statistics
-  * paths are the real ones).
+  * data chunks, JPEG docs COMPLETE checked-in JFIF files, MP4 docs
+  * magic bytes + UTF-8 body — because the test corpus ships no real
+  * media; the sniffing/parsing/decoding/statistics paths are the real
+  * ones).
   *
   * Oracle strategy, per derived value:
   *  - header fields (m3/m4): ONE shared payload-SQL generator rebuilds
@@ -20,20 +21,24 @@ import org.apache.spark.sql.functions.col
   *  - byte totals (m1): the file-geometry arithmetic — PNG length is
   *    `63 + 5*ceil(N/65535) + N + body` with `N = d(1+3d)` because the
   *    IDAT uses stored-mode zlib (length a pure function of content
-  *    size), WAV is `44 + frames·blockAlign + body`, JPEG/MP4 are
-  *    `4/8 + body`;
+  *    size), WAV is `44 + frames·blockAlign + body`, JPEG is the
+  *    checked-in fixture length by variant + body, MP4 is `8 + body`;
   *  - content (m5 pixels, m6 PCM samples) and content-derived features
   *    (m2's PNG and WAV branches): DuckDB recomputes
   *    `Multimodal.pixelValue` from doc_id directly — agreement with the
   *    Spark side pins the whole synthesize → encode → real-decoder →
   *    statistics loop, since the Spark numbers come off the DECODED
-  *    image / STREAMED data chunk, never the formula.
+  *    image / STREAMED data chunk, never the formula;
+  *  - JPEG content (m7, m2's JPEG branch): AUTHOR-TIME decode constants
+  *    keyed by doc_id % 16 (JPEG is lossy — decoded pixels are pinned,
+  *    not recomputed; see `tools/AuthorJpegFixtures.java`), while the
+  *    Spark side reports the LIVE ImageIO decode of the same bytes.
   *
   * m2 proves the full multimodal → embedding → ANN pipeline end-to-end:
-  * blobs → decode (the per-partition-init `mapPartitions` stage; PNG and
-  * WAV features are REAL content chunk sums, non-replayable modalities
-  * the labelled byte-sum stub) → `graft.sim` brute-force top-k over the
-  * decoded feature vectors.
+  * blobs → decode (the per-partition-init `mapPartitions` stage; PNG,
+  * JPEG and WAV features are REAL content chunk sums, MP4 the labelled
+  * byte-sum stub) → `graft.sim` brute-force top-k over the decoded
+  * feature vectors.
   */
 object MultimodalQueries {
 
@@ -81,13 +86,18 @@ object MultimodalQueries {
     Multimodal.wavSampleStats(
       Multimodal.toBlobs(Tables.documents(s, dir)))
 
+  def m7JpegPixelStats(s: SparkSession, dir: String): DataFrame =
+    Multimodal.jpegPixelStats(
+      Multimodal.toBlobs(Tables.documents(s, dir)))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_media_stats" -> (m1MediaStats _),
     "m2_decode_ann" -> (m2DecodeAnn _),
     "m3_png_ihdr" -> (m3PngIhdr _),
     "m4_wav_fmt" -> (m4WavFmt _),
     "m5_pixel_stats" -> (m5PixelStats _),
-    "m6_wav_sample_stats" -> (m6WavSampleStats _)
+    "m6_wav_sample_stats" -> (m6WavSampleStats _),
+    "m7_jpeg_pixel_stats" -> (m7JpegPixelStats _)
   )
 
   // ---- generated DuckDB twins ----------------------------------------
@@ -122,6 +132,17 @@ object MultimodalQueries {
     s"(64 + doc_id % 64) * ((1 + doc_id % 2) * " +
       s"(([8, 16, 24, 32])[(doc_id % 4)::INT + 1] // 8))"
 
+  /** DuckDB list literal indexed by the JPEG variant (doc_id % 16). */
+  private def jpegVariantLookup(vals: Seq[Long]): String =
+    vals.mkString("([", ", ", s"])[(doc_id % 16)::INT + 1]")
+
+  /** The 16 × 8 author-time JPEG chunk byte-sums as a nested DuckDB list
+    * literal — `jpegChunkSumsSql[variant + 1][chunk + 1]`.
+    */
+  private def jpegChunkSumsSql: String =
+    graft.multimodal.JpegFixtures.ChunkSums
+      .map(_.mkString("[", ", ", "]")).mkString("([", ", ", "])")
+
   /** The header CTE both engines agree on: PNG docs get the byte PREFIX
     * every reader parses (signature + length/type + dimensions + depth/
     * color + the doc's precomputed IHDR CRC); WAV docs the complete
@@ -132,7 +153,11 @@ object MultimodalQueries {
     * the m5/m6 content replays (every consumer of this CTE reads only
     * header offsets for those modalities), and the PNG checksums by the
     * ImageIO round-trip in MultimodalSpec (CRC-32 is not expressible as
-    * SQL arithmetic). Also carries `m`, the modality index.
+    * SQL arithmetic). The JPEG arm likewise emits magic-only — no
+    * consumer reads JPEG payload bytes from this CTE anymore (m2's MP4
+    * byte sums filter m = 3; JPEG content is covered by the m1 length
+    * lookup and the m7 author-time constants). Also carries `m`, the
+    * modality index.
     */
   private def payloadSql: String = {
     val crcList = Multimodal.IhdrCrcs.map(blobLit).mkString("[", ", ", "]")
@@ -174,7 +199,8 @@ object MultimodalQueries {
         |    CASE m
         |      WHEN 0 THEN 63 + 5 * ((d * (1 + 3 * d) + 65534) // 65535)
         |                  + d * (1 + 3 * d) + tl
-        |      WHEN 1 THEN 4 + tl
+        |      WHEN 1 THEN ${jpegVariantLookup(
+                 graft.multimodal.JpegFixtures.Lens.map(_.toLong))} + tl
         |      WHEN 2 THEN 44 + $wavBytesSql + tl
         |      ELSE 8 + tl
         |    END AS len
@@ -190,15 +216,18 @@ object MultimodalQueries {
     // deflate/inflate loop). WAV branch: chunk sums over the FORMULA
     // data-chunk bytes (the Spark side sums the AudioSystem-streamed
     // PCM — agreement pins header parse + data-chunk extraction).
-    // JPEG/MP4 branch: chunk sums over the header+body bytes,
-    // hex-parsed. Then L2-normalize to FLOAT with the same double ops
-    // and index order as the Scala stage, and the s1 brute-force ANN
-    // shape over the decoded features.
+    // JPEG branch: the AUTHOR-TIME decoded chunk sums keyed by
+    // doc_id % 16 (the Spark side sums the LIVE ImageIO JFIF decode of
+    // the same checked-in bytes — agreement pins decoder stability and
+    // the trailing-body handling). MP4 branch: chunk sums over the
+    // header+body bytes, hex-parsed. Then L2-normalize to FLOAT with
+    // the same double ops and index order as the Scala stage, and the
+    // s1 brute-force ANN shape over the decoded features.
     "m2_decode_ann" ->
       s"""WITH p AS (
         |  $payloadSql
         |), b AS (
-        |  SELECT doc_id, substring(hex(payload), 17) AS hx FROM p WHERE m IN (1, 3)
+        |  SELECT doc_id, substring(hex(payload), 17) AS hx FROM p WHERE m = 3
         |), idx AS (
         |  SELECT doc_id, hx, unnest(range(0, length(hx) // 2)) AS i FROM b
         |), bytesums AS (
@@ -219,9 +248,14 @@ object MultimodalQueries {
         |), wavsums AS (
         |  SELECT doc_id, px % 8 AS chunk, SUM(${pixSql("doc_id", "px")}) AS c
         |  FROM wavpx GROUP BY 1, 2
+        |), jpegsums AS (
+        |  SELECT doc_id, chunk,
+        |    $jpegChunkSumsSql[(doc_id % 16)::INT + 1][chunk::INT + 1] AS c
+        |  FROM (SELECT doc_id, unnest(range(0, 8)) AS chunk FROM documents
+        |        WHERE substring(source, 4)::INT % 4 = 1) jd
         |), sums AS (
         |  SELECT * FROM bytesums UNION ALL SELECT * FROM pngsums
-        |  UNION ALL SELECT * FROM wavsums
+        |  UNION ALL SELECT * FROM wavsums UNION ALL SELECT * FROM jpegsums
         |), grid AS (
         |  SELECT doc_id, unnest(range(0, 8)) AS chunk FROM p
         |), chunks AS (
@@ -347,6 +381,27 @@ object MultimodalQueries {
         |  CAST(SUM(CASE WHEN p % 3 = 0 THEN ${pixSql("doc_id", "p")} END) AS BIGINT) AS sum_r,
         |  CAST(SUM(CASE WHEN p % 3 = 1 THEN ${pixSql("doc_id", "p")} END) AS BIGINT) AS sum_g,
         |  CAST(SUM(CASE WHEN p % 3 = 2 THEN ${pixSql("doc_id", "p")} END) AS BIGINT) AS sum_b
-        |FROM px GROUP BY doc_id""".stripMargin
+        |FROM px GROUP BY doc_id""".stripMargin,
+    // JPEG pixel replay: the AUTHOR-TIME ImageIO decode statistics of
+    // the 16 checked-in JFIF fixtures, keyed by doc_id % 16 (JPEG is
+    // lossy, so the decoded grid is pinned as constants instead of
+    // arithmetic — see tools/AuthorJpegFixtures.java). The Spark side
+    // reports the LIVE decode of the same bytes with the doc body
+    // trailing the EOI marker; a hash match proves the payload
+    // synthesis, the runtime JFIF decode, and the trailer handling all
+    // reproduce the authored statistics.
+    "m7_jpeg_pixel_stats" ->
+      s"""SELECT doc_id,
+        |  CAST(${jpegVariantLookup(
+             graft.multimodal.JpegFixtures.Dims.map(_._1.toLong))} AS BIGINT) AS width,
+        |  CAST(${jpegVariantLookup(
+             graft.multimodal.JpegFixtures.Dims.map(_._2.toLong))} AS BIGINT) AS height,
+        |  CAST(${jpegVariantLookup(
+             graft.multimodal.JpegFixtures.ChanSums.map(_._1))} AS BIGINT) AS sum_r,
+        |  CAST(${jpegVariantLookup(
+             graft.multimodal.JpegFixtures.ChanSums.map(_._2))} AS BIGINT) AS sum_g,
+        |  CAST(${jpegVariantLookup(
+             graft.multimodal.JpegFixtures.ChanSums.map(_._3))} AS BIGINT) AS sum_b
+        |FROM documents WHERE substring(source, 4)::INT % 4 = 1""".stripMargin
   )
 }

@@ -50,9 +50,15 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * near-neighbor arrives AFTER x yet connects x to an earlier
   * component), closure drops x but the greedy gate keeps it — inherent
   * to at-ingest decisions, which cannot retract an already-admitted doc.
-  * CurationStreamSpec pins composed-keeper parity against the batch
-  * composition of the same three gate rules, plus restart recovery and
-  * bounded state in both stateful stages.
+  * [[compactedKeepers]] / [[startCompactionStage]] close that gap
+  * periodically: a compaction pass clusters the accumulated flag graph
+  * (transitive closure) and re-materializes the keeper set under the
+  * batch rule, so the streamed corpus CONVERGES to `u1`'s front-half
+  * semantics at each compaction epoch while the greedy view stays the
+  * low-latency answer in between. CurationStreamSpec pins composed-keeper
+  * parity against the batch composition of the same three gate rules,
+  * closure parity of the compaction pass on a bridge fixture, plus
+  * restart recovery and bounded state in both stateful stages.
   */
 object CurationStream {
 
@@ -136,5 +142,92 @@ object CurationStream {
       .filter(col("dup_id") =!= col("of_id"))
       .select(col("dup_id").as("doc_id")).distinct()
     kept.join(flagged, Seq("doc_id"), "left_anti")
+  }
+
+  /** The TRANSITIVE-CLOSURE keeper set over the accumulated stream: run
+    * [[graft.dedup.Dedup.dupClusters]] on the flag graph stage 2 has
+    * emitted so far and keep the MINIMUM doc_id of each connected
+    * component (plus every unflagged survivor) — the batch `u1` keeper
+    * rule applied to the streamed corpus.
+    *
+    * This is the compaction answer to the greedy gate's documented
+    * bridge divergence (class doc): at ingest a doc is flagged only
+    * against EARLIER docs, so a component whose bridge doc arrives last
+    * keeps one doc per pre-bridge fragment; the closure keeps exactly
+    * one. Because flagged docs still REGISTER as representatives, the
+    * accumulated flag set equals the batch banding pair rule's edge
+    * set — so clustering those edges converges the streamed corpus to
+    * the same keeper set the batch closure pipeline computes
+    * (CurationStreamSpec pins the parity on a bridge fixture).
+    *
+    * Cost shape: one [[Dedup.dupClusters]] run over the flag graph —
+    * edges ~ O(near-dup pairs), not corpus size — plus one anti-join
+    * against the survivors. The returned frame is plan-only; the
+    * intermediate checkpoint blocks dupClusters creates are released
+    * before returning (the non-keeper id set is collected into the
+    * anti-join's broadcast side, orders of magnitude smaller than the
+    * corpus).
+    */
+  def compactedKeepers(spark: SparkSession, stage1Dir: String,
+                       stage2Dir: String): DataFrame = {
+    val kept = spark.read.parquet(stage1Dir).drop("batch")
+    // stage 2 lags stage 1 (it streams stage 1's files); before its first
+    // batch lands there is nothing to cluster
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(stage2Dir)))
+      return kept
+    val flags = spark.read.parquet(stage2Dir).drop("batch")
+      .filter(col("dup_id") =!= col("of_id")) // replay self-flag guard
+      .select(col("dup_id"), col("of_id"))
+    if (flags.isEmpty) return kept
+    val clusters = Dedup.dupClusters(flags, iCol = "dup_id", jCol = "of_id")
+    val dropped = clusters.filter(col("doc_id") =!= col("cluster"))
+      .select(col("doc_id"))
+    // copy the (small) non-keeper set out of dupClusters' checkpoint
+    // blocks so they can be released before the caller consumes the plan
+    val droppedLocal = dropped.collect().map(_.getLong(0))
+    clusters.unpersist()
+    kept.join(broadcast(spark.createDataset(droppedLocal.toSeq)(
+        org.apache.spark.sql.Encoders.scalaLong).toDF("doc_id")),
+      Seq("doc_id"), "left_anti")
+  }
+
+  /** Periodic COMPACTION as a third chained query: file-stream STAGE 2's
+    * output (so each epoch runs strictly AFTER the flags it folds in are
+    * on disk — triggering off stage 1 would race the near-dup gate and
+    * snapshot stale flag graphs) and, every `every`-th micro-batch,
+    * materialize the full closure keeper snapshot to
+    * `outDir/epoch=<batchId>` — each epoch is a complete, idempotent
+    * recompute over everything both stages have emitted, so a replayed
+    * batch id overwrites with identical content. Between compactions the
+    * greedy [[keepers]] view stays the low-latency answer; each epoch
+    * converges the corpus-so-far to the batch closure semantics. The
+    * recompute-from-accumulated-output shape (rather than incremental
+    * state) is deliberate: connected components is a global fixpoint —
+    * a new bridge edge can merge ANY two existing components, so no
+    * bounded per-key state can maintain it; the flag graph it rescans
+    * is O(near-dup pairs), not corpus size.
+    */
+  def startCompactionStage(spark: SparkSession, stage1Dir: String,
+                           stage2Dir: String, outDir: String,
+                           checkpointDir: String, every: Int = 1): StreamingQuery = {
+    require(every >= 1, "compaction period must be >= 1 batch")
+    spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("dup_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("of_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("est",
+          org.apache.spark.sql.types.DoubleType))))
+      .parquet(s"$stage2Dir/batch=*")
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (_: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (batchId % every == 0)
+          compactedKeepers(spark, stage1Dir, stage2Dir)
+            .write.mode("overwrite").parquet(s"$outDir/epoch=$batchId")
+      }
+      .start()
   }
 }

@@ -55,7 +55,41 @@ class MultimodalSpec extends SparkSpec {
     assert(p1.take(4).sameElements(JpegMagic))
     // png payload = the complete file, then the UTF-8 body as trailing data
     assert(new String(p0.drop(pngFile(0L).length), "UTF-8") == "png doc body")
-    assert(new String(p1.drop(4), "UTF-8") == "jpeg doc body x")
+    // jpeg payload = the complete checked-in JFIF file (variant = id % 16),
+    // then the UTF-8 body past the EOI marker
+    assert(p1.take(JpegFixtures.Lens(1)).sameElements(JpegFixtures.Bytes(1)))
+    assert(new String(p1.drop(JpegFixtures.Lens(1)), "UTF-8") == "jpeg doc body x")
+  }
+
+  test("checked-in JPEG fixtures decode to the authored statistics, trailer included") {
+    // the LIVE ImageIO decode of payload bytes (JFIF + trailing UTF-8 body)
+    // must reproduce the AUTHOR-TIME constants — decoder stability is the
+    // premise of the m7 oracle
+    val stats = jpegPixelStats(toBlobs(docs)).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("width"), r.getAs[Long]("height"),
+          r.getAs[Long]("sum_r"), r.getAs[Long]("sum_g"), r.getAs[Long]("sum_b"))))
+      .toMap
+    assert(stats.keySet == Set(1L, 17L))
+    for (id <- Seq(1L, 17L)) {
+      val v = (id % 16).toInt
+      val (w, h) = JpegFixtures.Dims(v)
+      val (r, g, b) = JpegFixtures.ChanSums(v)
+      assert(stats(id) == ((w.toLong, h.toLong, r, g, b)), s"doc $id")
+    }
+  }
+
+  test("JPEG fixture table is internally consistent") {
+    assert(JpegFixtures.Bytes.length == 16 && JpegFixtures.Lens.length == 16)
+    JpegFixtures.Bytes.zip(JpegFixtures.Lens).foreach { case (bs, l) =>
+      assert(bs.length == l)
+      assert((bs(0) & 0xff) == 0xff && (bs(1) & 0xff) == 0xd8) // SOI
+    }
+    // author-time chunk sums are the channel sums re-bucketed: both views
+    // total the same pixel mass
+    JpegFixtures.ChunkSums.zip(JpegFixtures.ChanSums).foreach { case (ck, (r, g, b)) =>
+      assert(ck.sum == r + g + b)
+    }
   }
 
   test("synthesized IHDR is spec-valid: layout, dimensions, and a real CRC-32") {
@@ -243,6 +277,9 @@ class MultimodalSpec extends SparkSpec {
     val wavTotal = Seq((2L, 15), (5L, 13), (7L, 13), (8L, 10))
       .map { case (id, bodyLen) => 44 + wavN(id) + bodyLen }.sum
     assert(stats("audio/wav") == wavTotal.toLong)
+    val jpegTotal = Seq((1L, 15), (17L, 15))
+      .map { case (id, bodyLen) => JpegFixtures.Lens((id % 16).toInt) + bodyLen }.sum
+    assert(stats("image/jpeg") == jpegTotal.toLong)
     assert(stats.keySet ==
       Set("image/png", "image/jpeg", "audio/wav", "video/mp4"))
   }
@@ -268,6 +305,8 @@ class MultimodalSpec extends SparkSpec {
     // wav (width, height) = the DECODED PCM grid's (frames, channels)
     assert(rows(2).width == wavFrames(2L) && rows(2).height == 1)
     assert(rows(5).width == wavFrames(5L) && rows(5).height == 2)
+    // jpeg dims come from the DECODED checked-in JFIF file, not a hash
+    assert((rows(1).width, rows(1).height) == JpegFixtures.Dims(1))
     // png features come from the decoded PIXELS: doc 16 shares doc 0's
     // dims and text but its grid differs -> different features
     val (a, b) = (rows(0), rows(8))

@@ -136,4 +136,79 @@ class CurationStreamSpec extends SparkSpec {
       spark.streams.active.foreach(_.stop())
     }
   }
+
+  test("compaction converges the streamed corpus to the batch closure keepers on a bridge") {
+    // bridge topology: a (earliest) and c share NOTHING; b arrives LAST and
+    // near-dups BOTH (its token set is a's ∪ c's). The greedy at-ingest gate
+    // keeps a and c (no earlier match when each arrives) and flags only b;
+    // the batch closure clusters {a, b, c} and keeps only min-id a. The
+    // compaction pass must land on the closure answer.
+    val aTxt = (1 to 15).map(i => s"alpha$i").mkString(" ")
+    val cTxt = (1 to 15).map(i => s"gamma$i").mkString(" ")
+    val bTxt = aTxt + " " + cTxt
+    val docs = Seq(
+      CurationDoc(1L, "en", aTxt.length.toLong, aTxt),
+      CurationDoc(3L, "en", cTxt.length.toLong, cTxt),
+      CurationDoc(5L, "en", bTxt.length.toLong, bTxt))
+    // 1-row bands: candidate iff any signature component matches — keeps
+    // the bridge's banding hit deterministic at moderate similarity
+    val (nP, nB, cth) = (16, 16, 0.3)
+
+    // ---- fixture self-check + batch closure twin ----------------------
+    val sigs = Dedup.withMinhash(docs.toDF(), numPerms = nP)
+      .select("doc_id", "minhash").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Seq[Long]]("minhash")).toMap
+    def est(i: Long, j: Long): Double =
+      sigs(i).zip(sigs(j)).count { case (x, y) => x == y }.toDouble / nP
+    assert(est(1L, 5L) >= cth, s"fixture: a~b must flag (est ${est(1L, 5L)})")
+    assert(est(3L, 5L) >= cth, s"fixture: c~b must flag (est ${est(3L, 5L)})")
+    assert(est(1L, 3L) < cth, s"fixture: a~c must NOT flag (est ${est(1L, 3L)})")
+    // closure twin: union-find over ALL est-qualifying banded pairs
+    val ids = docs.map(_.doc_id)
+    val edges = for {
+      j <- ids; i <- ids if i < j && est(i, j) >= cth
+    } yield (i, j)
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    edges.foreach { case (i, j) => parent(find(i)) = find(j) }
+    val closureTwin = ids.groupBy(find).values.map(_.min).toSet
+
+    // ---- three chained queries, strict arrival order a, c, b ----------
+    val root = Files.createTempDirectory("compaction").toString
+    val (out1, out2, out3) = (s"$root/out1", s"$root/out2", s"$root/out3")
+    val in = MemoryStream[CurationDoc](spark)
+    val q1 = CurationStream.startQualityExactStage(in.toDS().toDF(), 0.0, out1, s"$root/cp1")
+    val q2 = CurationStream.startNearDupStage(spark, out1, out2, s"$root/cp2",
+      k = 3, numPerms = nP, bands = nB, threshold = cth)
+    val q3 = CurationStream.startCompactionStage(spark, out1, out2, out3, s"$root/cp3")
+    try {
+      docs.foreach { d =>
+        in.addData(d)
+        q1.processAllAvailable(); q2.processAllAvailable(); q3.processAllAvailable()
+      }
+
+      // greedy view: a and c both survive (the bridge divergence is real)
+      val greedy = CurationStream.keepers(spark, out1, out2)
+        .select("doc_id").as[Long].collect().toSet
+      assert(greedy == Set(1L, 3L), s"greedy keepers: $greedy")
+      assert(greedy != closureTwin, "fixture must actually exercise the bridge gap")
+
+      // compaction epochs: complete snapshots, the LAST one is the closure
+      val epochs = new java.io.File(out3).listFiles()
+        .map(_.getName).filter(_.startsWith("epoch=")).map(_.stripPrefix("epoch=").toLong)
+      assert(epochs.nonEmpty)
+      val last = spark.read.parquet(s"$out3/epoch=${epochs.max}")
+      assert(last.columns.toSet == Set("doc_id", "lang", "n_chars", "text"))
+      val compacted = last.select("doc_id").as[Long].collect().toSet
+      assert(compacted == closureTwin, s"compacted $compacted != closure $closureTwin")
+
+      // the direct view agrees with the materialized snapshot
+      val direct = CurationStream.compactedKeepers(spark, out1, out2)
+        .select("doc_id").as[Long].collect().toSet
+      assert(direct == closureTwin)
+    } finally {
+      q1.stop(); q2.stop(); q3.stop()
+      spark.streams.active.foreach(_.stop())
+    }
+  }
 }
