@@ -394,9 +394,37 @@ object Bench {
           timed("sf1_" + name, n = 2) {
             SparkEntry.queries(name)(spark, sf1Dir).count(); ()
           }
-        } :+ ("sf1_loadavg" -> loadavg1m())
+        } ++ Seq(
+          // d7 telemetry: wall = sweeps × per-sweep barrier cost, so the
+          // sweep count must ride next to the time for regressions to be
+          // attributable (round-7 ask)
+          "sf1_d7_sweeps" -> graft.dedup.Dedup.lastSweeps.toDouble,
+          "sf1_loadavg" -> loadavg1m())
       } catch { case e: Throwable =>
         errors += "sf1_probe" -> e.toString.takeWhile(_ != '\n').take(200)
+        Nil
+      }
+
+    // sf10 CENTURY probe: the dedup/ANN flagship paths at 100x the bench
+    // SF — a second decade of scale evidence, so the 100 TB claim rests on
+    // two measured decades instead of one extrapolated one. OFF by default
+    // (generation + 5 min-of-1 rows add ~10 min); enable with
+    // SPARK_GRAFT_SF10=1. Min-of-1 is deliberate: at this size a single
+    // trial is the honest trade, and the loadavg row flags contention.
+    val sf10Times: Seq[(String, Double)] =
+      if (!sys.env.get("SPARK_GRAFT_SF10").contains("1")) Nil
+      else try {
+        val sf10Dir = new java.io.File("target/sf10").getAbsolutePath
+        graft.fixtures.ScaleProbe.ensure(spark, sfDir, sf10Dir,
+          replicas = 100, withEvents = false)
+        Seq("d7_dup_clusters", "d1_exact_dedup", "d3_minhash_lsh",
+            "s3_lsh_topk", "s8_ivf_indexed").map { name =>
+          timed("sf10_" + name, n = 1) {
+            SparkEntry.queries(name)(spark, sf10Dir).count(); ()
+          }
+        } :+ ("sf10_loadavg" -> loadavg1m())
+      } catch { case e: Throwable =>
+        errors += "sf10_probe" -> e.toString.takeWhile(_ != '\n').take(200)
         Nil
       }
 
@@ -405,7 +433,7 @@ object Bench {
 
     val results = queryTimes.toSeq ++ bpeTimes ++ bpeEpochTimes ++ recall ++ filteredRecall ++
       clusteredGates ++ annAuto ++ detectTimes ++ sustained ++ detect10x ++
-      sf1Times
+      sf1Times ++ sf10Times
     def jq(s: String): String = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val qs = results.map { case (k, v) => jq(k) + ":" + v }.mkString("{", ",", "}")
     val errJson =

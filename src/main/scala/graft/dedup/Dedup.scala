@@ -566,7 +566,14 @@ object Dedup {
     * checkpointing stays mandatory: without lineage truncation the
     * logical plan doubles per sweep (labels feed both join sides) and an
     * iterative query compounds to an exponentially large plan — the
-    * standard Spark iterative-algorithm trap. localCheckpoint is
+    * standard Spark iterative-algorithm trap. A SECOND iterative trap
+    * hides inside the first's standard fix: `localCheckpoint` preserves
+    * origin Catalyst STATISTICS, and the sweep plan's join products
+    * compound that BigInt ~4x in bit length per sweep until driver-side
+    * stats arithmetic dominates (minutes per sweep by sweep ~10 at the
+    * 100x probe) — so the loop-carried frame is rebuilt from the
+    * checkpointed RDD each sweep, resetting stats to the bounded
+    * default (see `statsReset` in the body). localCheckpoint is
     * executor-local (fast, no DFS write); a production run that must
     * survive executor loss mid-computation swaps in reliable
     * `checkpoint()` — same shape, one conf.
@@ -581,6 +588,13 @@ object Dedup {
     * result once consumed — or copy it out of the checkpoint — to avoid
     * accumulating executor cache blocks.
     */
+  /** Sweep count of the most recent [[dupClusters]] convergence on this
+    * JVM — bench telemetry only (the `sf1_d7_sweeps` row attributes a d7
+    * wall-time regression to sweep count vs per-sweep cost without a
+    * debug rerun). Driver-side, single-writer; not part of any result.
+    */
+  @volatile var lastSweeps: Int = -1
+
   def dupClusters(pairs: DataFrame, maxIters: Int = 25,
                   iCol: String = "i", jCol: String = "j"): DataFrame = {
     // localCheckpoint, NOT persist: each sweep embeds `edges` inside a
@@ -598,9 +612,28 @@ object Dedup {
       .localCheckpoint(true)
     val edges = p0.select(col("i").as("a"), col("j").as("b"))
       .union(p0.select(col("j").as("a"), col("i").as("b")))
-    var labels = edges.select(col("a").as("id")).distinct()
+    // statsReset: `localCheckpoint` PRESERVES the origin plan's Catalyst
+    // statistics (so broadcast decisions keep working across checkpoints
+    // in ordinary code), but in an ITERATIVE loop that preservation
+    // compounds: each sweep's plan multiplies its join children's
+    // sizeInBytes (BigInt products in SizeInBytesOnlyStatsPlanVisitor),
+    // and the self-join below roughly SQUARES the carried value — the
+    // stat's BIT LENGTH grows ~4x per sweep, and by sweep ~10 the driver
+    // burns minutes per sweep inside BigInteger.multiply (observed at the
+    // 100x century probe: sweep 9 = 37 s, sweep 10 = 98 s, sweep 11
+    // stuck, all driver-side stats arithmetic at load 1). Rebuilding the
+    // loop-carried frame from the checkpointed RDD drops originStats to
+    // the bounded default, so every sweep's stats are one product of
+    // small constants; the Row<->InternalRow conversion this adds is
+    // per-label-row, negligible next to the join it feeds. The RETURNED
+    // frame stays checkpoint-backed (callers unpersist it), whose origin
+    // stats are computed from reset inputs — also bounded.
+    def statsReset(ck: DataFrame): DataFrame =
+      ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+    var labelsCk = edges.select(col("a").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(true)
+    var labels = statsReset(labelsCk)
     var changed = 1L
     var it = 0
     val ccDebug = sys.env.get("SPARK_GRAFT_CC_DEBUG").contains("1")
@@ -645,8 +678,9 @@ object Dedup {
       if (ccDebug)
         System.err.println(f"dupClusters sweep $it: checkpoint ${(t1 - t0) / 1e9}%.2f s, " +
           f"count ${(System.nanoTime() - t1) / 1e9}%.2f s, changed $changed")
-      labels.unpersist(false)
-      labels = next.select(col("id"), col("label"))
+      labelsCk.unpersist(false)
+      labelsCk = next
+      labels = statsReset(next).select(col("id"), col("label"))
       it += 1
     }
     edges.unpersist(false)
@@ -655,13 +689,16 @@ object Dedup {
     // the sweep count, which nothing else surfaces
     if (sys.env.get("SPARK_GRAFT_CC_DEBUG").contains("1"))
       System.err.println(s"dupClusters: converged in $it sweeps")
+    lastSweeps = it // bench telemetry (sf1_d7_sweeps), same diagnostic role
     if (changed != 0) {
-      labels.unpersist(false) // don't leak the last sweep's checkpoint blocks
+      labelsCk.unpersist(false) // don't leak the last sweep's checkpoint blocks
       throw new IllegalArgumentException(
         s"requirement failed: dupClusters did not converge in $maxIters " +
           "sweeps — component diameter exceeds the bound; raise maxIters")
     }
-    labels.select(col("id").as("doc_id"), col("label").as("cluster"))
+    // checkpoint-backed (NOT the stats-reset view): the caller's
+    // unpersist() on this frame must release the checkpoint blocks
+    labelsCk.select(col("id").as("doc_id"), col("label").as("cluster"))
   }
 
   /** Transitive-closure dedup: keep ONE doc per duplicate cluster (the

@@ -5,23 +5,28 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Scale-cliff probe data: a 10x replication of a source SF's `documents`
-  * and `embeddings` tables, built so per-query OUTPUT grows linearly —
-  * which is what makes superlinear RUNTIME growth attributable to the
-  * plan, not the workload:
+/** Scale-cliff probe data: an N× replication (default 10×, 100× for the
+  * century probe) of a source SF's `documents` and `embeddings` tables,
+  * built so per-query OUTPUT grows linearly — which is what makes
+  * superlinear RUNTIME growth attributable to the plan, not the
+  * workload:
   *
   *  - documents: replica r > 0 suffixes every token with `~r`, so token
   *    and shingle vocabularies of different replicas are DISJOINT — each
   *    replica reproduces the source corpus's near-dup structure exactly,
   *    and no cross-replica near-dup pairs exist (a plain copy would add
   *    ~45 bogus pairs per source doc and grow pair output quadratically).
-  *  - embeddings: replica r rotates the vector by r positions (norms and
-  *    within-replica cosines preserved) and offsets the block label, so
-  *    blocked-pair output is exactly 10x and ANN queries (vec_id < 8,
-  *    replica 0 only) search a genuinely 10x corpus.
+  *  - embeddings: replica r rotates the vector by r mod 64 positions
+  *    (norms and within-replica cosines preserved) and, for r >= 64,
+  *    REVERSES it first (also norm/cosine-preserving) so replicas past
+  *    one full rotation cycle stay distinct from their mod-64 twins;
+  *    the block label offsets per replica, so blocked-pair output is
+  *    exactly N× and ANN queries (vec_id < 8, replica 0 only) search a
+  *    genuinely N× corpus.
   *  - events: ids and user ids offset per replica but event_type KEPT — the
-  *    5 hot keys each grow 10x, which is exactly the regime the skew
-  *    rewrites (k-queries) must stay linear in.
+  *    5 hot keys each grow N×, which is exactly the regime the skew
+  *    rewrites (k-queries) must stay linear in. Skipped via
+  *    `withEvents = false` for tiers whose probe set reads no events.
   */
 object ScaleProbe {
 
@@ -30,29 +35,41 @@ object ScaleProbe {
 
   /** Standalone generation (Bench generates lazily; this lets QueryProbe
     * sessions reuse the same dir): `tools/run.sh graft.fixtures.ScaleProbe
-    * [srcDir] [outDir]`.
+    * [srcDir] [outDir] [replicas]`. The 100× century tier skips events
+    * (its probe set reads none).
     */
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val out = if (args.length > 1) args(1)
               else new java.io.File("target/sf1").getAbsolutePath
+    val n = if (args.length > 2) args(2).toInt else Replicas
     val spark = graft.GraftSession.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt, "scale-probe-gen")
     spark.sparkContext.setLogLevel("WARN")
-    ensure(spark, src, out)
-    println(s"probe data at $out (src $src)")
+    ensure(spark, src, out, n, withEvents = n <= Replicas)
+    println(s"probe data at $out (src $src, x$n)")
     spark.stop()
   }
 
-  /** Generate into `outDir` unless already generated from this `srcDir`.
-    * (The events check upgrades probe dirs generated before events were
-    * part of the probe.)
+  /** Generate into `outDir` unless already generated from this `srcDir`
+    * at this replica count. (The events check upgrades probe dirs
+    * generated before events were part of the probe; the legacy marker
+    * format — bare srcDir — is honored for the default tier so existing
+    * sf1 dirs are not regenerated.)
     */
-  def ensure(spark: SparkSession, srcDir: String, outDir: String): Unit = {
+  def ensure(spark: SparkSession, srcDir: String, outDir: String,
+             replicas: Int = Replicas, withEvents: Boolean = true): Unit = {
+    require(replicas >= 1 && replicas.toLong * IdStride <= Long.MaxValue / 64,
+      "replica id offsets must stay well inside long range")
     val marker = Paths.get(outDir, "_PROBE_SRC")
-    if (Files.exists(marker) && new String(Files.readAllBytes(marker)) == srcDir
-        && Files.exists(Paths.get(outDir, "events.parquet"))) return
-    val reps = spark.range(Replicas).select(col("id").cast("int").as("r"))
+    val stamp = s"$srcDir#x$replicas"
+    val markerOk = Files.exists(marker) && {
+      val m = new String(Files.readAllBytes(marker))
+      m == stamp || (m == srcDir && replicas == Replicas)
+    }
+    if (markerOk &&
+        (!withEvents || Files.exists(Paths.get(outDir, "events.parquet")))) return
+    val reps = spark.range(replicas).select(col("id").cast("int").as("r"))
 
     spark.read.parquet(s"$srcDir/documents.parquet")
       .crossJoin(broadcast(reps))
@@ -69,28 +86,32 @@ object ScaleProbe {
       .repartition(32)
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
 
+    val rot = col("r") % 64
+    val base = when(col("r") < 64, col("embedding"))
+      .otherwise(reverse(col("embedding")))
     spark.read.parquet(s"$srcDir/embeddings.parquet")
       .crossJoin(broadcast(reps))
       .select(
         (col("vec_id") + col("r") * IdStride).as("vec_id"),
         concat(
-          slice(col("embedding"), col("r") + 1, lit(64) - col("r")),
-          slice(col("embedding"), lit(1), col("r"))).as("embedding"),
+          slice(base, rot + 1, lit(64) - rot),
+          slice(base, lit(1), rot)).as("embedding"),
         (col("label") + col("r") * 1000).as("label"))
       .repartition(32)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
 
-    spark.read.parquet(s"$srcDir/events.parquet")
-      .crossJoin(broadcast(reps))
-      .select(
-        (col("event_id") + col("r") * IdStride).as("event_id"),
-        col("ts"),
-        (col("user_id") + col("r") * 1000000L).as("user_id"),
-        col("event_type"), col("value"), col("props"))
-      .repartition(32)
-      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+    if (withEvents)
+      spark.read.parquet(s"$srcDir/events.parquet")
+        .crossJoin(broadcast(reps))
+        .select(
+          (col("event_id") + col("r") * IdStride).as("event_id"),
+          col("ts"),
+          (col("user_id") + col("r") * 1000000L).as("user_id"),
+          col("event_type"), col("value"), col("props"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$outDir/events.parquet")
 
-    Files.write(marker, srcDir.getBytes)
+    Files.write(marker, stamp.getBytes)
     ()
   }
 }
