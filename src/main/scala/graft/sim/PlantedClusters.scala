@@ -33,8 +33,12 @@ object PlantedClusters {
   val Grid = 1024
 
   /** Disjoint LCG stream for noise: center stream uses flat indexes
-    * < KC*Dim, noise starts at this salt. The LCG multiplier (~2^30)
-    * keeps products in-range for ids up to ~10^8.
+    * < KC*Dim, noise starts at this salt. The LCG argument is
+    * mod-P-reduced BEFORE the multiply, so products stay inside 62 bits
+    * for ANY long id (the unreduced form overflowed at the sf10 century
+    * probe's ~10^9 ids); for arguments below P the reduction is a no-op,
+    * so every oracle- and bench-scale vector is bit-identical to the
+    * pre-reduction form.
     */
   val NoiseSalt = 1048576L
 
@@ -57,7 +61,8 @@ object PlantedClusters {
     // multiplies the generated code by Dim and stalls codegen
     val row = element_at(typedLit(centers), ((id % KC) + 1).cast("int"))
     val noise = array((0 until Dim).map { d =>
-      (lit(1103515245L) * (id * Dim + lit(d + 1) + NoiseSalt) + lit(12345L)) % P % 256 - 128
+      (lit(1103515245L) * ((id * Dim + lit(d + 1) + NoiseSalt) % P)
+        + lit(12345L)) % P % 256 - 128
     }: _*)
     zip_with(row, noise, (c, n) => ((c + n) / lit(Grid.toDouble)).cast(FloatType))
   }
@@ -69,7 +74,7 @@ object PlantedClusters {
     val cents = centers.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
     s"""list_transform(range(1, ${Dim + 1}), k ->
        |    ((($cents)[(($idExpr) % $KC) + 1][k]
-       |      + ((1103515245 * (($idExpr) * $Dim + k + $NoiseSalt) + 12345) % $P) % 256 - 128)
+       |      + ((1103515245 * ((($idExpr) * $Dim + k + $NoiseSalt) % $P) + 12345) % $P) % 256 - 128)
        |     / $Grid.0)::FLOAT)""".stripMargin
   }
 }

@@ -460,6 +460,14 @@ object Similarity {
       .withColumn("ccos", cosine(dot(col("v"), col("cv0")), col("n"), col("cn0")))
       .groupBy(col("c_id"))
       .agg(aggs.head, aggs.tail: _*)
+      // cluster by cell BEFORE the partitioned write: the groupBy output
+      // is hashed on c_id, so without this every write task holds rows of
+      // ~every cell and opens one parquet writer per cell — file count
+      // (and writer-buffer memory) scales with writers × cells. After the
+      // repartition each cell's rows land in one task: file count is
+      // O(cells), independent of write parallelism — the shape a 1000-
+      // executor build needs.
+      .repartition(col("cell"))
       .write.mode(mode).partitionBy("cell").parquet(s"$path/assigned")
   }
 
