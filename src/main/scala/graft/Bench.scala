@@ -417,12 +417,17 @@ object Bench {
         val sf10Dir = new java.io.File("target/sf10").getAbsolutePath
         graft.fixtures.ScaleProbe.ensure(spark, sfDir, sf10Dir,
           replicas = 100, withEvents = false)
-        Seq("d7_dup_clusters", "d1_exact_dedup", "d3_minhash_lsh",
+        val rows = Seq("d7_dup_clusters", "d1_exact_dedup", "d3_minhash_lsh",
             "s3_lsh_topk", "s8_ivf_indexed").map { name =>
           timed("sf10_" + name, n = 1) {
             SparkEntry.queries(name)(spark, sf10Dir).count(); ()
           }
-        } :+ ("sf10_loadavg" -> loadavg1m())
+        }
+        // d7 runs first in the list, so lastSweeps still holds its century
+        // sweep count here (same attribution role as sf1_d7_sweeps)
+        rows ++ Seq(
+          "sf10_d7_sweeps" -> graft.dedup.Dedup.lastSweeps.toDouble,
+          "sf10_loadavg" -> loadavg1m())
       } catch { case e: Throwable =>
         errors += "sf10_probe" -> e.toString.takeWhile(_ != '\n').take(200)
         Nil
