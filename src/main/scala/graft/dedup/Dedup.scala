@@ -436,6 +436,12 @@ object Dedup {
     * doc_id), then OR-packed into a long — bit 63 lands in the sign bit,
     * which every downstream op (xor, bit_count, shift+mask) treats as a
     * plain bit in both engines.
+    *
+    * Since round 8 this aggregation plan is the REFERENCE implementation:
+    * the production path is the shuffle-free native-kernel projection
+    * ([[withSimhash]]), and DedupStreamSpec pins the two bit-identical —
+    * a meaningful cross-implementation check precisely because they
+    * compute the same signature through entirely different plans.
     */
   def simhashSignatures(docs: DataFrame, bits: Int = 64): DataFrame = {
     require(bits >= 1 && bits <= 64, "signature is packed into one long")
@@ -453,15 +459,18 @@ object Dedup {
   }
 
   /** [[simhashSignatures]] as a PURE PROJECTION — no explode, no groupBy,
-    * no shuffle: the token fold runs inside one `aggregate` higher-order
-    * expression per row, accumulating all `bits` counters in a single
-    * pass over the (distinct) token array. Bit-identical to the
-    * aggregation form (DedupStreamSpec asserts it), but usable where a
-    * shuffle is not: per-row enrichment, and STREAMING ingest
-    * ([[nearDupStream]]) where a pre-state aggregation would make the
-    * query multi-stateful. The trade: higher-order lambdas are
-    * interpreted per row, so for batch corpus sweeps the aggregation
-    * form (one codegen'd shuffle) is the faster path.
+    * no shuffle: all `bits` vote counters accumulate in a single pass
+    * over the (distinct) token array via the NATIVE kernel
+    * [[graft.functions.SimhashSig]] (a higher-order fold here
+    * interpreted its lambdas per token × per bit, which made the
+    * map-only form slower than the aggregation plan it replaced — the
+    * same inversion [[withMinhash]] hit, fixed the same way).
+    * Bit-identical to the aggregation form (DedupStreamSpec asserts
+    * kernel == aggregation plan), and now the fast BATCH path too:
+    * [[simhashPairs]] builds its signatures here, dropping the
+    * token-explode shuffle entirely. Usable where a shuffle is not:
+    * per-row enrichment, and STREAMING ingest ([[nearDupStream]]) where
+    * a pre-state aggregation would make the query multi-stateful.
     *
     * Zero-token docs (empty or punctuation-only text) get a NULL
     * signature — the exact analog of [[simhashSignatures]] omitting them
@@ -474,32 +483,9 @@ object Dedup {
                   out: String = "simhash", bits: Int = 64): DataFrame = {
     require(bits >= 1 && bits <= 64, "signature is packed into one long")
     val docs = widen(docs0) // see withMinhash — no-op on streaming inputs
-    val toks = array_distinct(Text.tokens(col(textCol)))
-    // per token: tid = strId(tok); bit j's counter moves ±1 on the same
-    // LCG parity as perm(j, tid) — all bits accumulate in ONE token pass
-    val counts = aggregate(
-      toks,
-      array_repeat(lit(0L), bits),
-      (acc, tok) => {
-        val tid = strId(tok)
-        zip_with(acc,
-          transform(sequence(lit(0), lit(bits - 1)), j => {
-            val a = (lit(1103515245L) * (j.cast("long") + 1L)) % P
-            val b = (lit(12345L) + lit(7919L) * j.cast("long")) % P
-            when((a * tid + b) % P % 2 === 1, 1L).otherwise(-1L)
-          }),
-          (x, y) => x + y)
-      })
-    docs.withColumn("__shtoks", toks)
-      .withColumn("__shcnt", counts)
-      .withColumn(out, when(size(col("__shtoks")) === 0, lit(null).cast("long"))
-        .otherwise(expr(
-          s"""aggregate(
-             |  zip_with(__shcnt, sequence(0, ${bits - 1}),
-             |    (c, j) -> IF(c > 0, shiftleft(CAST(1 AS BIGINT), j),
-             |                 CAST(0 AS BIGINT))),
-             |  CAST(0 AS BIGINT), (acc, x) -> acc | x)""".stripMargin)))
-      .drop("__shtoks", "__shcnt")
+    graft.functions.SimhashSig.register(docs.sparkSession, bits)
+    docs.withColumn(out, graft.functions.SimhashSig(
+      array_distinct(Text.tokens(col(textCol)))))
   }
 
   /** SimHash near-dup pairs with Hamming distance <= maxHamming, found via
@@ -512,7 +498,13 @@ object Dedup {
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4-block banding is exact only for hamming <= 3")
-    val sig = simhashSignatures(docs)
+    // projection-form signatures (native kernel): the whole signature
+    // stage is map-only — the banded self-join below is the query's ONLY
+    // shuffle. The aggregation form (simhashSignatures) is retained as
+    // the independent reference implementation the spec cross-checks.
+    val sig = withSimhash(docs.select(col("doc_id"), col("text")))
+      .filter(col("simhash").isNotNull)
+      .select(col("doc_id"), col("simhash"))
     val blocks = (0 until 4).map { b =>
       struct(lit(b).as("blk"),
         shiftright(col("simhash"), 16 * b).bitwiseAND(lit(65535L)).as("v"))
