@@ -417,8 +417,11 @@ object Bench {
         val sf10Dir = new java.io.File("target/sf10").getAbsolutePath
         graft.fixtures.ScaleProbe.ensure(spark, sfDir, sf10Dir,
           replicas = 100, withEvents = false)
+        // the 5 prescribed flagships + u1: the full curation COMPOSITION
+        // (quality → exact → d4 pairs → d7 closure → sample → pack) is the
+        // query a 100 TB deployment actually runs end-to-end
         val rows = Seq("d7_dup_clusters", "d1_exact_dedup", "d3_minhash_lsh",
-            "s3_lsh_topk", "s8_ivf_indexed").map { name =>
+            "s3_lsh_topk", "s8_ivf_indexed", "u1_curation").map { name =>
           timed("sf10_" + name, n = 1) {
             SparkEntry.queries(name)(spark, sf10Dir).count(); ()
           }

@@ -567,8 +567,12 @@ object Dedup {
     * checkpointed RDD each sweep, resetting stats to the bounded
     * default (see `statsReset` in the body). localCheckpoint is
     * executor-local (fast, no DFS write); a production run that must
-    * survive executor loss mid-computation swaps in reliable
-    * `checkpoint()` — same shape, one conf.
+    * survive executor loss mid-computation sets
+    * `spark.graft.cc.reliableCheckpoint=true` (plus
+    * `sparkContext.setCheckpointDir`) and every barrier becomes a
+    * reliable `checkpoint()` — same shape, same results
+    * (DupClustersSpec pins it), checkpoint files live under the
+    * checkpoint dir until cleaned per Spark's cleaner conf.
     *
     * Emits (doc_id, cluster). Docs in no pair are singletons — trivially
     * their own cluster — and are omitted; union them back from the
@@ -600,8 +604,14 @@ object Dedup {
     // computed exactly once, every sweep scans the materialized blocks.
     // (checkpoint the PAIRS, half the rows; the symmetric edge view is
     // two free projections of the materialized blocks)
-    val p0 = pairs.select(col(iCol).cast("long").as("i"), col(jCol).cast("long").as("j"))
-      .localCheckpoint(true)
+    // barrier flavor: executor-local by default; reliable (DFS-backed,
+    // survives executor loss mid-computation) behind one conf
+    val reliable = pairs.sparkSession.conf
+      .getOption("spark.graft.cc.reliableCheckpoint").contains("true")
+    def barrier(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
+    val p0 = barrier(
+      pairs.select(col(iCol).cast("long").as("i"), col(jCol).cast("long").as("j")))
     val edges = p0.select(col("i").as("a"), col("j").as("b"))
       .union(p0.select(col("j").as("a"), col("i").as("b")))
     // statsReset: `localCheckpoint` PRESERVES the origin plan's Catalyst
@@ -622,9 +632,8 @@ object Dedup {
     // stats are computed from reset inputs — also bounded.
     def statsReset(ck: DataFrame): DataFrame =
       ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
-    var labelsCk = edges.select(col("a").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint(true)
+    var labelsCk = barrier(edges.select(col("a").as("id")).distinct()
+      .withColumn("label", col("id")))
     var labels = statsReset(labelsCk)
     var changed = 1L
     var it = 0
@@ -661,7 +670,7 @@ object Dedup {
           col("x.label") === col("lid"), "left")
         .select(col("x.id").as("id"), col("x.old").as("old"),
           least(col("x.label"), coalesce(col("ll"), col("x.label"))).as("label"))
-      val next = pre.localCheckpoint(true) // the sweep's ONE barrier (eager: truncates lineage)
+      val next = barrier(pre) // the sweep's ONE barrier (eager: truncates lineage)
       // fixpoint test over the just-checkpointed blocks: no join, no
       // shuffle — a local scan comparing the carried `old` column
       val t1 = System.nanoTime()
@@ -770,6 +779,50 @@ object Dedup {
         val reps1 = if (reps.exists(_._1 == id)) reps else reps :+ ((id, v))
         (reps1, hits)
       }
+  }
+
+  /** Sub-document (chunk-level) exact dedup — the distributable shape of
+    * exact-substring dedup (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better", §4.1 ExactSubstr; production
+    * pipelines like Dolma/CCNet run the same rule at paragraph
+    * granularity): the corpus is split into `k`-token chunks (the
+    * natural-boundary analog on a corpus without newlines; with real
+    * paragraphs, pass the paragraph split instead), every chunk whose
+    * text already occurred EARLIER in the corpus — first occurrence =
+    * minimum (doc_id, chunk index) — is dropped, and each document is
+    * reassembled from its surviving chunks in original order. Documents
+    * whose every chunk is a repeat disappear entirely (the whole-doc
+    * degenerate case is exactly [[exact]] dedup). Cross-document catches
+    * ride shared chunk alignment — true for copied prefixes/suffixes and
+    * for natural-boundary splits, the same contract paragraph dedup has.
+    *
+    * Distributed shape: one posexplode (map-side), ONE hash shuffle on
+    * the chunk text for the min-occurrence winner, one semi-join of
+    * chunk rows against winners, one groupBy doc_id to reassemble —
+    * every stage linear in corpus tokens, no similarity math, no
+    * candidate blowup. Emits (doc_id, text) with the deduplicated text.
+    */
+  def chunkDedup(docs: DataFrame, k: Int = 16,
+                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k >= 1, "chunk width must be positive")
+    val toks = Text.tokens(col(textCol))
+    val chunks = widen(docs)
+      .select(col(idCol).as("doc_id"),
+        posexplode(transform(
+          sequence(lit(0),
+            ((size(toks) + lit(k - 1)) / lit(k)).cast("int") - 1),
+          i => array_join(slice(toks, i * k + lit(1), lit(k)), " ")))
+          .as(Seq("cidx", "chunk")))
+    // winner per distinct chunk text: the minimum (doc_id, cidx) pair,
+    // packed as a struct min — one shuffle, map-side partial min
+    val winners = chunks.groupBy(col("chunk"))
+      .agg(min(struct(col("doc_id"), col("cidx"))).as("w"))
+      .select(col("chunk"), col("w.doc_id").as("doc_id"), col("w.cidx").as("cidx"))
+    chunks.join(winners, Seq("chunk", "doc_id", "cidx"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("cidx"), col("chunk")))),
+          x => x.getField("chunk")), " ").as(textCol))
   }
 
   /** Embedding-cosine near-dup dedup: drop every vector that has a

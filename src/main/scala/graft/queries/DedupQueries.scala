@@ -21,6 +21,7 @@ object DedupQueries {
   private val MaxHamming = 3   // simhash Hamming radius
   private val SimBits = 64     // simhash signature width
   private val DfCap = 1000     // shingle document-frequency cap (skew guard)
+  private val ChunkK = 16      // chunk-dedup token-window width
 
   def d1Exact(s: SparkSession, dir: String): DataFrame =
     Dedup.exact(Tables.documents(s, dir))
@@ -80,6 +81,15 @@ object DedupQueries {
     Dedup.dupClusters(
       Dedup.simhashPairs(Tables.documents(s, dir), MaxHamming))
 
+  /** d8 — sub-document (token-window) exact dedup: repeated 16-token
+    * chunks dropped corpus-wide (first occurrence wins), documents
+    * reassembled from survivors. The oracle replays the identical
+    * chunking, the min-(doc_id, idx) winner rule and the ordered
+    * reassembly in DuckDB.
+    */
+  def d8ChunkDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.chunkDedup(Tables.documents(s, dir), ChunkK)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> (d1Exact _),
     "d2_jaccard_pairs" -> (d2JaccardPairs _),
@@ -87,7 +97,8 @@ object DedupQueries {
     "d4_simhash_pairs" -> (d4SimhashPairs _),
     "d5_embed_dedup" -> (d5EmbedDedup _),
     "d6_minhash_sigs" -> (d6MinhashSigs _),
-    "d7_dup_clusters" -> (d7DupClusters _)
+    "d7_dup_clusters" -> (d7DupClusters _),
+    "d8_chunk_dedup" -> (d8ChunkDedup _)
   )
 
   // ---- generated DuckDB twins ----------------------------------------
@@ -185,6 +196,27 @@ object DedupQueries {
     "d1_exact_dedup" ->
       """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY text""".stripMargin,
+    // d8: the identical chunking (16-token windows over the whitespace
+    // token stream), first-occurrence winner = min (doc_id, cidx) via
+    // row_number, ordered reassembly via string_agg
+    "d8_chunk_dedup" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+         |  FROM documents
+         |), ch AS (
+         |  SELECT doc_id, unnest(range(0, (len(tk) + ${ChunkK - 1}) // $ChunkK)) AS cidx, tk
+         |  FROM t
+         |), chunks AS (
+         |  SELECT doc_id, cidx,
+         |    array_to_string(tk[cidx * $ChunkK + 1 : cidx * $ChunkK + $ChunkK], ' ') AS chunk
+         |  FROM ch
+         |), keep AS (
+         |  SELECT doc_id, cidx, chunk,
+         |    row_number() OVER (PARTITION BY chunk ORDER BY doc_id, cidx) AS rn
+         |  FROM chunks
+         |)
+         |SELECT doc_id, string_agg(chunk, ' ' ORDER BY cidx) AS text
+         |FROM keep WHERE rn = 1 GROUP BY doc_id""".stripMargin,
     // d7: connected components over the d4 pair graph. The recursive CTE
     // enumerates every (node, reachable node) pair — set-union semantics
     // terminate it — and MIN over the reachable set is the component

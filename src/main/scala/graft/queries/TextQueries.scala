@@ -118,6 +118,30 @@ object TextQueries {
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
   }
 
+  /** t10 — PII redaction (Text.redactPii): the corpus carries no PII, so
+    * the query first SALTS each doc with deterministic synthetic spans —
+    * a doc_id-derived email, an IPv4, and (on id-cycles) an SSN and a
+    * phone — then scrubs. Both engines build the identical salted text,
+    * so the oracle genuinely exercises every pattern, the chain order
+    * (email before IP, SSN before phone), and the audit counts. Pure
+    * codegen'd projection: no UDF, no shuffle.
+    */
+  def t10PiiRedact(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(s, dir)
+    val salted = concat(
+      col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@mail-"), (col("doc_id") % 7).cast("string"), lit(".example.com"),
+      lit(" from 10.0."), (col("doc_id") % 256).cast("string"), lit(".7"),
+      when(col("doc_id") % 3 === 0, lit(" id 123-45-6789")).otherwise(lit("")),
+      when(col("doc_id") % 4 === 0, lit(" call 555-123-4567")).otherwise(lit("")))
+    val counts = graft.text.Text.piiCounts(salted)
+      .map { case (n, c) => c.cast("long").as(n) }
+    docs.select(
+      (col("doc_id") +: graft.text.Text.redactPii(salted).as("red") +: counts): _*)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_token_stats" -> (t1TokenStats _),
     "t2_quality" -> (t2Quality _),
@@ -127,7 +151,8 @@ object TextQueries {
     "t6_bpe_merges" -> (t6BpeMerges _),
     "t7_bpe_train" -> (t7BpeTrain _),
     "t8_repetition" -> (t8Repetition _),
-    "t9_decontam" -> (t9Decontam _)
+    "t9_decontam" -> (t9Decontam _),
+    "t10_pii_redact" -> (t10PiiRedact _)
   )
 
   /** DuckDB lambda twin of Text.tokens. */
@@ -252,10 +277,46 @@ object TextQueries {
        |SELECT doc_id, lang, source, n_chars FROM documents
        |WHERE doc_id NOT IN (SELECT doc_id FROM contam)""".stripMargin
 
+  /** t10 twin: the identical salted text, the identical pattern CHAIN
+    * (each stage's count measured on the previous stage's output, like
+    * `Text.piiCounts`), patterns interpolated from `Text.PiiPatterns`
+    * verbatim — the dialect-shared regex subset means Java regex and
+    * RE2 agree span-for-span. DuckDB needs the 'g' flag for
+    * replace-all (Spark's regexp_replace is always global).
+    */
+  private def t10Sql: String = {
+    val salted =
+      """text || ' contact user' || doc_id::VARCHAR || '@mail-' ||
+        |      (doc_id % 7)::VARCHAR || '.example.com' || ' from 10.0.' ||
+        |      (doc_id % 256)::VARCHAR || '.7' ||
+        |      CASE WHEN doc_id % 3 = 0 THEN ' id 123-45-6789' ELSE '' END ||
+        |      CASE WHEN doc_id % 4 = 0 THEN ' call 555-123-4567' ELSE '' END""".stripMargin
+    val pats = graft.text.Text.PiiPatterns
+    val stages = pats.zipWithIndex.map { case ((pat, repl), i) =>
+      s"""s${i + 1} AS (
+         |  SELECT doc_id, t$i, regexp_replace(t$i, '$pat', '$repl', 'g') AS t${i + 1}
+         |  FROM s$i)""".stripMargin
+    }
+    val countCols = pats.zipWithIndex.map { case ((pat, repl), i) =>
+      val name = repl.stripPrefix("<").stripSuffix(">").toLowerCase
+      s"  CAST(len(regexp_extract_all(s$i.t$i, '$pat')) AS BIGINT) AS n_$name"
+    }
+    val joins = pats.indices.map(i => s"s${i + 1}").mkString(
+      "s0 JOIN ", " USING (doc_id) JOIN ", " USING (doc_id)")
+    s"""WITH s0 AS (
+       |  SELECT doc_id, $salted AS t0 FROM documents
+       |),
+       |${stages.mkString(",\n")}
+       |SELECT doc_id, t${pats.size} AS red,
+       |${countCols.mkString(",\n")}
+       |FROM $joins""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "t7_bpe_train" -> t7Sql,
     "t8_repetition" -> t8Sql,
     "t9_decontam" -> t9Sql,
+    "t10_pii_redact" -> t10Sql,
     "t1_token_stats" ->
       s"""SELECT doc_id,
          |  CAST(len($toksSql) AS BIGINT) AS n_tokens,

@@ -215,4 +215,45 @@ object Text {
       "stopword_ratio" -> stopRatio,
       "quality_score" -> score)
   }
+
+  /** PII redaction patterns — the standard pre-training scrub (emails,
+    * IPv4 addresses, SSN-shaped ids, phone-shaped numbers; cf. the
+    * public C4/Dolma curation recipes). Restricted to a regex dialect
+    * subset with IDENTICAL semantics in Java regex (Spark codegen) and
+    * RE2 (the DuckDB oracle): character classes, bounded repetition,
+    * `\b` ASCII word boundaries, no backreferences, no lookaround.
+    * ORDER MATTERS and is part of the contract: SSN before phone (an
+    * SSN is phone-shaped), email before IPv4 (a raw-IP mail domain is
+    * redacted as part of the address).
+    */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "<IP>",
+    "\\b\\d{3}-\\d{2}-\\d{4}\\b" -> "<SSN>",
+    "\\b(?:\\+?\\d{1,2}[- ]?)?\\(?\\d{3}\\)?[- ]?\\d{3}[- ]?\\d{4}\\b" -> "<PHONE>")
+
+  /** Scrub PII spans from a text column: [[PiiPatterns]] applied in
+    * order as chained `regexp_replace` — pure codegen'd projection, no
+    * UDF, no shuffle; the per-pattern match counts (pre-redaction) ride
+    * along via [[piiCounts]] for audit columns.
+    */
+  def redactPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (pat, repl)) =>
+      regexp_replace(c, pat, repl)
+    }
+
+  /** Per-pattern PII match counts over the ORIGINAL text (each pattern
+    * counted after the earlier patterns' redactions, mirroring
+    * [[redactPii]]'s chaining so an email's IP-shaped domain is never
+    * double-counted).
+    */
+  def piiCounts(text: Column): Seq[(String, Column)] = {
+    val staged = PiiPatterns.scanLeft(text) { case (c, (pat, repl)) =>
+      regexp_replace(c, pat, repl)
+    }
+    PiiPatterns.zip(staged).map { case ((pat, repl), before) =>
+      val name = repl.stripPrefix("<").stripSuffix(">").toLowerCase
+      s"n_$name" -> size(regexp_extract_all(before, lit(pat), lit(0)))
+    }
+  }
 }

@@ -1,0 +1,44 @@
+package graft.dedup
+
+import graft.SparkSpec
+
+/** Sub-document (chunk-level) exact dedup: first-occurrence-wins windows,
+  * ordered reassembly, whole-repeat disappearance, short tail chunks.
+  * (The d8 oracle replays the full rule in DuckDB; this pins the corner
+  * semantics on a readable fixture.)
+  */
+class ChunkDedupSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("repeated chunks drop corpus-wide; documents reassemble in order") {
+    // k = 2: doc 1 owns chunks "a b" and "c d"; doc 2 repeats "a b"
+    // (dropped) and adds "x y" (kept); doc 3 is entirely doc 1's chunks
+    // and must disappear; doc 4's tail chunk is shorter than k
+    val docs = Seq(
+      (1L, "a b c d"),
+      (2L, "a b x y"),
+      (3L, "c d a b"),
+      (4L, "p q r")
+    ).toDF("doc_id", "text")
+    val out = Dedup.chunkDedup(docs, k = 2).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "a b c d", 2L -> "x y", 4L -> "p q r"))
+  }
+
+  test("within-document repeats keep only the first occurrence") {
+    val docs = Seq((7L, "a b a b c d")).toDF("doc_id", "text")
+    val out = Dedup.chunkDedup(docs, k = 2).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(7L -> "a b c d"))
+  }
+
+  test("whole-document degenerate case equals exact dedup's keeper rule") {
+    // chunk width >= doc length: the rule collapses to exact text dedup
+    val docs = Seq((1L, "same text"), (5L, "same text"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val out = Dedup.chunkDedup(docs, k = 16).collect()
+      .map(r => r.getLong(0)).toSet
+    assert(out == Set(1L, 3L))
+  }
+}

@@ -83,4 +83,24 @@ class DupClustersSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("converge"))
   }
+
+  test("reliable-checkpoint mode (one conf) produces identical clusters") {
+    // production survivability path: every sweep barrier becomes a
+    // DFS-backed checkpoint() instead of executor-local blocks — same
+    // fixpoint, same labels
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("i", "j")
+    val base = Dedup.dupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dir = java.nio.file.Files.createTempDirectory("cc-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    spark.conf.set("spark.graft.cc.reliableCheckpoint", "true")
+    try {
+      val rel = Dedup.dupClusters(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(rel == base)
+      // the barriers really went through the reliable path: checkpoint
+      // files exist under the configured dir
+      assert(new java.io.File(dir).listFiles().nonEmpty)
+    } finally spark.conf.unset("spark.graft.cc.reliableCheckpoint")
+  }
 }
