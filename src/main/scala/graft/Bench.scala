@@ -378,7 +378,7 @@ object Bench {
         // must be measured cold, not under the tail load of the rest
         Seq("d7_dup_clusters", "d1_exact_dedup", "d2_jaccard_pairs",
             "d3_minhash_lsh", "d4_simhash_pairs", "d5_embed_dedup",
-            "d6_minhash_sigs", "s1_ann_topk",
+            "d6_minhash_sigs", "d8_chunk_dedup", "s1_ann_topk",
             "s2_cosine_pairs_blocked", "s3_lsh_topk", "s4_ivf_topk",
             "s5_lsh_pairs", "s7_q8_topk", "k1_salted_topk", "k3_distinct_users",
             // temporal/session/sampling: output is linear in the replica
@@ -417,20 +417,25 @@ object Bench {
         val sf10Dir = new java.io.File("target/sf10").getAbsolutePath
         graft.fixtures.ScaleProbe.ensure(spark, sfDir, sf10Dir,
           replicas = 100, withEvents = false)
-        // the 5 prescribed flagships + u1: the full curation COMPOSITION
-        // (quality → exact → d4 pairs → d7 closure → sample → pack) is the
-        // query a 100 TB deployment actually runs end-to-end
-        val rows = Seq("d7_dup_clusters", "d1_exact_dedup", "d3_minhash_lsh",
+        // d7 first and its sweep count captured IMMEDIATELY — u1 below
+        // also runs dupClusters, so a read-at-the-end would report u1's
+        // closure sweeps as d7's (it did, once)
+        val d7row = timed("sf10_d7_dup_clusters", n = 1) {
+          SparkEntry.queries("d7_dup_clusters")(spark, sf10Dir).count(); ()
+        }
+        val d7sweeps = "sf10_d7_sweeps" -> graft.dedup.Dedup.lastSweeps.toDouble
+        // the 4 remaining prescribed flagships + u1: the full curation
+        // COMPOSITION (quality → exact → d4 pairs → d7 closure → sample →
+        // pack) is the query a 100 TB deployment actually runs end-to-end
+        val rows = Seq("d1_exact_dedup", "d3_minhash_lsh",
             "s3_lsh_topk", "s8_ivf_indexed", "u1_curation").map { name =>
           timed("sf10_" + name, n = 1) {
             SparkEntry.queries(name)(spark, sf10Dir).count(); ()
           }
         }
-        // d7 runs first in the list, so lastSweeps still holds its century
-        // sweep count here (same attribution role as sf1_d7_sweeps)
-        rows ++ Seq(
-          "sf10_d7_sweeps" -> graft.dedup.Dedup.lastSweeps.toDouble,
-          "sf10_loadavg" -> loadavg1m())
+        val u1sweeps = "sf10_u1_sweeps" -> graft.dedup.Dedup.lastSweeps.toDouble
+        d7row +: d7sweeps +: (rows ++ Seq(u1sweeps,
+          "sf10_loadavg" -> loadavg1m()))
       } catch { case e: Throwable =>
         errors += "sf10_probe" -> e.toString.takeWhile(_ != '\n').take(200)
         Nil

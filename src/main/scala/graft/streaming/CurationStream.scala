@@ -161,34 +161,37 @@ object CurationStream {
     * (CurationStreamSpec pins the parity on a bridge fixture).
     *
     * Cost shape: one [[Dedup.dupClusters]] run over the flag graph —
-    * edges ~ O(near-dup pairs), not corpus size — plus one anti-join
-    * against the survivors. The returned frame is plan-only; the
-    * intermediate checkpoint blocks dupClusters creates are released
-    * before returning (the non-keeper id set is collected into the
-    * anti-join's broadcast side, orders of magnitude smaller than the
-    * corpus).
+    * edges ~ O(near-dup pairs), not corpus size — plus one distributed
+    * anti-join against the survivors (the non-keeper side is NEVER
+    * collected: at scale a high dup rate makes it corpus-order big).
+    * The returned plan references dupClusters' checkpoint blocks — the
+    * same caller-unpersist discipline as [[Dedup.dedupByClusters]];
+    * [[startCompactionStage]] releases them after each epoch write via
+    * the handle-returning form.
     */
   def compactedKeepers(spark: SparkSession, stage1Dir: String,
-                       stage2Dir: String): DataFrame = {
+                       stage2Dir: String): DataFrame =
+    compactedWithHandle(spark, stage1Dir, stage2Dir)._1
+
+  /** [[compactedKeepers]] plus the closure frame backing it (None when
+    * no flags exist yet) — lets a caller that materializes the keeper
+    * set release the checkpoint blocks precisely.
+    */
+  private def compactedWithHandle(spark: SparkSession, stage1Dir: String,
+                                  stage2Dir: String): (DataFrame, Option[DataFrame]) = {
     val kept = spark.read.parquet(stage1Dir).drop("batch")
     // stage 2 lags stage 1 (it streams stage 1's files); before its first
     // batch lands there is nothing to cluster
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(stage2Dir)))
-      return kept
+      return (kept, None)
     val flags = spark.read.parquet(stage2Dir).drop("batch")
       .filter(col("dup_id") =!= col("of_id")) // replay self-flag guard
       .select(col("dup_id"), col("of_id"))
-    if (flags.isEmpty) return kept
+    if (flags.isEmpty) return (kept, None)
     val clusters = Dedup.dupClusters(flags, iCol = "dup_id", jCol = "of_id")
     val dropped = clusters.filter(col("doc_id") =!= col("cluster"))
       .select(col("doc_id"))
-    // copy the (small) non-keeper set out of dupClusters' checkpoint
-    // blocks so they can be released before the caller consumes the plan
-    val droppedLocal = dropped.collect().map(_.getLong(0))
-    clusters.unpersist()
-    kept.join(broadcast(spark.createDataset(droppedLocal.toSeq)(
-        org.apache.spark.sql.Encoders.scalaLong).toDF("doc_id")),
-      Seq("doc_id"), "left_anti")
+    (kept.join(dropped, Seq("doc_id"), "left_anti"), Some(clusters))
   }
 
   /** Periodic COMPACTION as a third chained query: file-stream STAGE 2's
@@ -224,9 +227,13 @@ object CurationStream {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (_: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        if (batchId % every == 0)
-          compactedKeepers(spark, stage1Dir, stage2Dir)
-            .write.mode("overwrite").parquet(s"$outDir/epoch=$batchId")
+        if (batchId % every == 0) {
+          val (keep, handle) = compactedWithHandle(spark, stage1Dir, stage2Dir)
+          keep.write.mode("overwrite").parquet(s"$outDir/epoch=$batchId")
+          // the epoch is materialized — release this compaction's closure
+          // checkpoint blocks instead of accumulating one set per epoch
+          handle.foreach(_.unpersist())
+        }
       }
       .start()
   }
