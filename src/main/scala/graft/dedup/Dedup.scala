@@ -802,17 +802,26 @@ object Dedup {
     * every stage linear in corpus tokens, no similarity math, no
     * candidate blowup. Emits (doc_id, text) with the deduplicated text.
     */
-  def chunkDedup(docs: DataFrame, k: Int = 16,
-                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+  /** (doc_id, cidx, chunk) rows: the corpus split into k-token windows —
+    * the map-only projection both [[chunkDedup]] and the at-ingest
+    * [[chunkDedupStream]] build on.
+    */
+  private def docChunks(docs: DataFrame, k: Int,
+                        idCol: String, textCol: String): DataFrame = {
     require(k >= 1, "chunk width must be positive")
     val toks = Text.tokens(col(textCol))
-    val chunks = widen(docs)
-      .select(col(idCol).as("doc_id"),
+    widen(docs)
+      .select(col(idCol).cast("long").as("doc_id"),
         posexplode(transform(
           sequence(lit(0),
             ((size(toks) + lit(k - 1)) / lit(k)).cast("int") - 1),
           i => array_join(slice(toks, i * k + lit(1), lit(k)), " ")))
           .as(Seq("cidx", "chunk")))
+  }
+
+  def chunkDedup(docs: DataFrame, k: Int = 16,
+                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val chunks = docChunks(docs, k, idCol, textCol)
     // winner per distinct chunk text: the minimum (doc_id, cidx) pair,
     // packed as a struct min — one shuffle, map-side partial min
     val winners = chunks.groupBy(col("chunk"))
@@ -823,6 +832,53 @@ object Dedup {
       .agg(array_join(
         transform(array_sort(collect_list(struct(col("cidx"), col("chunk")))),
           x => x.getField("chunk")), " ").as(textCol))
+  }
+
+  /** Streaming sub-document dedup gate — [[chunkDedup]] at ingest,
+    * completing the at-ingest family (exact / SimHash / MinHash /
+    * embedding / chunk): emits the SURVIVING (doc_id, cidx, chunk) rows
+    * of each arriving document; a chunk whose text was already seen —
+    * in an earlier micro-batch, or earlier in this batch by the same
+    * min-(doc_id, cidx) rule the batch form uses — is dropped, and
+    * first occurrences pass and register.
+    *
+    * Shape: the chunk projection is map-only (no pre-state shuffle);
+    * each distinct chunk digest is ONE keyed-state entry holding one
+    * boolean — 16-ish bytes per distinct chunk ever seen, never the
+    * text (the digest-per-distinct-content posture of
+    * [[exactStream]]'s gate); `idleTimeoutMs` evicts cold chunks.
+    * Because a document's chunks shard across state keys, in-stream
+    * reassembly would need a second stateful stage — the caller
+    * reassembles per batch instead (groupBy doc_id over the emitted
+    * rows, exactly [[chunkDedup]]'s tail), the same
+    * chain-through-batches posture as
+    * [[graft.streaming.CurationStream]]. Within one batch the rule
+    * matches the batch form exactly; ACROSS batches the gate is
+    * greedy-by-arrival (an earlier-id doc arriving later loses to the
+    * registered copy) — the same inherent at-ingest divergence every
+    * gate in this family documents.
+    */
+  def chunkDedupStream(docs: DataFrame, k: Int = 16,
+                       idCol: String = "doc_id", textCol: String = "text",
+                       idleTimeoutMs: Option[Long] = None)
+      : org.apache.spark.sql.Dataset[(Long, Int, String)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val chunks = docChunks(docs, k, idCol, textCol)
+      .select(col("doc_id"), col("cidx"), col("chunk"), md5(col("chunk")).as("dig"))
+      .as[(Long, Int, String, String)]
+    // order encodes (doc_id, cidx) so equal chunks WITHIN a doc keep the
+    // lowest index (reassembly position matters); 2^21 chunks ≈ a
+    // 32M-token document, far above any real row
+    graft.streaming.StateMachines
+      .runMachine[String, (Long, Int, String, String), Boolean, (Long, Int, String)](
+        chunks, key = _._4,
+        order = r => { require(r._2 < (1 << 21), "document exceeds 2^21 chunks")
+          (r._1 << 21) | r._2.toLong },
+        init = false, idleTimeoutMs = idleTimeoutMs) {
+        case (seen, (id, cidx, chunk, _)) =>
+          if (seen) (true, Nil) else (true, Seq((id, cidx, chunk)))
+      }
   }
 
   /** Embedding-cosine near-dup dedup: drop every vector that has a

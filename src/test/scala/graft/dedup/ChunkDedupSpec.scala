@@ -41,4 +41,34 @@ class ChunkDedupSpec extends SparkSpec {
       .map(r => r.getLong(0)).toSet
     assert(out == Set(1L, 3L))
   }
+
+  test("streaming gate: batch parity in-batch, cross-batch memory, bounded state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val in = MemoryStream[(Long, String)](spark)
+    val q = Dedup.chunkDedupStream(in.toDS().toDF("doc_id", "text"), k = 2)
+      .toDF("doc_id", "cidx", "chunk")
+      .writeStream.format("memory").queryName("chunk_gate")
+      .outputMode("update").start()
+    try {
+      // batch 1: the bridge fixture of the batch spec — same verdicts
+      in.addData((1L, "a b c d"), (2L, "a b x y"), (3L, "c d a b"))
+      q.processAllAvailable()
+      val got1 = spark.table("chunk_gate")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+      assert(got1 == Set((1L, 0, "a b"), (1L, 1, "c d"), (2L, 1, "x y")))
+
+      // batch 2: chunks seen in batch 1 stay dropped ACROSS batches;
+      // fresh chunks pass
+      in.addData((9L, "c d p q"))
+      q.processAllAvailable()
+      val got2 = spark.table("chunk_gate")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+      assert(got2 == got1 + ((9L, 1, "p q")))
+
+      // bounded state: one entry per DISTINCT chunk ever seen
+      val stateRows = Option(q.lastProgress).map(_.stateOperators)
+        .filter(_.nonEmpty).map(_.head.numRowsTotal).getOrElse(-1L)
+      assert(stateRows == 4L) // "a b", "c d", "x y", "p q" — never the text rows
+    } finally q.stop()
+  }
 }
