@@ -156,11 +156,17 @@ object Dedup {
       .runMachine[Long, (Long, Long, Long), Seq[(Long, Long)], (Long, Long, Int)](
         banded, key = _._1, order = _._2, init = Seq.empty,
         idleTimeoutMs = idleTimeoutMs) { case (reps, (_, id, sig)) =>
-        val hits = reps.collect {
-          case (rid, rsig) if java.lang.Long.bitCount(rsig ^ sig) <= maxHamming =>
-            (id, rid, java.lang.Long.bitCount(rsig ^ sig))
+        // replay guard: an already-registered id emits nothing — see the
+        // minhashNearDupStream comment (a replayed doc would otherwise
+        // self-match at Hamming 0 and flag itself away)
+        if (reps.exists(_._1 == id)) (reps, Nil)
+        else {
+          val hits = reps.collect {
+            case (rid, rsig) if java.lang.Long.bitCount(rsig ^ sig) <= maxHamming =>
+              (id, rid, java.lang.Long.bitCount(rsig ^ sig))
+          }
+          (reps :+ ((id, sig)), hits)
         }
-        (reps :+ ((id, sig)), hits)
       }
   }
 
@@ -357,20 +363,24 @@ object Dedup {
         (Long, Long, Double)](
         banded, key = _._1, order = _._2, init = Seq.empty,
         idleTimeoutMs = idleTimeoutMs) { case (reps, (_, id, sig)) =>
-        // rid != id: an upstream-stage replay can re-deliver a doc that
-        // already registered in this bucket (file-stream sources track
-        // files by PATH, and a replayed overwrite batch gets fresh part
-        // file names); matching a doc against itself would flag — and so
-        // dedup away — a legitimately unique document
-        val hits = reps.flatMap { case (rid, rsig) =>
-          val est = rsig.iterator.zip(sig.iterator)
-            .count { case (a, b) => a == b }.toDouble / numPerms
-          if (est >= threshold && rid != id) Some((id, rid, est)) else None
+        // REPLAY GUARD: an upstream-stage replay can re-deliver a doc
+        // that already registered in this bucket (file-stream sources
+        // track files by PATH, and a replayed overwrite batch gets fresh
+        // part file names). An id the bucket already holds has already
+        // delivered its verdict — emit NOTHING and change nothing.
+        // Matching it against reps registered AFTER its original arrival
+        // would emit a flag the original pass never produced and dedup
+        // away a legitimate keeper (its own near-dups flagged AGAINST it
+        // originally; on replay the roles would invert).
+        if (reps.exists(_._1 == id)) (reps, Nil)
+        else {
+          val hits = reps.flatMap { case (rid, rsig) =>
+            val est = rsig.iterator.zip(sig.iterator)
+              .count { case (a, b) => a == b }.toDouble / numPerms
+            if (est >= threshold && rid != id) Some((id, rid, est)) else None
+          }
+          (reps :+ ((id, sig)), hits)
         }
-        // idempotent registration under the same replay: never store a
-        // second copy of an id this bucket already holds
-        val reps1 = if (reps.exists(_._1 == id)) reps else reps :+ ((id, sig))
-        (reps1, hits)
       }
   }
 
@@ -578,12 +588,32 @@ object Dedup {
     * their own cluster — and are omitted; union them back from the
     * corpus if a total assignment is needed ([[dedupByClusters]] does).
     *
-    * The result is a `localCheckpoint`-backed DataFrame: its cache blocks
-    * live until the caller `unpersist()`s it (or the session ends). Call
-    * sites that run many closures in one session should unpersist each
-    * result once consumed — or copy it out of the checkpoint — to avoid
-    * accumulating executor cache blocks.
+    * The result is a `localCheckpoint`-backed DataFrame: its blocks
+    * live until the driver GC's the backing RDD (ContextCleaner) or the
+    * caller releases them explicitly with [[releaseCheckpoint]] —
+    * `Dataset.unpersist` does NOT free checkpoint blocks (it only
+    * uncaches `persist()`'d plans). Call sites that run many closures
+    * in one session (the compaction stage does) should release each
+    * result once consumed.
     */
+  /** Explicitly release the materialized blocks behind a
+    * `localCheckpoint`-backed frame. `Dataset.unpersist` only uncaches
+    * CacheManager entries (plans cached via `persist()`) — a
+    * checkpoint's blocks belong to the underlying RDD and are otherwise
+    * freed only when the driver GC's the RDD reference (ContextCleaner's
+    * weak-reference sweep), which an iterative loop or a long-lived
+    * compaction query should not wait for. Walks the analyzed plan and
+    * unpersists every checkpoint-scan RDD it holds (no-op on frames
+    * with no checkpoint behind them; reliable `checkpoint()` FILES are
+    * cleaned per Spark's cleaner conf, not here).
+    */
+  def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false); ()
+      case _ => ()
+    }
+
   /** Sweep count of the most recent [[dupClusters]] convergence on this
     * JVM — bench telemetry only (the `sf1_d7_sweeps` row attributes a d7
     * wall-time regression to sweep count vs per-sweep cost without a
@@ -679,12 +709,12 @@ object Dedup {
       if (ccDebug)
         System.err.println(f"dupClusters sweep $it: checkpoint ${(t1 - t0) / 1e9}%.2f s, " +
           f"count ${(System.nanoTime() - t1) / 1e9}%.2f s, changed $changed")
-      labelsCk.unpersist(false)
+      releaseCheckpoint(labelsCk) // real block release, not the CacheManager no-op
       labelsCk = next
       labels = statsReset(next).select(col("id"), col("label"))
       it += 1
     }
-    edges.unpersist(false)
+    releaseCheckpoint(p0) // the pair graph: every sweep has scanned its last
     // diagnosis hook (cf. the poll-series hook in Bench): d7's wall time
     // is sweeps × per-sweep job cost, so attributing a regression needs
     // the sweep count, which nothing else surfaces
@@ -692,7 +722,7 @@ object Dedup {
       System.err.println(s"dupClusters: converged in $it sweeps")
     lastSweeps = it // bench telemetry (sf1_d7_sweeps), same diagnostic role
     if (changed != 0) {
-      labelsCk.unpersist(false) // don't leak the last sweep's checkpoint blocks
+      releaseCheckpoint(labelsCk) // don't leak the last sweep's checkpoint blocks
       throw new IllegalArgumentException(
         s"requirement failed: dupClusters did not converge in $maxIters " +
           "sweeps — component diameter exceeds the bound; raise maxIters")
@@ -769,15 +799,18 @@ object Dedup {
         (Long, Long, Double)](
         banded, key = _._1, order = _._2, init = Seq.empty,
         idleTimeoutMs = idleTimeoutMs) { case (reps, (_, id, v)) =>
-        val n = math.sqrt(dot(v, v))
-        // rid != id + idempotent registration: same upstream-replay
-        // defense as minhashNearDupStream (see the comment there)
-        val hits = reps.flatMap { case (rid, rv) =>
-          val c = dot(v, rv) / (n * math.sqrt(dot(rv, rv)))
-          if (c >= threshold && rid != id) Some((id, rid, c)) else None
+        // replay guard: an already-registered id emits nothing — see the
+        // minhashNearDupStream comment (matching against later-registered
+        // reps would invert the original verdict)
+        if (reps.exists(_._1 == id)) (reps, Nil)
+        else {
+          val n = math.sqrt(dot(v, v))
+          val hits = reps.flatMap { case (rid, rv) =>
+            val c = dot(v, rv) / (n * math.sqrt(dot(rv, rv)))
+            if (c >= threshold && rid != id) Some((id, rid, c)) else None
+          }
+          (reps :+ ((id, v)), hits)
         }
-        val reps1 = if (reps.exists(_._1 == id)) reps else reps :+ ((id, v))
-        (reps1, hits)
       }
   }
 
@@ -843,10 +876,14 @@ object Dedup {
     * first occurrences pass and register.
     *
     * Shape: the chunk projection is map-only (no pre-state shuffle);
-    * each distinct chunk digest is ONE keyed-state entry holding one
-    * boolean — 16-ish bytes per distinct chunk ever seen, never the
-    * text (the digest-per-distinct-content posture of
+    * each distinct chunk digest is ONE keyed-state entry holding the
+    * winner's (doc_id, cidx) — ~28 bytes per distinct chunk ever seen,
+    * never the text (the digest-per-distinct-content posture of
     * [[exactStream]]'s gate); `idleTimeoutMs` evicts cold chunks.
+    * Storing the winner (not a boolean) makes an upstream REPLAY
+    * idempotent: a re-delivered winner re-emits its original row, a
+    * re-delivered loser stays dropped — never a new verdict (the same
+    * replay posture as the near-dup gates' registered-id guard).
     * Because a document's chunks shard across state keys, in-stream
     * reassembly would need a second stateful stage — the caller
     * reassembles per batch instead (groupBy doc_id over the emitted
@@ -871,13 +908,15 @@ object Dedup {
     // lowest index (reassembly position matters); 2^21 chunks ≈ a
     // 32M-token document, far above any real row
     graft.streaming.StateMachines
-      .runMachine[String, (Long, Int, String, String), Boolean, (Long, Int, String)](
+      .runMachine[String, (Long, Int, String, String), (Long, Int), (Long, Int, String)](
         chunks, key = _._4,
         order = r => { require(r._2 < (1 << 21), "document exceeds 2^21 chunks")
           (r._1 << 21) | r._2.toLong },
-        init = false, idleTimeoutMs = idleTimeoutMs) {
-        case (seen, (id, cidx, chunk, _)) =>
-          if (seen) (true, Nil) else (true, Seq((id, cidx, chunk)))
+        init = (-1L, -1), idleTimeoutMs = idleTimeoutMs) {
+        case (w, (id, cidx, chunk, _)) =>
+          if (w._1 < 0) ((id, cidx), Seq((id, cidx, chunk))) // first occurrence wins
+          else if (w == ((id, cidx))) (w, Seq((id, cidx, chunk))) // replayed winner: re-emit
+          else (w, Nil) // repeat (or replayed loser): stays dropped
       }
   }
 

@@ -527,17 +527,25 @@ object Multimodal {
     * agreement pins the whole synthesize→deflate→inflate→decode loop).
     * Non-PNG and undecodable payloads are dropped.
     */
-  def pngPixelStats(blobs: Dataset[MediaBlob]): DataFrame = {
+  /** Shared body of [[pngPixelStats]] / [[jpegPixelStats]]: decode every
+    * blob of the given mime for REAL and report dims + integer-exact
+    * per-channel sums off the decoded grid. Non-matching and
+    * undecodable payloads are dropped.
+    */
+  private def imagePixelStats(blobs: Dataset[MediaBlob], mime: String): DataFrame = {
     import blobs.sparkSession.implicits._
     blobs.mapPartitions { it =>
       it.flatMap { b =>
-        val png = if (b.mime == "image/png") decodeImage(b.payload) else None
-        png.map { case (w, h, _, chans) =>
+        val img = if (b.mime == mime) decodeImage(b.payload) else None
+        img.map { case (w, h, _, chans) =>
           (b.doc_id, w.toLong, h.toLong, chans(0), chans(1), chans(2))
         }
       }
     }.toDF("doc_id", "width", "height", "sum_r", "sum_g", "sum_b")
   }
+
+  def pngPixelStats(blobs: Dataset[MediaBlob]): DataFrame =
+    imagePixelStats(blobs, "image/png")
 
   /** Per-image pixel statistics from the REAL JPEG decode: dimensions
     * and integer-exact per-channel sums, straight off the
@@ -547,17 +555,8 @@ object Multimodal {
     * decode, and the trailing-body handling in one hash). Non-JPEG and
     * undecodable payloads are dropped.
     */
-  def jpegPixelStats(blobs: Dataset[MediaBlob]): DataFrame = {
-    import blobs.sparkSession.implicits._
-    blobs.mapPartitions { it =>
-      it.flatMap { b =>
-        val jpg = if (b.mime == "image/jpeg") decodeImage(b.payload) else None
-        jpg.map { case (w, h, _, chans) =>
-          (b.doc_id, w.toLong, h.toLong, chans(0), chans(1), chans(2))
-        }
-      }
-    }.toDF("doc_id", "width", "height", "sum_r", "sum_g", "sum_b")
-  }
+  def jpegPixelStats(blobs: Dataset[MediaBlob]): DataFrame =
+    imagePixelStats(blobs, "image/jpeg")
 
   /** Per-clip PCM sample statistics from the REAL decode: frame/channel
     * geometry and integer-exact per-channel sample sums, straight off the

@@ -32,12 +32,14 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * overwrite rewrites `batch=N` with fresh part-file names, and stage
   * 2's file-stream source tracks files by path, so it re-ingests the
   * replayed docs as duplicate rows. The near-dup gate defends in depth:
-  * it skips self-matches and re-registration of an id its bucket
-  * already holds (see `minhashNearDupStream`), and [[keepers]] drops
-  * any residual self-flags — so a re-ingested doc cannot dedup ITSELF
-  * away; it can at most repeat its original verdict. A production
-  * deployment chains through a transactional table format and gets
-  * exactly-once between stages outright.
+  * an id its bucket ALREADY HOLDS emits nothing and changes nothing
+  * (see `minhashNearDupStream` — matching a replayed doc against reps
+  * registered after its original arrival would invert the original
+  * verdict and dedup away a legitimate keeper), and [[keepers]] drops
+  * any residual self-flags as belt-and-braces — so a re-ingested doc
+  * produces NO new verdicts at all. A production deployment chains
+  * through a transactional table format and gets exactly-once between
+  * stages outright.
   *
   * Semantics vs batch `u1`: the exact stage keeps the MIN doc_id per
   * digest under ordered arrival (the state machine replays each
@@ -181,9 +183,13 @@ object CurationStream {
                                   stage2Dir: String): (DataFrame, Option[DataFrame]) = {
     val kept = spark.read.parquet(stage1Dir).drop("batch")
     // stage 2 lags stage 1 (it streams stage 1's files); before its first
-    // batch lands there is nothing to cluster
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(stage2Dir)))
-      return (kept, None)
+    // batch lands there is nothing to cluster. Probe through the Hadoop
+    // filesystem of the PATH (not java.nio, which silently reads an
+    // hdfs:// or s3a:// URI as a relative local path and would disable
+    // compaction forever on any non-local deployment).
+    val s2Path = new org.apache.hadoop.fs.Path(stage2Dir)
+    val s2Fs = s2Path.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!s2Fs.exists(s2Path)) return (kept, None)
     val flags = spark.read.parquet(stage2Dir).drop("batch")
       .filter(col("dup_id") =!= col("of_id")) // replay self-flag guard
       .select(col("dup_id"), col("of_id"))
@@ -232,7 +238,9 @@ object CurationStream {
           keep.write.mode("overwrite").parquet(s"$outDir/epoch=$batchId")
           // the epoch is materialized — release this compaction's closure
           // checkpoint blocks instead of accumulating one set per epoch
-          handle.foreach(_.unpersist())
+          // until driver GC (Dataset.unpersist would be a CacheManager
+          // no-op on checkpoint-backed frames)
+          handle.foreach(Dedup.releaseCheckpoint)
         }
       }
       .start()

@@ -213,9 +213,15 @@ object BpeTrain {
     * trainers make when they batch or parallelize merge selection.
     *
     * The divergence, stated precisely: pairs accepted within one epoch
-    * are pairwise symbol-disjoint, so their snapshot counts are exact
-    * and their merges commute — every accepted rule was a true top pair
-    * of its epoch's REAL distribution. What the relaxation gives up is
+    * neither CONSUME nor PRODUCE any symbol another accepted pair
+    * consumes or produces (operands pairwise disjoint, AND no operand
+    * equals another's merged output, AND no two outputs collide — the
+    * operand-only guard missed the corner where merge (ab,c)→"abc"
+    * creates fresh occurrences for an accepted (x,"abc")), so no
+    * accepted merge can create or destroy occurrences of another's
+    * pattern: their snapshot counts are exact and their applications
+    * commute — every accepted rule was a true top pair of its epoch's
+    * REAL distribution. What the relaxation gives up is
     * interleaving with pairs CREATED mid-epoch: sequential BPE could
     * learn a brand-new pair (x, ab) immediately after merging (a, b),
     * while the epoch defers any such pair to the next snapshot (and a
@@ -261,13 +267,25 @@ object BpeTrain {
           r.getAs[Long]("cnt")))
       if (rows.isEmpty) exhausted = true
       else {
+        // conflict guard: an accepted rule may neither consume nor
+        // produce a symbol another accepted rule consumes or produces.
+        // `used` tracks operands, `produced` merged outputs; checking
+        // BOTH on both sides closes the corner where merge (ab,c)→"abc"
+        // creates fresh "(x)(abc)" occurrences for an accepted (x,"abc")
+        // — operand-disjointness alone would admit it and the epoch's
+        // replaces would no longer commute
         val used = scala.collection.mutable.Set[String]()
+        val produced = scala.collection.mutable.Set[String]()
         val accepted = Vector.newBuilder[Merge]
         var n = 0
         var i = 0
         while (i < rows.length && n < want) {
           val m = rows(i)
-          if (!used(m.a) && !used(m.b)) { accepted += m; used += m.a; used += m.b; n += 1 }
+          val out = m.a + m.b
+          if (!used(m.a) && !used(m.b) && !produced(m.a) && !produced(m.b) &&
+              !used(out) && !produced(out)) {
+            accepted += m; used += m.a; used += m.b; produced += out; n += 1
+          }
           i += 1
         }
         val keep = accepted.result()

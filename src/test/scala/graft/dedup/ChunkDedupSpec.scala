@@ -69,6 +69,15 @@ class ChunkDedupSpec extends SparkSpec {
       val stateRows = Option(q.lastProgress).map(_.stateOperators)
         .filter(_.nonEmpty).map(_.head.numRowsTotal).getOrElse(-1L)
       assert(stateRows == 4L) // "a b", "c d", "x y", "p q" — never the text rows
+
+      // replay idempotence: a re-delivered WINNER re-emits its original
+      // rows (same verdicts), a re-delivered LOSER stays dropped — the
+      // surviving-row SET never changes under upstream replay
+      in.addData((1L, "a b c d"), (3L, "c d a b"))
+      q.processAllAvailable()
+      val got3 = spark.table("chunk_gate")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+      assert(got3 == got2, s"replay changed verdicts: ${got3 -- got2}")
     } finally q.stop()
   }
 }

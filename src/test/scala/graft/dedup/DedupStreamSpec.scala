@@ -138,6 +138,32 @@ class DedupStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("minhashNearDupStream: a replayed registered doc emits NO new verdicts") {
+    // the upstream-replay scenario: doc 1 registers; near-dup doc 4 arrives
+    // later and is flagged against it; then a stage-1 replay re-delivers
+    // doc 1. Matching the replayed doc 1 against the later-registered doc 4
+    // would emit (1, 4) — inverting the original verdict and dedup'ing away
+    // the cluster's keeper. The gate must emit nothing for a bucket-held id.
+    val a = "the quick brown fox jumps over the lazy dog tonight again"
+    val near = "the quick brown fox jumps over the lazy cat tonight again"
+    val in = MemoryStream[(Long, String)](spark)
+    val q = Dedup.minhashNearDupStream(in.toDS().toDF("doc_id", "text"),
+        numPerms = 16, bands = 4, threshold = 0.5)
+      .toDF("dup_id", "of_id", "est")
+      .writeStream.format("memory").queryName("mh_replay")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      in.addData((1L, a)); q.processAllAvailable()
+      in.addData((4L, near)); q.processAllAvailable()
+      val before = spark.table("mh_replay").as[(Long, Long, Double)].collect().toSet
+      assert(before.map(p => (p._1, p._2)) == Set((4L, 1L)), s"fixture: $before")
+      in.addData((1L, a)) // the replay
+      q.processAllAvailable()
+      val after = spark.table("mh_replay").as[(Long, Long, Double)].collect().toSet
+      assert(after == before, s"replay emitted new verdicts: ${after -- before}")
+    } finally q.stop()
+  }
+
   test("minhashNearDupStream: idle timeout bounds the bucket state") {
     val in = MemoryStream[(Long, String)](spark)
     val q = Dedup.minhashNearDupStream(in.toDS().toDF("doc_id", "text"),
