@@ -185,17 +185,21 @@ object Dedup {
     * be trained on.
     *
     * Distributed shape: distinct benchmark k-grams (small by nature —
-    * eval sets are thousands of rows, so AQE broadcasts them at scale)
-    * semi-join the corpus gram stream for contaminated ids, then one
+    * eval sets are thousands of rows) are explicitly `broadcast()` into a
+    * semi-join over the corpus gram stream for contaminated ids, then one
     * anti-join restores full rows. No similarity math, no candidate
-    * blowup: cost is one pass over corpus grams.
+    * blowup: cost is one pass over corpus grams. The broadcast is pinned
+    * rather than left to AQE: the benchmark side is an exploded+distinct
+    * plan whose size estimate Catalyst routinely overshoots, and a miss
+    * would shuffle the ENTIRE corpus gram stream on `sh` — the hint makes
+    * the one-pass claim plan-enforced (asserted in PushdownSpec).
     */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame, k: Int = 8,
                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val benchGrams = docShingles(benchmark, k, idCol, textCol)
       .select("sh").distinct()
     val contaminated = docShingles(corpus, k, idCol, textCol)
-      .join(benchGrams, "sh")
+      .join(broadcast(benchGrams), "sh")
       .select(col("doc_id").as(idCol)).distinct()
     corpus.join(contaminated, Seq(idCol), "left_anti")
   }
@@ -727,8 +731,9 @@ object Dedup {
         s"requirement failed: dupClusters did not converge in $maxIters " +
           "sweeps — component diameter exceeds the bound; raise maxIters")
     }
-    // checkpoint-backed (NOT the stats-reset view): the caller's
-    // unpersist() on this frame must release the checkpoint blocks
+    // checkpoint-backed (NOT the stats-reset view): callers free the
+    // label blocks with releaseCheckpoint(result) once consumed —
+    // Dataset.unpersist is a CacheManager no-op on checkpoint blocks
     labelsCk.select(col("id").as("doc_id"), col("label").as("cluster"))
   }
 
@@ -736,15 +741,39 @@ object Dedup {
     * minimum id — deterministic, id-stable) plus every singleton. The
     * closure form of the pairwise keeper rules: a chain a~b~c keeps only
     * `a` here, where the greedy one-pass rule could keep `a` and `c`.
-    * One [[dupClusters]] run + one broadcast-size join against the
-    * (small) non-keeper set.
+    * One [[dupClusters]] run + one distributed anti-join against the
+    * non-keeper set (never collected — at a high dup rate it is
+    * corpus-order big).
+    *
+    * The closure's checkpoint blocks (the FULL label set) are released
+    * before returning: the non-keeper ids — a strict subset — are
+    * materialized into cache with one count job, then
+    * [[releaseCheckpoint]] frees the labels, so the returned plan
+    * references only the cached drop set. That cache lives until session
+    * cleanup; a session running MANY closures should use
+    * [[dedupByClustersWithRelease]] and drop it explicitly per run.
     */
   def dedupByClusters(docs: DataFrame, pairs: DataFrame,
-                      idCol: String = "doc_id"): DataFrame = {
+                      idCol: String = "doc_id"): DataFrame =
+    dedupByClustersWithRelease(docs, pairs, idCol)._1
+
+  /** [[dedupByClusters]] plus a release thunk for the cached non-keeper
+    * id set (the closure label blocks are already freed before this
+    * returns). Call the thunk once the result frame is consumed —
+    * `Dataset.unpersist` on the RESULT would not reach the drop-set
+    * cache entry (it uncaches the result's own plan, which was never
+    * cached).
+    */
+  def dedupByClustersWithRelease(docs: DataFrame, pairs: DataFrame,
+                                 idCol: String = "doc_id"): (DataFrame, () => Unit) = {
     val clusters = dupClusters(pairs)
     val dropped = clusters.filter(col("doc_id") =!= col("cluster"))
       .select(col("doc_id").as(idCol))
-    docs.join(dropped, Seq(idCol), "left_anti")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    dropped.count() // copy the drop set off the checkpoint blocks...
+    releaseCheckpoint(clusters) // ...then free the full label set NOW
+    (docs.join(dropped, Seq(idCol), "left_anti"),
+      () => { dropped.unpersist(false); () })
   }
 
   /** Streaming NEAR-dup gate (embedding cosine) — completes the
@@ -906,11 +935,16 @@ object Dedup {
       .as[(Long, Int, String, String)]
     // order encodes (doc_id, cidx) so equal chunks WITHIN a doc keep the
     // lowest index (reassembly position matters); 2^21 chunks ≈ a
-    // 32M-token document, far above any real row
+    // 32M-token document, far above any real row. doc_id must fit the
+    // remaining 42 bits and be non-negative: an id >= 2^42 would wrap
+    // the packing (corrupting arrival order), and a negative id collides
+    // with the (-1, -1) first-occurrence sentinel below
     graft.streaming.StateMachines
       .runMachine[String, (Long, Int, String, String), (Long, Int), (Long, Int, String)](
         chunks, key = _._4,
         order = r => { require(r._2 < (1 << 21), "document exceeds 2^21 chunks")
+          require(r._1 >= 0 && r._1 < (1L << 42),
+            "doc_id outside [0, 2^42) breaks the order packing")
           (r._1 << 21) | r._2.toLong },
         init = (-1L, -1), idleTimeoutMs = idleTimeoutMs) {
         case (w, (id, cidx, chunk, _)) =>

@@ -179,8 +179,11 @@ class DedupStreamSpec extends SparkSpec {
       // progress metrics with a deadline instead — StateMachinesSpec's
       // documented pattern
       val deadline = System.nanoTime() + 60L * 1000000000L
+      // filter(_.nonEmpty): under suite co-scheduling the first progress
+      // events can carry an empty stateOperators array — .head would throw
       def stateRows: Long = Option(q.lastProgress)
-        .map(_.stateOperators.head.numRowsTotal).getOrElse(-1L)
+        .map(_.stateOperators).filter(_.nonEmpty)
+        .map(_.head.numRowsTotal).getOrElse(-1L)
       while (stateRows <= 0 && System.nanoTime() < deadline) Thread.sleep(100)
       val grown = stateRows
       assert(grown > 0, "buckets must be registered as state")

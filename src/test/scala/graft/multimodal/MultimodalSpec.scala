@@ -71,11 +71,25 @@ class MultimodalSpec extends SparkSpec {
           r.getAs[Long]("sum_r"), r.getAs[Long]("sum_g"), r.getAs[Long]("sum_b"))))
       .toMap
     assert(stats.keySet == Set(1L, 17L))
+    // exact on the authoring JDK; elsewhere JPEG IDCT output may legally
+    // shift each pixel by ±1, so allow ±1-per-pixel per channel (dims are
+    // decoder-independent and stay exact) — see JpegFixtures.AuthorJdk
+    val onAuthorJdk =
+      System.getProperty("java.runtime.version") == JpegFixtures.AuthorJdk
     for (id <- Seq(1L, 17L)) {
       val v = (id % 16).toInt
       val (w, h) = JpegFixtures.Dims(v)
       val (r, g, b) = JpegFixtures.ChanSums(v)
-      assert(stats(id) == ((w.toLong, h.toLong, r, g, b)), s"doc $id")
+      val (gw, gh, gr, gg, gb) = stats(id)
+      assert((gw, gh) == ((w.toLong, h.toLong)), s"doc $id dims")
+      if (onAuthorJdk)
+        assert((gr, gg, gb) == ((r, g, b)), s"doc $id (authoring JDK: exact)")
+      else {
+        val tol = w.toLong * h
+        for ((got, want, ch) <- Seq((gr, r, "R"), (gg, g, "G"), (gb, b, "B")))
+          assert(math.abs(got - want) <= tol,
+            s"doc $id channel $ch: $got vs $want exceeds ±1/pixel ($tol)")
+      }
     }
   }
 

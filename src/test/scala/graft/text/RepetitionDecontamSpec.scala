@@ -2,13 +2,17 @@ package graft.text
 
 import graft.SparkSpec
 import graft.dedup.Dedup
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
 
 /** Planted-case semantics for the two curation-hygiene operators the
   * oracle rows (t8/t9) exercise only statistically: a pathologically
   * repetitive doc must fail the Gopher-style keep verdict, and a training
   * doc quoting 8 consecutive benchmark words must be decontaminated.
   */
-class RepetitionDecontamSpec extends SparkSpec {
+class RepetitionDecontamSpec extends SparkSpec with AdaptiveSparkPlanHelper {
 
   import spark.implicits._
 
@@ -47,5 +51,41 @@ class RepetitionDecontamSpec extends SparkSpec {
     val kept = Dedup.decontaminate(corpus, bench)
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(3L, 4L), s"got $kept")
+  }
+
+  test("decontaminate: the one-pass claim is plan-enforced, not AQE-dependent") {
+    // the 100 TB shape: distinct benchmark grams BROADCAST into the
+    // corpus-gram semi-join — the corpus side must never shuffle on `sh`.
+    // Pinned by an explicit broadcast() hint in `decontaminate` (Catalyst
+    // routinely overshoots the size estimate of the exploded+distinct
+    // benchmark plan, and an estimate miss would re-shuffle the whole
+    // corpus gram stream); this assertion makes the hint load-bearing.
+    val bench = Seq((100L, clean)).toDF("doc_id", "text")
+    val corpus = Seq((1L, clean), (2L, "unrelated words about query engines"))
+      .toDF("doc_id", "text")
+    val plan = Dedup.decontaminate(corpus, bench).queryExecution.executedPlan
+    val gramJoins = collectWithSubqueries(plan) {
+      case j: BroadcastHashJoinExec
+        if j.leftKeys.exists(_.references.exists(_.name == "sh")) => j
+    }
+    assert(gramJoins.nonEmpty,
+      "the gram semi-join must be a broadcast hash join on sh")
+    // sh-shuffles are only legal INSIDE the broadcast subtree (the
+    // benchmark side's own distinct — O(benchmark), not O(corpus));
+    // anywhere else they mean the corpus gram stream is being exchanged
+    def shShuffles(p: org.apache.spark.sql.execution.SparkPlan) =
+      collectWithSubqueries(p) {
+        case e: ShuffleExchangeExec if (e.outputPartitioning match {
+          case h: HashPartitioning => h.expressions.exists(
+            _.references.exists(_.name == "sh"))
+          case _ => false
+        }) => e
+      }
+    val insideBroadcast = collectWithSubqueries(plan) {
+      case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
+    }.flatMap(b => shShuffles(b.child)).map(_.id).toSet
+    val stray = shShuffles(plan).filterNot(e => insideBroadcast.contains(e.id))
+    assert(stray.isEmpty,
+      s"corpus gram stream must not shuffle on sh, found ${stray.size}: $stray")
   }
 }
