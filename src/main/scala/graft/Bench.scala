@@ -26,10 +26,59 @@ import org.apache.spark.sql.SparkSession
   * wait budget: SPARK_GRAFT_LOAD_WAIT_SEC, default 900), so the
   * distribution rows are recorded idle instead of merely flagged.
   *
+  * Round-9 hardening (measurement trust): BENCH_r08 shipped a 20× load
+  * artifact (`sf1_t9` 53.75 s vs 2.6 s idle) and a false 2 s-budget
+  * violation that each took a judge rerun to adjudicate — the launch
+  * gate ran once, and nothing acted on the per-row sentinels. The suite
+  * now defends itself: (1) an [[OwnLoad]] daemon tracks this JVM's own
+  * 1-minute CPU EMA, so `ambient = loadavg1m − own1m` separates foreign
+  * load from the suite's own tail (raw loadavg cannot — the kernel EMA
+  * remembers our finished bursts for minutes, which is exactly how
+  * `sf1_loadavg` 26.43 read as contention when it wasn't); (2) the load
+  * gate RE-APPLIES on the ambient estimate before every
+  * latency-distribution section (sustained polls, 75k polls) and every
+  * scale tier (sf1, sf10), drawing on the one shared wait budget;
+  * (3) a row whose every trial saw ambient above the gate lands in a
+  * top-level `"contended"` array — it self-identifies instead of
+  * reading as a regression; (4) the JSON stamps `heap_max_bytes` (the
+  * hard-won heap-sensitivity lesson: 48 g inflates 75k polls ~9×) and
+  * the state-store provider behind each sustained-poll run.
+  *
   * Failures are recorded per query in the emitted JSON (never swallowed as
   * a fake fast time).
   */
 object Bench {
+
+  /** 1-minute EMA of THIS JVM's own CPU use (in cores), sampled at 1 Hz
+    * on a daemon thread with the same exponential decay the kernel uses
+    * for /proc/loadavg — the subtrahend that turns raw loadavg into an
+    * ambient-load estimate. Slight mismatch is inherent (loadavg counts
+    * runnable, this counts cpu-time; both under-resolve short bursts);
+    * it only needs to be good to ~a core, the gate's granularity.
+    */
+  private final class OwnLoad {
+    private val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    @volatile private var ema = 0.0
+    private val alpha = 1.0 - math.exp(-1.0 / 60.0)
+    private val t = new Thread(() => {
+      var lastCpu = os.getProcessCpuTime
+      var lastNs = System.nanoTime()
+      while (true) {
+        Thread.sleep(1000)
+        val cpu = os.getProcessCpuTime; val now = System.nanoTime()
+        if (cpu >= 0) { // -1 when the platform bean can't report
+          val cores = (cpu - lastCpu).toDouble / (now - lastNs).max(1L)
+          ema += alpha * (cores - ema)
+          lastCpu = cpu
+        }
+        lastNs = now
+      }
+    }, "bench-own-load")
+    t.setDaemon(true); t.start()
+    def own1m: Double = ema
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -54,16 +103,27 @@ object Bench {
     val waitBudgetSec = sys.env.getOrElse("SPARK_GRAFT_LOAD_WAIT_SEC", "900").toInt
     var loadWaited = 0
     val loadOverride = sys.env.get("SPARK_GRAFT_LOAD_OVERRIDE").contains("1")
-    if (!loadOverride) {
-      while (loadavg1m() > loadGate && loadWaited < waitBudgetSec) {
+    val own = new OwnLoad
+    def ambient(): Double = math.max(0.0, loadavg1m() - own.own1m)
+    // the launch gate, now REUSABLE mid-suite: every latency-distribution
+    // section and scale tier re-gates on the AMBIENT estimate (so the
+    // suite's own decaying loadavg tail never triggers a pointless wait)
+    // against the one shared budget
+    def awaitIdle(tag: String): Unit = if (!loadOverride) {
+      while (ambient() > loadGate && loadWaited < waitBudgetSec) {
         System.err.println(
-          f"bench: 1m load ${loadavg1m()}%.2f > gate $loadGate%.2f — " +
+          f"bench[$tag]: ambient ${ambient()}%.2f > gate $loadGate%.2f " +
+            f"(loadavg ${loadavg1m()}%.2f, own ${own.own1m}%.2f) — " +
             s"waiting (${loadWaited}s/${waitBudgetSec}s; " +
             "SPARK_GRAFT_LOAD_OVERRIDE=1 to run contended)")
         Thread.sleep(30000); loadWaited += 30
       }
     }
-    val loadGateTimeout = !loadOverride && loadavg1m() > loadGate
+    awaitIdle("launch")
+    val loadGateTimeout = !loadOverride && ambient() > loadGate
+    // rows whose EVERY trial saw ambient load above the gate: the number
+    // is untrustworthy and says so, instead of reading as a regression
+    val contended = scala.collection.mutable.LinkedHashSet[String]()
 
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -78,6 +138,8 @@ object Bench {
     val wallStart = System.nanoTime()
 
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    // label -> state-store provider in force during that sustained run
+    val providerStamps = scala.collection.mutable.LinkedHashMap[String, String]()
 
     /** Min over `n` fresh runs of `body`; first failure aborts the trials
       * and is recorded (the failed trial's elapsed time is reported only if
@@ -92,7 +154,9 @@ object Bench {
       var firstElapsed = -1.0
       var failed = false
       var i = 0
+      var cleanTrial = false // any trial whose ambient stayed under the gate
       while (i < n && !failed) {
+        val amb0 = ambient()
         val t0 = System.nanoTime()
         try body
         catch { case e: Throwable =>
@@ -100,11 +164,15 @@ object Bench {
           failed = true
         }
         val dt = (System.nanoTime() - t0) / 1e9
+        if (math.max(amb0, ambient()) <= loadGate) cleanTrial = true
         if (firstElapsed < 0) firstElapsed = dt
         if (!failed) best = best.min(dt)
         if (clear) spark.catalog.clearCache()
         i += 1
       }
+      // min-of-N already defends against ONE dirty trial; only when every
+      // trial ran under foreign load is the recorded min untrustworthy
+      if (!cleanTrial) contended += name
       name -> (if (best == Double.MaxValue) firstElapsed else best)
     }
 
@@ -314,16 +382,25 @@ object Bench {
       if (sys.env.get("SPARK_GRAFT_POLL_DEBUG").contains("1"))
         System.err.println(s"$label polls: " +
           perPoll.map(t => f"$t%.2f").mkString(" "))
-      // per-run loadavg snapshot: sustained rows are single-pass latency
+      // per-run load snapshot: sustained rows are single-pass latency
       // distributions (not min-of-N-able), so an ambient-load-inflated run
       // must self-identify in the JSON instead of silently reading as slow
+      // — via the ambient estimate (raw loadavg alone reads the suite's
+      // own tail as contention), plus the provider actually in force
+      val amb = ambient()
+      if (amb > loadGate) { contended += s"${label}_mean"; contended += s"${label}_max" }
+      providerStamps += label -> spark.conf
+        .getOption("spark.sql.streaming.stateStore.providerClass")
+        .map(_.split('.').last).getOrElse("HDFSBackedStateStoreProvider")
       Seq(s"${label}_mean" -> perPoll.sum / perPoll.size,
           s"${label}_max" -> perPoll.max,
-          s"${label}_loadavg" -> loadavg1m())
+          s"${label}_loadavg" -> loadavg1m(),
+          s"${label}_ambient" -> amb)
     }
     // reference-scale state (~7.5k counters) stays on the in-heap default
     // provider by cardinality selection (DetectionStream.selectStateStore)
     DetectionStream.selectStateStore(spark, sc.flows.size)
+    awaitIdle("sustained-polls")
     val sustained = sustainedPolls("detect_poll", sc.flows)
 
     // detection scale probe (10× flows, 10× bots): a 75 000-benign-flow /
@@ -349,6 +426,7 @@ object Bench {
         // ≤ 2.4 s max in both. detect_75k_poll is therefore the engine's
         // real large-state path; the in-heap run is kept for contrast.
         DetectionStream.selectStateStore(spark, sc10.flows.size)
+        awaitIdle("75k-polls")
         val polls10 = sustainedPolls("detect_75k_poll", sc10.flows)
         spark.conf.set("spark.sql.streaming.stateStore.providerClass",
           "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
@@ -373,6 +451,7 @@ object Bench {
       else try {
         val sf1Dir = new java.io.File("target/sf1").getAbsolutePath
         graft.fixtures.ScaleProbe.ensure(spark, sfDir, sf1Dir)
+        awaitIdle("sf1-tier")
         // d7 runs FIRST: its iterative sweeps are the most load-sensitive
         // row in the probe (r5→r6 judge-idle spread 16.3→31.9 s), so it
         // must be measured cold, not under the tail load of the rest
@@ -399,7 +478,8 @@ object Bench {
           // sweep count must ride next to the time for regressions to be
           // attributable (round-7 ask)
           "sf1_d7_sweeps" -> graft.dedup.Dedup.lastSweeps.toDouble,
-          "sf1_loadavg" -> loadavg1m())
+          "sf1_loadavg" -> loadavg1m(),
+          "sf1_ambient" -> ambient())
       } catch { case e: Throwable =>
         errors += "sf1_probe" -> e.toString.takeWhile(_ != '\n').take(200)
         Nil
@@ -417,6 +497,7 @@ object Bench {
         val sf10Dir = new java.io.File("target/sf10").getAbsolutePath
         graft.fixtures.ScaleProbe.ensure(spark, sfDir, sf10Dir,
           replicas = 100, withEvents = false)
+        awaitIdle("sf10-tier")
         // d7 first and its sweep count captured IMMEDIATELY — u1 below
         // also runs dupClusters, so a read-at-the-end would report u1's
         // closure sweeps as d7's (it did, once)
@@ -424,18 +505,37 @@ object Bench {
           SparkEntry.queries("d7_dup_clusters")(spark, sf10Dir).count(); ()
         }
         val d7sweeps = "sf10_d7_sweeps" -> graft.dedup.Dedup.lastSweeps.toDouble
-        // the 4 remaining prescribed flagships + u1: the full curation
-        // COMPOSITION (quality → exact → d4 pairs → d7 closure → sample →
-        // pack) is the query a 100 TB deployment actually runs end-to-end
+        // the 4 remaining prescribed flagships + u1 (the full curation
+        // COMPOSITION — quality → exact → d4 pairs → d7 closure → sample →
+        // pack — is the query a 100 TB deployment actually runs end-to-end)
+        // + the text-hygiene family (t8/t9/d8): the highest-traffic 100 TB
+        // curation ops, previously measured only to sf1 — their second
+        // decade completes the exponent table in PLANS.md
         val rows = Seq("d1_exact_dedup", "d3_minhash_lsh",
-            "s3_lsh_topk", "s8_ivf_indexed", "u1_curation").map { name =>
+            "s3_lsh_topk", "s8_ivf_indexed", "u1_curation",
+            "t8_repetition", "t9_decontam", "d8_chunk_dedup").map { name =>
           timed("sf10_" + name, n = 1) {
             SparkEntry.queries(name)(spark, sf10Dir).count(); ()
           }
         }
         val u1sweeps = "sf10_u1_sweeps" -> graft.dedup.Dedup.lastSweeps.toDouble
-        d7row +: d7sweeps +: (rows ++ Seq(u1sweeps,
-          "sf10_loadavg" -> loadavg1m()))
+        // epoch BPE past fixture pair-exhaustion: the sf0.1 corpus runs
+        // dry at ~90 merges, so the "32k merges ≈ 32k/b rounds" claim
+        // rested on one measured decade. The replica-disjoint sf10 corpus
+        // carries 100 disjoint vocabularies — enough live pairs for 512+
+        // real merges — and meanBatch AT DEPTH is the number that either
+        // backs or breaks the extrapolation.
+        var epoch512 = graft.text.BpeTrain.BatchStats(0, 0)
+        val bpe512 = timed("sf10_t7_bpe_512_epoch", n = 1) {
+          epoch512 = graft.text.BpeTrain.learnEpochStats(
+            graft.io.Tables.documents(spark, sf10Dir), 512, batch = 64)._2; ()
+        }
+        d7row +: d7sweeps +: (rows ++ Seq(u1sweeps, bpe512,
+          "sf10_t7_bpe_512_epoch_rounds" -> epoch512.rounds.toDouble,
+          "sf10_t7_bpe_512_epoch_merges" -> epoch512.merges.toDouble,
+          "sf10_t7_bpe_512_epoch_meanbatch" -> epoch512.meanBatch,
+          "sf10_loadavg" -> loadavg1m(),
+          "sf10_ambient" -> ambient()))
       } catch { case e: Throwable =>
         errors += "sf10_probe" -> e.toString.takeWhile(_ != '\n').take(200)
         Nil
@@ -453,11 +553,16 @@ object Bench {
       if (errors.isEmpty) ""
       else errors.map { case (k, v) => jq(k) + ":" + jq(v) }.mkString(",\"errors\":{", ",", "}")
     val total = results.map(_._2).sum
+    val contendedJson = contended.map(jq).mkString("[", ",", "]")
+    val providersJson = providerStamps
+      .map { case (k, v) => jq(k) + ":" + jq(v) }.mkString("{", ",", "}")
     val sentinel = s""","trials":$trials,"load_before":$loadBefore,"load_after":$loadAfter,""" +
       s""""bench_cpus":"$cpus","host_cores":${Runtime.getRuntime.availableProcessors},""" +
       s""""load_gate":$loadGate,"load_gate_waited_sec":$loadWaited,""" +
       s""""load_gate_timeout":$loadGateTimeout,"load_gate_override":$loadOverride,""" +
-      s""""wall_sec":$wallSec"""
+      s""""heap_max_bytes":${Runtime.getRuntime.maxMemory},""" +
+      s""""state_store_providers":$providersJson,"contended":$contendedJson,""" +
+      s""""ambient_after":${ambient()},"wall_sec":$wallSec"""
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson$sentinel,"sf":"$sfDir"}"""
     println(line)
     // standalone artifact: the driver's BENCH_r{N}.json truncates stdout to

@@ -54,13 +54,16 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * to at-ingest decisions, which cannot retract an already-admitted doc.
   * [[compactedKeepers]] / [[startCompactionStage]] close that gap
   * periodically: a compaction pass clusters the accumulated flag graph
-  * (transitive closure) and re-materializes the keeper set under the
-  * batch rule, so the streamed corpus CONVERGES to `u1`'s front-half
-  * semantics at each compaction epoch while the greedy view stays the
-  * low-latency answer in between. CurationStreamSpec pins composed-keeper
-  * parity against the batch composition of the same three gate rules,
-  * closure parity of the compaction pass on a bridge fixture, plus
-  * restart recovery and bounded state in both stateful stages.
+  * (transitive closure) and writes the closure's DROPPED-id set per
+  * epoch — O(flagged docs), never a corpus rewrite — which
+  * [[compactedView]] composes with the stage-1 survivors at read time,
+  * so the streamed corpus CONVERGES to `u1`'s front-half semantics at
+  * each compaction epoch while the greedy view stays the low-latency
+  * answer in between. CurationStreamSpec pins composed-keeper parity
+  * against the batch composition of the same three gate rules, closure
+  * parity of the compaction pass on a bridge fixture (composed view AND
+  * opt-in full snapshot), plus restart recovery and bounded state in
+  * both stateful stages.
   */
 object CurationStream {
 
@@ -182,6 +185,19 @@ object CurationStream {
   private def compactedWithHandle(spark: SparkSession, stage1Dir: String,
                                   stage2Dir: String): (DataFrame, Option[DataFrame]) = {
     val kept = spark.read.parquet(stage1Dir).drop("batch")
+    val (dropped, handle) = closureDropsWithHandle(spark, stage2Dir)
+    (kept.join(dropped, Seq("doc_id"), "left_anti"), handle)
+  }
+
+  /** The closure's DROPPED-id set over the flag graph accumulated in
+    * `stage2Dir` — every non-minimum member of each connected component
+    * — plus the closure frame backing it (None when no flags exist yet;
+    * the drop set is then empty). O(flagged docs), NOT corpus-sized:
+    * this is the epoch artifact [[startCompactionStage]] materializes.
+    */
+  private def closureDropsWithHandle(spark: SparkSession, stage2Dir: String)
+      : (DataFrame, Option[DataFrame]) = {
+    val noDrops = spark.range(0).select(col("id").as("doc_id"))
     // stage 2 lags stage 1 (it streams stage 1's files); before its first
     // batch lands there is nothing to cluster. Probe through the Hadoop
     // filesystem of the PATH (not java.nio, which silently reads an
@@ -189,36 +205,68 @@ object CurationStream {
     // compaction forever on any non-local deployment).
     val s2Path = new org.apache.hadoop.fs.Path(stage2Dir)
     val s2Fs = s2Path.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!s2Fs.exists(s2Path)) return (kept, None)
+    if (!s2Fs.exists(s2Path)) return (noDrops, None)
     val flags = spark.read.parquet(stage2Dir).drop("batch")
       .filter(col("dup_id") =!= col("of_id")) // replay self-flag guard
       .select(col("dup_id"), col("of_id"))
-    if (flags.isEmpty) return (kept, None)
+    if (flags.isEmpty) return (noDrops, None)
     val clusters = Dedup.dupClusters(flags, iCol = "dup_id", jCol = "of_id")
-    val dropped = clusters.filter(col("doc_id") =!= col("cluster"))
-      .select(col("doc_id"))
-    (kept.join(dropped, Seq("doc_id"), "left_anti"), Some(clusters))
+    (clusters.filter(col("doc_id") =!= col("cluster")).select(col("doc_id")),
+      Some(clusters))
+  }
+
+  /** The closure-compacted corpus COMPOSED lazily from the latest epoch:
+    * stage 1 survivors ANTI-JOIN the newest `epoch=<id>` dropped-id set
+    * under `epochDir` (the artifact [[startCompactionStage]] writes in
+    * its default drops-only mode). Same read-time shape as [[keepers]]
+    * — no snapshot is ever materialized; consumers pay one anti-join
+    * against a drop set that is O(flagged docs). Falls back to the raw
+    * stage 1 survivors while no epoch exists yet.
+    */
+  def compactedView(spark: SparkSession, stage1Dir: String,
+                    epochDir: String): DataFrame = {
+    val kept = spark.read.parquet(stage1Dir).drop("batch")
+    val p = new org.apache.hadoop.fs.Path(epochDir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) return kept
+    val epochs = fs.listStatus(p).map(_.getPath.getName)
+      .filter(_.startsWith("epoch=")).map(_.stripPrefix("epoch=").toLong)
+    if (epochs.isEmpty) return kept
+    val drops = spark.read.parquet(s"$epochDir/epoch=${epochs.max}")
+    kept.join(drops, Seq("doc_id"), "left_anti")
   }
 
   /** Periodic COMPACTION as a third chained query: file-stream STAGE 2's
     * output (so each epoch runs strictly AFTER the flags it folds in are
     * on disk — triggering off stage 1 would race the near-dup gate and
     * snapshot stale flag graphs) and, every `every`-th micro-batch,
-    * materialize the full closure keeper snapshot to
-    * `outDir/epoch=<batchId>` — each epoch is a complete, idempotent
-    * recompute over everything both stages have emitted, so a replayed
-    * batch id overwrites with identical content. Between compactions the
-    * greedy [[keepers]] view stays the low-latency answer; each epoch
-    * converges the corpus-so-far to the batch closure semantics. The
+    * materialize the closure's DROPPED-id set to `outDir/epoch=<batchId>`
+    * — each epoch is a complete, idempotent recompute over everything
+    * both stages have emitted, so a replayed batch id overwrites with
+    * identical content. Between compactions the greedy [[keepers]] view
+    * stays the low-latency answer; each epoch converges
+    * [[compactedView]] — the lazy `stage1 ANTI-JOIN latest-epoch drops`
+    * composition — to the batch closure semantics. The
     * recompute-from-accumulated-output shape (rather than incremental
     * state) is deliberate: connected components is a global fixpoint —
     * a new bridge edge can merge ANY two existing components, so no
     * bounded per-key state can maintain it; the flag graph it rescans
     * is O(near-dup pairs), not corpus size.
+    *
+    * The epoch artifact is O(flagged docs), NEVER the corpus: at 100 TB
+    * a full keeper snapshot per epoch would re-write ~the entire
+    * surviving corpus every compaction (write amplification
+    * O(corpus × epochs)), while the drop set is proportional to the
+    * near-dup graph. A consumer that genuinely wants a materialized
+    * snapshot per epoch (e.g. to hand a frozen corpus to a training
+    * run) opts into `fullSnapshot = true`, which additionally writes
+    * the composed keeper rows to `outDir/snapshot/epoch=<batchId>` —
+    * the cost is then explicit and chosen, not the default.
     */
   def startCompactionStage(spark: SparkSession, stage1Dir: String,
                            stage2Dir: String, outDir: String,
-                           checkpointDir: String, every: Int = 1): StreamingQuery = {
+                           checkpointDir: String, every: Int = 1,
+                           fullSnapshot: Boolean = false): StreamingQuery = {
     require(every >= 1, "compaction period must be >= 1 batch")
     spark.readStream
       .schema(org.apache.spark.sql.types.StructType(Seq(
@@ -234,8 +282,13 @@ object CurationStream {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (_: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (batchId % every == 0) {
-          val (keep, handle) = compactedWithHandle(spark, stage1Dir, stage2Dir)
-          keep.write.mode("overwrite").parquet(s"$outDir/epoch=$batchId")
+          val (drops, handle) = closureDropsWithHandle(spark, stage2Dir)
+          drops.write.mode("overwrite").parquet(s"$outDir/epoch=$batchId")
+          if (fullSnapshot)
+            spark.read.parquet(s"$stage1Dir").drop("batch")
+              .join(spark.read.parquet(s"$outDir/epoch=$batchId"),
+                Seq("doc_id"), "left_anti")
+              .write.mode("overwrite").parquet(s"$outDir/snapshot/epoch=$batchId")
           // the epoch is materialized — release this compaction's closure
           // checkpoint blocks instead of accumulating one set per epoch
           // until driver GC (Dataset.unpersist would be a CacheManager

@@ -180,7 +180,8 @@ class CurationStreamSpec extends SparkSpec {
     val q1 = CurationStream.startQualityExactStage(in.toDS().toDF(), 0.0, out1, s"$root/cp1")
     val q2 = CurationStream.startNearDupStage(spark, out1, out2, s"$root/cp2",
       k = 3, numPerms = nP, bands = nB, threshold = cth)
-    val q3 = CurationStream.startCompactionStage(spark, out1, out2, out3, s"$root/cp3")
+    val q3 = CurationStream.startCompactionStage(spark, out1, out2, out3, s"$root/cp3",
+      fullSnapshot = true) // exercise the opt-in snapshot alongside the drops
     try {
       docs.foreach { d =>
         in.addData(d)
@@ -193,21 +194,165 @@ class CurationStreamSpec extends SparkSpec {
       assert(greedy == Set(1L, 3L), s"greedy keepers: $greedy")
       assert(greedy != closureTwin, "fixture must actually exercise the bridge gap")
 
-      // compaction epochs: complete snapshots, the LAST one is the closure
+      // the epoch artifact is the DROPPED-id set — O(flags), not a corpus
+      // snapshot: exactly the non-minimum members of each closure component
+      val closureDrops = ids.toSet -- closureTwin
       val epochs = new java.io.File(out3).listFiles()
         .map(_.getName).filter(_.startsWith("epoch=")).map(_.stripPrefix("epoch=").toLong)
       assert(epochs.nonEmpty)
       val last = spark.read.parquet(s"$out3/epoch=${epochs.max}")
-      assert(last.columns.toSet == Set("doc_id", "lang", "n_chars", "text"))
-      val compacted = last.select("doc_id").as[Long].collect().toSet
-      assert(compacted == closureTwin, s"compacted $compacted != closure $closureTwin")
+      assert(last.columns.toSet == Set("doc_id"),
+        s"epoch artifact must be ids only, got ${last.columns.toSeq}")
+      val droppedGot = last.select("doc_id").as[Long].collect().toSet
+      assert(droppedGot == closureDrops, s"drops $droppedGot != $closureDrops")
 
-      // the direct view agrees with the materialized snapshot
+      // the COMPOSED view (stage1 ANTI latest-epoch drops) is the closure
+      val composed = CurationStream.compactedView(spark, out1, out3)
+      assert(composed.columns.toSet == Set("doc_id", "lang", "n_chars", "text"))
+      val composedIds = composed.select("doc_id").as[Long].collect().toSet
+      assert(composedIds == closureTwin, s"composed $composedIds != $closureTwin")
+
+      // the opt-in full snapshot agrees with the composed view
+      val snap = spark.read.parquet(s"$out3/snapshot/epoch=${epochs.max}")
+      assert(snap.columns.toSet == Set("doc_id", "lang", "n_chars", "text"))
+      assert(snap.select("doc_id").as[Long].collect().toSet == closureTwin)
+
+      // the direct (no-epoch) view agrees too
       val direct = CurationStream.compactedKeepers(spark, out1, out2)
         .select("doc_id").as[Long].collect().toSet
       assert(direct == closureTwin)
     } finally {
       q1.stop(); q2.stop(); q3.stop()
+      spark.streams.active.foreach(_.stop())
+    }
+  }
+
+  test("replay property: arbitrary batch-prefix replays yield no new verdicts (100 cases)") {
+    // The composed end-to-end replay guarantee: DedupStreamSpec pins ONE
+    // replay-inversion scenario per gate; this property replays arbitrary
+    // prefixes of the delivered batch history through the WHOLE 2-query
+    // chain — both replay flavors at once: source-level re-delivery
+    // (at-least-once upstream) absorbed by the stage-1 digest gate, and
+    // stage-1 CHECKPOINT replay (batch dirs regaining fresh part-file
+    // names, which stage 2's file source re-ingests as duplicate rows)
+    // absorbed by the near-dup gate's registered-id guard. Each case owns
+    // a disjoint doc_id/vocabulary namespace, and the prefix replay rides
+    // in the SAME micro-batch round as the case's own delivery — so the
+    // invariant is namespace-local and O(1) to check: every emitted
+    // stage-1 row must be exactly the case's expected exact-gate
+    // survivors (a replayed old doc emitting ANYTHING violates it), and
+    // every emitted flag verdict must be about the current case (a flag
+    // on an old namespace is a replay-induced verdict). Keeper and
+    // compaction views are pure functions of those two emission sets
+    // (the tests above pin them), so their invariance follows. The chain
+    // restarts every 20 cases to bound file-listing/state growth —
+    // history and prefixes are per-chain, prefix capped at 10 batches.
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.apache.spark.sql.Encoders
+    val out2Schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("dup_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("of_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("est",
+        org.apache.spark.sql.types.DoubleType)))
+
+    var q1: StreamingQuery = null
+    var q2: StreamingQuery = null
+    var in: MemoryStream[CurationDoc] = null
+    var out1, out2 = ""
+    val history = scala.collection.mutable.ArrayBuffer.empty[Seq[CurationDoc]]
+    var known1, known2 = Set.empty[String]
+    var flagsEverSeen = 0
+
+    def stopChain(): Unit = { if (q1 != null) q1.stop(); if (q2 != null) q2.stop() }
+    def startChain(): Unit = {
+      stopChain()
+      val root = Files.createTempDirectory("curation-replay").toString
+      out1 = s"$root/out1"; out2 = s"$root/out2"
+      in = MemoryStream[CurationDoc](spark)
+      q1 = CurationStream.startQualityExactStage(in.toDS().toDF(), 0.0, out1, s"$root/cp1")
+      q2 = CurationStream.startNearDupStage(spark, out1, out2, s"$root/cp2",
+        k = 3, numPerms = numPerms, bands = bands, threshold = th)
+      history.clear(); known1 = Set.empty; known2 = Set.empty
+    }
+    def batchDirs(out: String): Seq[java.io.File] =
+      Option(new java.io.File(out).listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith("batch=")).toSeq
+        .sortBy(_.getName.stripPrefix("batch=").toLong)
+    def delta(out: String, known: Set[String]): (Seq[String], Set[String]) = {
+      val now = batchDirs(out)
+      (now.filterNot(d => known(d.getName)).map(_.getPath),
+        now.map(_.getName).toSet)
+    }
+
+    val caseNo = new java.util.concurrent.atomic.AtomicInteger(0)
+    try {
+      val prop = Prop.forAll(Gen.long) { seed =>
+        val rnd = new scala.util.Random(seed)
+        val c = caseNo.incrementAndGet()
+        if ((c - 1) % 20 == 0) startChain()
+        val vocab = (0 until 18).map(t => s"c${c}t$t")
+        def fresh() = Seq.fill(12)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+        val base = fresh()
+        def doc(i: Int, text: String) =
+          CurationDoc(c * 100L + i, "en", text.length.toLong, text)
+        val docs = scala.collection.mutable.ArrayBuffer(doc(0, base))
+        if (rnd.nextBoolean()) { // near variant: 1-token mutation (often flags)
+          val w = base.split(' '); w(rnd.nextInt(w.length)) = vocab(rnd.nextInt(vocab.size))
+          docs += doc(1, w.mkString(" "))
+        }
+        if (rnd.nextInt(3) == 0) docs += doc(2, base) // exact copy (digest drop)
+
+        // replay an arbitrary prefix of this chain's history, both flavors,
+        // in the same round as the new case's delivery
+        val p = rnd.nextInt(math.min(history.size, 10) + 1)
+        history.take(p).foreach(b => in.addData(b: _*)) // source re-delivery
+        batchDirs(out1).take(p).foreach { d => // checkpoint-style fresh names
+          Option(d.listFiles()).getOrElse(Array.empty)
+            // ORIGINALS only: re-copying earlier replay copies would double
+            // the dir per round — exponential file fan-out, and the real
+            // checkpoint replay overwrites one generation, not all of them
+            .filter(f => f.getName.startsWith("part-0") && f.getName.endsWith(".parquet"))
+            .foreach { f =>
+              java.nio.file.Files.copy(f.toPath, f.toPath.resolveSibling(
+                s"part-replay-${java.util.UUID.randomUUID()}.snappy.parquet"))
+            }
+        }
+        in.addData(docs.toSeq: _*)
+        q1.processAllAvailable(); q2.processAllAvailable()
+        history += docs.toSeq
+
+        // stage-1 delta: exactly this case's exact-gate survivors — any
+        // old-namespace id here is a replayed doc re-emitted
+        val (new1, k1) = delta(out1, known1); known1 = k1
+        val got1 =
+          if (new1.isEmpty) Set.empty[Long]
+          else spark.read.schema(Encoders.product[CurationDoc].schema)
+            .parquet(new1: _*).select("doc_id").as[Long].collect().toSet
+        val expect1 = docs.groupBy(_.text).map(_._2.map(_.doc_id).min).toSet
+
+        // stage-2 delta: every flag verdict must be about THIS case
+        val (new2, k2) = delta(out2, known2); known2 = k2
+        val gotFlags =
+          if (new2.isEmpty) Set.empty[(Long, Long)]
+          else spark.read.schema(out2Schema).parquet(new2: _*)
+            .select("dup_id", "of_id").as[(Long, Long)].collect().toSet
+        val foreign = gotFlags.filter(f => f._1 / 100 != c)
+        flagsEverSeen += gotFlags.size
+        (Prop(got1 == expect1) :|
+          s"case $c prefix $p: stage-1 emitted $got1, expected $expect1") &&
+        (Prop(foreign.isEmpty) :|
+          s"case $c prefix $p: replay-induced verdicts on old docs: $foreign") &&
+        (Prop(gotFlags.forall(f => f._1 != f._2)) :|
+          s"case $c: self-flag emitted: $gotFlags")
+      }
+      val res = SCTest.check(SCTest.Parameters.default
+        .withMinSuccessfulTests(100).withWorkers(1), prop)
+      assert(res.passed, s"replay property failed: ${res.status}")
+      assert(flagsEverSeen > 0, "vacuous run: no near-dup flag ever fired")
+    } finally {
+      stopChain()
       spark.streams.active.foreach(_.stop())
     }
   }
