@@ -4,14 +4,11 @@ import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Multimodal columns for training-data pipelines: image/audio/video
-  * treated as opaque `binary` payloads with typed metadata, REAL PNG,
-  * JPEG and WAV decodes (javax.imageio / javax.sound.sampled over
-  * complete valid files inside the mapPartitions decode stage, plus
-  * fixed-offset IHDR/fmt column expressions), and — for MP4, the ONE
-  * remaining non-decodable modality (no JDK demuxer exists) — a
-  * deterministic, clearly-labelled FAKE feature extract with the real
-  * Spark plumbing (schema, partitioning, batch shape) that a
-  * codec-backed implementation would drop into.
+  * treated as opaque `binary` payloads with typed metadata, and REAL
+  * decodes for every modality — javax.imageio (PNG/JPEG),
+  * javax.sound.sampled (WAV), and an ISO/IEC 14496-12 box walker (MP4)
+  * over complete valid files inside the mapPartitions decode stage,
+  * plus fixed-offset IHDR/fmt column expressions.
   *
   * The synthetic corpus carries no real media, so payloads are
   * materialized per doc: PNG docs get a COMPLETE spec-valid file —
@@ -23,17 +20,20 @@ import org.apache.spark.sql.functions._
   * that `javax.sound.sampled.AudioSystem` decodes (MultimodalSpec
   * proves samples round-trip); JPEG docs one of 16 CHECKED-IN complete
   * JFIF files ([[JpegFixtures]], variant = doc_id % 16, + the UTF-8
-  * body past the EOI marker) that ImageIO decodes; MP4 docs magic
-  * bytes + the UTF-8 body. Every derived statistic is
-  * DuckDB-replayable: byte totals by file-geometry arithmetic, IHDR/fmt
-  * fields by prefix byte reads, PNG/WAV pixel/sample sums by the
-  * [[pixelValue]] formula, and JPEG decoded statistics by AUTHOR-TIME
-  * constants — JPEG is lossy and encoder-dependent, so its decoded
-  * pixels are not SQL arithmetic; instead the fixture bytes AND their
-  * ImageIO-decoded statistics were captured together when the fixtures
-  * were authored (tools/AuthorJpegFixtures.java), and the m7 oracle
-  * replays those constants while the Spark side reports the LIVE
-  * decode.
+  * body past the EOI marker) that ImageIO decodes; MP4 docs a COMPLETE
+  * minimal-box file — real ftyp/moov/mvhd/trak/tkhd/mdat framing with
+  * doc_id-derived fields and [[pixelValue]] content bytes — that
+  * [[walkMp4]] parses (+ the body past the last box, where the walk
+  * stops exactly as a conforming demuxer does). Every derived statistic
+  * is DuckDB-replayable: byte totals by file-geometry arithmetic,
+  * IHDR/fmt fields by prefix byte reads, PNG/WAV pixel/sample sums and
+  * MP4 box fields + mdat sums by the doc_id formulas, and JPEG decoded
+  * statistics by AUTHOR-TIME constants — JPEG is lossy and
+  * encoder-dependent, so its decoded pixels are not SQL arithmetic;
+  * instead the fixture bytes AND their ImageIO-decoded statistics were
+  * captured together when the fixtures were authored
+  * (tools/AuthorJpegFixtures.java), and the m7 oracle replays those
+  * constants while the Spark side reports the LIVE decode.
   */
 object Multimodal {
 
@@ -222,18 +222,83 @@ object Multimodal {
       pngChunk("IDAT", storedZlib(raw)) ++ pngChunk("IEND", Array.emptyByteArray)
   }
 
-  /** Payload column for the JPEG/MP4 modalities (pure codegen'd exprs —
-    * the 16 checked-in JFIF files are an `element_at` over an array of
-    * binary literals, no per-row codec work): a complete
-    * [[JpegFixtures]] file (variant = doc_id % 16) or the MP4-ftyp
-    * magic, + UTF-8 content.
+  // ---- MP4 minimal-box synthesis (ISO/IEC 14496-12 box layout) ---------
+  //
+  // Unlike JPEG, MP4 structure needs no author-time pinning: the box
+  // tree is pure big-endian framing, so every field the walker reads is
+  // replayable as doc_id arithmetic in DuckDB (the m8 oracle does).
+  // The file is ftyp(24) + moov(216: mvhd(108) + trak(8 + tkhd(92))) +
+  // mdat(8 + n) with deterministic [[pixelValue]] content bytes — a real
+  // demuxer parses it (the brand/timescale/duration/track-geometry reads
+  // are the ones ffprobe does), it just carries no coded video samples.
+
+  /** Movie timescale (ticks/second), 4 deterministic classes. */
+  def mp4TimescaleInt(i: Int): Int = 600 * (1 + i % 4)
+  /** Movie + track duration in timescale ticks. */
+  def mp4DurationInt(i: Int): Int = 300 + i % 1000
+  /** Track presentation width/height (integer part of tkhd's 16.16). */
+  def mp4WidthInt(i: Int): Int = 160 + (i % 8) * 16
+  def mp4HeightInt(i: Int): Int = 96 + (i % 8) * 16
+  /** mdat content byte count. */
+  def mp4MdatN(i: Int): Int = 64 + (i % 16) * 8
+
+  private def be4(v: Int): Array[Byte] =
+    java.nio.ByteBuffer.allocate(4).putInt(v).array()
+  private def fourcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+
+  /** The identity transform matrix both mvhd and tkhd carry (fixed-point
+    * 16.16 / 2.30 per the spec): [0x10000 0 0; 0 0x10000 0; 0 0 0x40000000].
     */
-  private def plainPayload(docId: Column, source: Column, text: Column): Column =
+  private val Mp4UnityMatrix: Array[Byte] =
+    be4(0x10000) ++ be4(0) ++ be4(0) ++ be4(0) ++ be4(0x10000) ++ be4(0) ++
+      be4(0) ++ be4(0) ++ be4(0x40000000)
+
+  /** A COMPLETE minimal-box MP4 for a doc: real ftyp/moov/mvhd/trak/tkhd/
+    * mdat framing with doc_id-derived fields. Version-0 boxes, creation/
+    * modification times 0 (determinism), track_ID 1, next_track_ID 2.
+    */
+  def mp4File(docId: Long): Array[Byte] = {
+    val i = (docId % 16).toInt
+    val ftyp = be4(24) ++ fourcc("ftyp") ++ fourcc("isom") ++ be4(0x200) ++
+      fourcc("isom") ++ fourcc("mp42")
+    val mvhd = be4(108) ++ fourcc("mvhd") ++ be4(0) /* v0 + flags */ ++
+      be4(0) ++ be4(0) /* creation, modification */ ++
+      be4(mp4TimescaleInt((docId % 4).toInt)) ++
+      be4(mp4DurationInt((docId % 1000).toInt)) ++
+      be4(0x10000) /* rate 1.0 */ ++
+      Array[Byte](1, 0, 0, 0) /* volume 1.0 + reserved */ ++
+      Array.fill[Byte](8)(0) /* reserved */ ++
+      Mp4UnityMatrix ++ Array.fill[Byte](24)(0) /* pre_defined */ ++
+      be4(2) /* next_track_ID */
+    val tkhd = be4(92) ++ fourcc("tkhd") ++ be4(7) /* v0 + enabled flags */ ++
+      be4(0) ++ be4(0) /* creation, modification */ ++
+      be4(1) /* track_ID */ ++ be4(0) /* reserved */ ++
+      be4(mp4DurationInt((docId % 1000).toInt)) ++
+      Array.fill[Byte](8)(0) /* reserved */ ++
+      Array.fill[Byte](8)(0) /* layer, alternate_group, volume, reserved */ ++
+      Mp4UnityMatrix ++
+      be4(mp4WidthInt((docId % 8).toInt) << 16) ++
+      be4(mp4HeightInt((docId % 8).toInt) << 16)
+    val trak = be4(100) ++ fourcc("trak") ++ tkhd
+    val moov = be4(216) ++ fourcc("moov") ++ mvhd ++ trak
+    val n = mp4MdatN(i)
+    val mdat = new Array[Byte](8 + n)
+    System.arraycopy(be4(8 + n), 0, mdat, 0, 4)
+    System.arraycopy(fourcc("mdat"), 0, mdat, 4, 4)
+    var p = 0
+    while (p < n) { mdat(8 + p) = pixelValue(docId, p).toByte; p += 1 }
+    ftyp ++ moov ++ mdat
+  }
+
+  /** Payload column for the JPEG modality (pure codegen'd expr — the 16
+    * checked-in JFIF files are an `element_at` over an array of binary
+    * literals, no per-row codec work): a complete [[JpegFixtures]] file
+    * (variant = doc_id % 16) + UTF-8 content.
+    */
+  private def jpegPayload(docId: Column, text: Column): Column =
     concat(
-      when(modality(source) === 1,
-        element_at(array(JpegFixtures.Bytes.map(lit): _*),
-          pmod(docId, lit(16)).cast("int") + 1))
-        .otherwise(lit(Mp4Magic)),
+      element_at(array(JpegFixtures.Bytes.map(lit): _*),
+        pmod(docId, lit(16)).cast("int") + 1),
       encode(text, "UTF-8"))
 
   /** (doc_id, payload) for every doc. PNG and WAV docs carry a COMPLETE
@@ -250,9 +315,9 @@ object Multimodal {
   def payloads(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val plain = docs.filter(modality(col("source")).isin(1, 3))
+    val jpeg = docs.filter(modality(col("source")) === 1)
       .select(col("doc_id"),
-        plainPayload(col("doc_id"), col("source"), col("text")).as("payload"))
+        jpegPayload(col("doc_id"), col("text")).as("payload"))
     val png = docs.filter(modality(col("source")) === 0)
       .select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
@@ -263,7 +328,12 @@ object Multimodal {
       .as[(Long, String)]
       .map { case (id, text) => (id, wavFile(id) ++ text.getBytes("UTF-8")) }
       .toDF("doc_id", "payload")
-    plain.unionByName(png).unionByName(wav)
+    val mp4 = docs.filter(modality(col("source")) === 3)
+      .select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) => (id, mp4File(id) ++ text.getBytes("UTF-8")) }
+      .toDF("doc_id", "payload")
+    jpeg.unionByName(png).unionByName(wav).unionByName(mp4)
   }
 
   // ---- PNG IHDR parsing (column expressions over the byte prefix) ------
@@ -466,21 +536,105 @@ object Multimodal {
       } finally in.close()
     } catch { case scala.util.control.NonFatal(_) => None }
 
-  /** Decode stage. PNGs, JPEGs and WAVs are decoded for REAL —
-    * `javax.imageio` inflates the IDAT / runs the JFIF codec and
-    * `javax.sound.sampled` streams the PCM data chunk; dimensions and
+  /** Parsed MP4 box-tree facts: what a real demuxer's metadata pass
+    * reads (ISO/IEC 14496-12 big-endian framing).
+    */
+  final case class Mp4Info(nBoxes: Int, brand: String, timescale: Long,
+                           duration: Long, width: Long, height: Long,
+                           mdatBytes: Long, mdatSum: Long,
+                           mdatChunks: Array[Long])
+
+  /** Decode an MP4 payload for REAL: walk the top-level box sequence
+    * (size/type framing), the moov children (mvhd → movie timescale and
+    * duration), the trak children (tkhd → 16.16 presentation width and
+    * height), and the mdat content bytes (count, byte sum, and the 8
+    * chunk byte-sums the feature stage uses). The walk STOPS at the
+    * first frame that is not a well-formed box (size < 8 or overrunning
+    * the payload) — which is exactly where the UTF-8 body trails the
+    * last box, the same conforming-reader behavior the PNG/WAV/JPEG
+    * trailers rely on (any 4 printable-ASCII chars read as a size
+    * ≥ 0x20202020, far past any payload). None when the bytes don't
+    * start with a valid ftyp box.
+    */
+  def walkMp4(p: Array[Byte]): Option[Mp4Info] =
+    try {
+      var off = 0
+      var n = 0
+      var brand = ""
+      var timescale = -1L; var duration = -1L
+      var w = -1L; var h = -1L
+      var mdatBytes = -1L; var mdatSum = 0L
+      val chunks = Array.fill(FeatureDim)(0L)
+      var ok = true
+      while (ok && off + 8 <= p.length) {
+        val size = beInt(p, off).toLong & 0xffffffffL
+        if (size < 8 || off + size > p.length) ok = false // trailer / malformed
+        else {
+          n += 1
+          new String(p, off + 4, 4, "US-ASCII") match {
+            case "ftyp" =>
+              brand = new String(p, off + 8, 4, "US-ASCII")
+            case "moov" =>
+              var c = off + 8
+              while (c + 8 <= off + size) {
+                val cs = beInt(p, c).toLong & 0xffffffffL
+                if (cs < 8 || c + cs > off + size) c = (off + size).toInt
+                else {
+                  new String(p, c + 4, 4, "US-ASCII") match {
+                    case "mvhd" => // v0: timescale at +20, duration at +24
+                      timescale = beInt(p, c + 20).toLong & 0xffffffffL
+                      duration = beInt(p, c + 24).toLong & 0xffffffffL
+                    case "trak" =>
+                      var t = c + 8
+                      while (t + 8 <= c + cs) {
+                        val ts = beInt(p, t).toLong & 0xffffffffL
+                        if (ts < 8 || t + ts > c + cs) t = (c + cs).toInt
+                        else {
+                          if (new String(p, t + 4, 4, "US-ASCII") == "tkhd") {
+                            // v0: width/height at +84/+88, 16.16 fixed
+                            w = (beInt(p, t + 84).toLong & 0xffffffffL) >> 16
+                            h = (beInt(p, t + 88).toLong & 0xffffffffL) >> 16
+                          }
+                          t += ts.toInt
+                        }
+                      }
+                    case _ => ()
+                  }
+                  c += cs.toInt
+                }
+              }
+            case "mdat" =>
+              mdatBytes = size - 8
+              var i = off + 8
+              while (i < off + size) {
+                val v = (p(i) & 0xff).toLong
+                mdatSum += v
+                chunks((i - off - 8) % FeatureDim) += v
+                i += 1
+              }
+            case _ => ()
+          }
+          off += size.toInt
+        }
+      }
+      if (brand.nonEmpty)
+        Some(Mp4Info(n, brand, timescale, duration, w, h, mdatBytes, mdatSum, chunks))
+      else None
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Decode stage — every modality decodes for REAL now: `javax.imageio`
+    * inflates the IDAT / runs the JFIF codec, `javax.sound.sampled`
+    * streams the PCM data chunk, and [[walkMp4]] parses the ISO box tree
+    * (tkhd presentation dims, mdat content chunk-sums); dimensions and
     * the feature vector derive from the decoded content (MultimodalSpec
-    * proves the round-trips; the m2/m5/m6/m7 oracles replay the
-    * pixel/sample math from doc_id — author-time constants for JPEG).
-    * For audio the (width, height) metadata carries the PCM grid's two
-    * axes: (frames, channels). The ONE remaining modality (MP4 — no JDK
-    * demuxer) keeps the clearly-labelled deterministic FAKE: hashed
-    * dimensions and body chunk-sum features. The Spark shape is the
-    * real one either way: one iterator pass per partition (codec init
-    * amortizes here), no per-row setup, no driver-side collection,
-    * schema fixed by the MediaFeatures encoder. A payload that fails to
-    * decode falls back to the prefix parse for dims and the fake
-    * features.
+    * proves the round-trips; the m2/m5/m6/m8 oracles replay the
+    * pixel/sample/box math from doc_id — author-time constants for
+    * JPEG's m7). For audio the (width, height) metadata carries the PCM
+    * grid's two axes: (frames, channels). The Spark shape is one
+    * iterator pass per partition (codec init amortizes here), no per-row
+    * setup, no driver-side collection, schema fixed by the MediaFeatures
+    * encoder. A payload that fails to decode falls back to the prefix
+    * parse for dims and deterministic body chunk-sum features.
     */
   def decode(blobs: Dataset[MediaBlob]): Dataset[MediaFeatures] = {
     import blobs.sparkSession.implicits._
@@ -493,6 +647,9 @@ object Multimodal {
             decodeWav(b.payload).map { case (frames, ch, chunks, _) =>
               (frames, ch, chunks, Array.empty[Long])
             }
+          case "video/mp4" =>
+            walkMp4(b.payload).map(m =>
+              (m.width.toInt, m.height.toInt, m.mdatChunks, Array.empty[Long]))
           case _ => None
         }
         real match {
@@ -506,7 +663,8 @@ object Multimodal {
                   new String(b.payload.slice(12, 16), "US-ASCII") == "IHDR")
                 (beInt(b.payload, 16), beInt(b.payload, 20)) // header only
               else {
-                // FAKE dimensions for the non-replayable modalities
+                // deterministic FAKE dimensions — reached only by payloads
+                // no decoder accepts (foreign/corrupt bytes)
                 val h = body.foldLeft(17L)((a, x) => (a * 31 + (x & 0xff)) % 1000003L)
                 (64 + (h % 512).toInt, 64 + ((h / 512) % 512).toInt)
               }
@@ -557,6 +715,26 @@ object Multimodal {
     */
   def jpegPixelStats(blobs: Dataset[MediaBlob]): DataFrame =
     imagePixelStats(blobs, "image/jpeg")
+
+  /** Per-clip MP4 box statistics from the REAL box walk: top-level box
+    * count, ftyp major brand, mvhd timescale/duration, tkhd presentation
+    * dims, and mdat content byte count + byte sum — the metadata pass a
+    * real demuxer runs (the m8 oracle recomputes every field as doc_id
+    * arithmetic in DuckDB; agreement pins the synthesized box framing,
+    * the walker's offset math, and the trailing-body stop in one hash).
+    * Non-MP4 and unwalkable payloads are dropped.
+    */
+  def mp4BoxStats(blobs: Dataset[MediaBlob]): DataFrame = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions { it =>
+      it.flatMap { b =>
+        val info = if (b.mime == "video/mp4") walkMp4(b.payload) else None
+        info.map(m => (b.doc_id, m.nBoxes.toLong, m.brand, m.timescale,
+          m.duration, m.width, m.height, m.mdatBytes, m.mdatSum))
+      }
+    }.toDF("doc_id", "n_boxes", "brand", "timescale", "duration",
+      "width", "height", "mdat_bytes", "mdat_sum")
+  }
 
   /** Per-clip PCM sample statistics from the REAL decode: frame/channel
     * geometry and integer-exact per-channel sample sums, straight off the

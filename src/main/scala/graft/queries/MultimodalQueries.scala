@@ -10,9 +10,9 @@ import org.apache.spark.sql.functions.col
   * synthesized binary — PNG docs carry COMPLETE valid files with real
   * zlib IDAT pixel data, WAV docs COMPLETE valid files with real PCM
   * data chunks, JPEG docs COMPLETE checked-in JFIF files, MP4 docs
-  * magic bytes + UTF-8 body — because the test corpus ships no real
-  * media; the sniffing/parsing/decoding/statistics paths are the real
-  * ones).
+  * COMPLETE minimal-box files with real ISO framing and deterministic
+  * mdat content — because the test corpus ships no real media; the
+  * sniffing/parsing/decoding/statistics paths are the real ones).
   *
   * Oracle strategy, per derived value:
   *  - header fields (m3/m4): ONE shared payload-SQL generator rebuilds
@@ -22,23 +22,25 @@ import org.apache.spark.sql.functions.col
   *    `63 + 5*ceil(N/65535) + N + body` with `N = d(1+3d)` because the
   *    IDAT uses stored-mode zlib (length a pure function of content
   *    size), WAV is `44 + frames·blockAlign + body`, JPEG is the
-  *    checked-in fixture length by variant + body, MP4 is `8 + body`;
-  *  - content (m5 pixels, m6 PCM samples) and content-derived features
-  *    (m2's PNG and WAV branches): DuckDB recomputes
-  *    `Multimodal.pixelValue` from doc_id directly — agreement with the
-  *    Spark side pins the whole synthesize → encode → real-decoder →
-  *    statistics loop, since the Spark numbers come off the DECODED
-  *    image / STREAMED data chunk, never the formula;
+  *    checked-in fixture length by variant + body, MP4 is
+  *    `248 + mdatN + body` (ftyp 24 + moov 216 + mdat header 8);
+  *  - content (m5 pixels, m6 PCM samples, m8 box fields + mdat sums)
+  *    and content-derived features (m2's PNG, WAV and MP4 branches):
+  *    DuckDB recomputes `Multimodal.pixelValue` / the box-field
+  *    formulas from doc_id directly — agreement with the Spark side
+  *    pins the whole synthesize → encode → real-decoder → statistics
+  *    loop, since the Spark numbers come off the DECODED image /
+  *    STREAMED data chunk / WALKED box tree, never the formula;
   *  - JPEG content (m7, m2's JPEG branch): AUTHOR-TIME decode constants
   *    keyed by doc_id % 16 (JPEG is lossy — decoded pixels are pinned,
   *    not recomputed; see `tools/AuthorJpegFixtures.java`), while the
   *    Spark side reports the LIVE ImageIO decode of the same bytes.
   *
   * m2 proves the full multimodal → embedding → ANN pipeline end-to-end:
-  * blobs → decode (the per-partition-init `mapPartitions` stage; PNG,
-  * JPEG and WAV features are REAL content chunk sums, MP4 the labelled
-  * byte-sum stub) → `graft.sim` brute-force top-k over the decoded
-  * feature vectors.
+  * blobs → decode (the per-partition-init `mapPartitions` stage; every
+  * modality's features are REAL content chunk sums — PNG/JPEG pixels,
+  * WAV PCM bytes, MP4 mdat bytes) → `graft.sim` brute-force top-k over
+  * the decoded feature vectors.
   */
 object MultimodalQueries {
 
@@ -90,6 +92,10 @@ object MultimodalQueries {
     Multimodal.jpegPixelStats(
       Multimodal.toBlobs(Tables.documents(s, dir)))
 
+  def m8Mp4BoxStats(s: SparkSession, dir: String): DataFrame =
+    Multimodal.mp4BoxStats(
+      Multimodal.toBlobs(Tables.documents(s, dir)))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_media_stats" -> (m1MediaStats _),
     "m2_decode_ann" -> (m2DecodeAnn _),
@@ -97,7 +103,8 @@ object MultimodalQueries {
     "m4_wav_fmt" -> (m4WavFmt _),
     "m5_pixel_stats" -> (m5PixelStats _),
     "m6_wav_sample_stats" -> (m6WavSampleStats _),
-    "m7_jpeg_pixel_stats" -> (m7JpegPixelStats _)
+    "m7_jpeg_pixel_stats" -> (m7JpegPixelStats _),
+    "m8_mp4_box_stats" -> (m8Mp4BoxStats _)
   )
 
   // ---- generated DuckDB twins ----------------------------------------
@@ -153,11 +160,11 @@ object MultimodalQueries {
     * the m5/m6 content replays (every consumer of this CTE reads only
     * header offsets for those modalities), and the PNG checksums by the
     * ImageIO round-trip in MultimodalSpec (CRC-32 is not expressible as
-    * SQL arithmetic). The JPEG arm likewise emits magic-only — no
-    * consumer reads JPEG payload bytes from this CTE anymore (m2's MP4
-    * byte sums filter m = 3; JPEG content is covered by the m1 length
-    * lookup and the m7 author-time constants). Also carries `m`, the
-    * modality index.
+    * SQL arithmetic). The JPEG and MP4 arms likewise emit magic-only —
+    * no consumer reads their payload bytes from this CTE (JPEG content
+    * is covered by the m1 length lookup and the m7 author-time
+    * constants; MP4 box fields and mdat sums by the m8/m2 doc_id
+    * formulas). Also carries `m`, the modality index.
     */
   private def payloadSql: String = {
     val crcList = Multimodal.IhdrCrcs.map(blobLit).mkString("[", ", ", "]")
@@ -202,7 +209,7 @@ object MultimodalQueries {
         |      WHEN 1 THEN ${jpegVariantLookup(
                  graft.multimodal.JpegFixtures.Lens.map(_.toLong))} + tl
         |      WHEN 2 THEN 44 + $wavBytesSql + tl
-        |      ELSE 8 + tl
+        |      ELSE 248 + (64 + (doc_id % 16) * 8) + tl
         |    END AS len
         |  FROM d0
         |)
@@ -226,14 +233,13 @@ object MultimodalQueries {
     "m2_decode_ann" ->
       s"""WITH p AS (
         |  $payloadSql
-        |), b AS (
-        |  SELECT doc_id, substring(hex(payload), 17) AS hx FROM p WHERE m = 3
-        |), idx AS (
-        |  SELECT doc_id, hx, unnest(range(0, length(hx) // 2)) AS i FROM b
-        |), bytesums AS (
-        |  SELECT doc_id, i % 8 AS chunk,
-        |    SUM(('0x' || substring(hx, 2 * i + 1, 2))::BIGINT) AS c
-        |  FROM idx GROUP BY 1, 2
+        |), mp4px AS (
+        |  SELECT doc_id, unnest(range(0, n)) AS px
+        |  FROM (SELECT doc_id, 64 + (doc_id % 16) * 8 AS n FROM documents
+        |        WHERE substring(source, 4)::INT % 4 = 3) md
+        |), mp4sums AS (
+        |  SELECT doc_id, px % 8 AS chunk, SUM(${pixSql("doc_id", "px")}) AS c
+        |  FROM mp4px GROUP BY 1, 2
         |), pngpx AS (
         |  SELECT doc_id, unnest(range(0, 3 * d * d)) AS px
         |  FROM (SELECT doc_id, 16 * (doc_id % 16 + 1) AS d FROM documents
@@ -254,7 +260,7 @@ object MultimodalQueries {
         |  FROM (SELECT doc_id, unnest(range(0, 8)) AS chunk FROM documents
         |        WHERE substring(source, 4)::INT % 4 = 1) jd
         |), sums AS (
-        |  SELECT * FROM bytesums UNION ALL SELECT * FROM pngsums
+        |  SELECT * FROM mp4sums UNION ALL SELECT * FROM pngsums
         |  UNION ALL SELECT * FROM wavsums UNION ALL SELECT * FROM jpegsums
         |), grid AS (
         |  SELECT doc_id, unnest(range(0, 8)) AS chunk FROM p
@@ -402,6 +408,33 @@ object MultimodalQueries {
              graft.multimodal.JpegFixtures.ChanSums.map(_._2))} AS BIGINT) AS sum_g,
         |  CAST(${jpegVariantLookup(
              graft.multimodal.JpegFixtures.ChanSums.map(_._3))} AS BIGINT) AS sum_b
-        |FROM documents WHERE substring(source, 4)::INT % 4 = 1""".stripMargin
+        |FROM documents WHERE substring(source, 4)::INT % 4 = 1""".stripMargin,
+    // MP4 box replay: every field the Spark walker READS off the box
+    // tree (top-level box count, ftyp brand, mvhd timescale/duration,
+    // tkhd 16.16 dims, mdat byte count + byte sum) recomputed as doc_id
+    // arithmetic — MP4 structure is lossless framing, so unlike JPEG no
+    // author-time constants are needed; a hash match pins the
+    // synthesized framing, the walker's offset math, and the
+    // trailing-body stop in one go.
+    "m8_mp4_box_stats" ->
+      s"""WITH v AS (
+        |  SELECT doc_id, 64 + (doc_id % 16) * 8 AS n FROM documents
+        |  WHERE substring(source, 4)::INT % 4 = 3
+        |), px AS (
+        |  SELECT doc_id, unnest(range(0, n)) AS p FROM v
+        |), ms AS (
+        |  SELECT doc_id, SUM(${pixSql("doc_id", "p")}) AS msum
+        |  FROM px GROUP BY doc_id
+        |)
+        |SELECT v.doc_id,
+        |  CAST(3 AS BIGINT) AS n_boxes,
+        |  'isom' AS brand,
+        |  CAST(600 * (1 + v.doc_id % 4) AS BIGINT) AS timescale,
+        |  CAST(300 + v.doc_id % 1000 AS BIGINT) AS duration,
+        |  CAST(160 + (v.doc_id % 8) * 16 AS BIGINT) AS width,
+        |  CAST(96 + (v.doc_id % 8) * 16 AS BIGINT) AS height,
+        |  CAST(v.n AS BIGINT) AS mdat_bytes,
+        |  CAST(ms.msum AS BIGINT) AS mdat_sum
+        |FROM v JOIN ms USING (doc_id)""".stripMargin
   )
 }

@@ -59,6 +59,51 @@ class MultimodalSpec extends SparkSpec {
     // then the UTF-8 body past the EOI marker
     assert(p1.take(JpegFixtures.Lens(1)).sameElements(JpegFixtures.Bytes(1)))
     assert(new String(p1.drop(JpegFixtures.Lens(1)), "UTF-8") == "jpeg doc body x")
+    // mp4 payload = the complete synthesized box file, then the UTF-8
+    // body past the last box
+    val p3 = pay(3L)
+    val f3 = mp4File(3L)
+    assert(p3.take(f3.length).sameElements(f3))
+    assert(new String(p3.drop(f3.length), "UTF-8") == "mp4 doc body zzz")
+  }
+
+  test("MP4 box walker reads back the authored framing; trailing body stops the walk") {
+    for (id <- Seq(3L, 7L, 11L, 15L)) {
+      val full = mp4File(id) ++ s"trailing body of doc $id".getBytes("UTF-8")
+      val info = walkMp4(full)
+      assert(info.isDefined, s"doc $id must walk")
+      val m = info.get
+      assert(m.nBoxes == 3, s"doc $id: body parsed as a box? nBoxes ${m.nBoxes}")
+      assert(m.brand == "isom")
+      assert(m.timescale == mp4TimescaleInt((id % 4).toInt))
+      assert(m.duration == mp4DurationInt((id % 1000).toInt))
+      assert((m.width, m.height) ==
+        ((mp4WidthInt((id % 8).toInt).toLong, mp4HeightInt((id % 8).toInt).toLong)))
+      val n = mp4MdatN((id % 16).toInt)
+      assert(m.mdatBytes == n.toLong)
+      assert(m.mdatSum == (0 until n).map(p => pixelValue(id, p).toLong).sum)
+      val chunks = Array.fill(FeatureDim)(0L)
+      for (p <- 0 until n) chunks(p % FeatureDim) += pixelValue(id, p)
+      assert(m.mdatChunks.toSeq == chunks.toSeq)
+    }
+    // non-MP4 bytes don't walk
+    assert(walkMp4("not a box structure at all".getBytes("UTF-8")).isEmpty)
+    assert(walkMp4(Array.emptyByteArray).isEmpty)
+  }
+
+  test("mp4BoxStats over blobs matches the m8 arithmetic") {
+    val stats = mp4BoxStats(toBlobs(docs)).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_boxes"), r.getAs[String]("brand"),
+          r.getAs[Long]("timescale"), r.getAs[Long]("duration"),
+          r.getAs[Long]("width"), r.getAs[Long]("height"),
+          r.getAs[Long]("mdat_bytes"), r.getAs[Long]("mdat_sum")))).toMap
+    assert(stats.keySet == Set(3L)) // the one mp4-modality doc
+    val n = mp4MdatN(3)
+    assert(stats(3L) == ((3L, "isom",
+      mp4TimescaleInt(3).toLong, mp4DurationInt(3).toLong,
+      mp4WidthInt(3).toLong, mp4HeightInt(3).toLong, n.toLong,
+      (0 until n).map(p => pixelValue(3L, p).toLong).sum)))
   }
 
   test("checked-in JPEG fixtures decode to the authored statistics, trailer included") {
@@ -294,6 +339,9 @@ class MultimodalSpec extends SparkSpec {
     val jpegTotal = Seq((1L, 15), (17L, 15))
       .map { case (id, bodyLen) => JpegFixtures.Lens((id % 16).toInt) + bodyLen }.sum
     assert(stats("image/jpeg") == jpegTotal.toLong)
+    // mp4 = ftyp(24) + moov(216) + mdat(8 + n) + body — the m1 oracle's
+    // 248 + n arithmetic
+    assert(stats("video/mp4") == (248 + mp4MdatN(3) + 16).toLong)
     assert(stats.keySet ==
       Set("image/png", "image/jpeg", "audio/wav", "video/mp4"))
   }
@@ -321,6 +369,8 @@ class MultimodalSpec extends SparkSpec {
     assert(rows(5).width == wavFrames(5L) && rows(5).height == 2)
     // jpeg dims come from the DECODED checked-in JFIF file, not a hash
     assert((rows(1).width, rows(1).height) == JpegFixtures.Dims(1))
+    // mp4 dims come from the WALKED tkhd box, not a hash
+    assert((rows(3).width, rows(3).height) == ((mp4WidthInt(3), mp4HeightInt(3))))
     // png features come from the decoded PIXELS: doc 16 shares doc 0's
     // dims and text but its grid differs -> different features
     val (a, b) = (rows(0), rows(8))

@@ -65,4 +65,21 @@ object MultimodalProps extends Properties("graft.multimodal") {
       }
       ok
     }
+
+  property("mp4File walks back to its authored fields for any doc id + trailer") =
+    forAll(Gen.choose(0L, 1000000L), Gen.asciiPrintableStr) { (id, trailer) =>
+      // any printable-ASCII trailer must stop the walk (its first 4 bytes
+      // read as a box size >= 0x20202020, past any payload), never parse
+      val full = Multimodal.mp4File(id) ++ trailer.getBytes("US-ASCII")
+      Multimodal.walkMp4(full).exists { m =>
+        val n = Multimodal.mp4MdatN((id % 16).toInt)
+        m.nBoxes == 3 && m.brand == "isom" &&
+          m.timescale == Multimodal.mp4TimescaleInt((id % 4).toInt) &&
+          m.duration == Multimodal.mp4DurationInt((id % 1000).toInt) &&
+          m.width == Multimodal.mp4WidthInt((id % 8).toInt) &&
+          m.height == Multimodal.mp4HeightInt((id % 8).toInt) &&
+          m.mdatBytes == n &&
+          m.mdatSum == (0 until n).map(p => Multimodal.pixelValue(id, p).toLong).sum
+      }
+    }
 }
