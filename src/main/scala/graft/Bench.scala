@@ -557,14 +557,22 @@ object Bench {
         val u1sweeps = "sf10_u1_sweeps" -> graft.dedup.Dedup.lastSweeps.toDouble
         // epoch BPE past fixture pair-exhaustion: the sf0.1 corpus runs
         // dry at ~90 merges, so the "32k merges ≈ 32k/b rounds" claim
-        // rested on one measured decade. The replica-disjoint sf10 corpus
-        // carries 100 disjoint vocabularies — enough live pairs for 512+
-        // real merges — and meanBatch AT DEPTH is the number that either
-        // backs or breaks the extrapolation.
+        // rested on one measured decade. The sf10 replica suffixes (`~r`)
+        // are INVISIBLE to BPE's letter-run pre-tokenizer (wordFreq keeps
+        // `[A-Za-z]+` only — training on sf10 directly reproduced the
+        // sf0.1 stats bit-for-bit), so project them into the letter
+        // domain: translate `~`/digits → letters, making each replica a
+        // genuinely disjoint WORD vocabulary with ~100× the pair
+        // inventory. meanBatch AT DEPTH is the number that either backs
+        // or breaks the extrapolation.
         var epoch512 = graft.text.BpeTrain.BatchStats(0, 0)
         val bpe512 = timed("sf10_t7_bpe_512_epoch", n = 1) {
+          import org.apache.spark.sql.functions.{col => c, translate}
           epoch512 = graft.text.BpeTrain.learnEpochStats(
-            graft.io.Tables.documents(spark, sf10Dir), 512, batch = 64)._2; ()
+            graft.io.Tables.documents(spark, sf10Dir)
+              .select(translate(c("text"), "~0123456789", "qabcdefghij")
+                .as("text")),
+            512, batch = 64)._2; ()
         }
         d7row +: d7sweeps +: (rows ++ Seq(u1sweeps, bpe512,
           "sf10_t7_bpe_512_epoch_rounds" -> epoch512.rounds.toDouble,
