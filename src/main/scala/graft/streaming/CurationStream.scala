@@ -229,8 +229,15 @@ object CurationStream {
     val p = new org.apache.hadoop.fs.Path(epochDir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p)) return kept
+    // newest COMMITTED epoch only: a compaction crash mid-write leaves a
+    // torn `epoch=<id>` dir with no _SUCCESS marker, and composing
+    // against a partial drop set would silently resurrect duplicates
+    // until the replayed batch overwrites it — fall back to the previous
+    // complete epoch instead
     val epochs = fs.listStatus(p).map(_.getPath.getName)
-      .filter(_.startsWith("epoch=")).map(_.stripPrefix("epoch=").toLong)
+      .filter(_.startsWith("epoch="))
+      .filter(d => fs.exists(new org.apache.hadoop.fs.Path(p, s"$d/_SUCCESS")))
+      .map(_.stripPrefix("epoch=").toLong)
     if (epochs.isEmpty) return kept
     val drops = spark.read.parquet(s"$epochDir/epoch=${epochs.max}")
     kept.join(drops, Seq("doc_id"), "left_anti")

@@ -55,7 +55,12 @@ object StateMachines {
             gs.remove() // idle key: drop its state, emit nothing
             Iterator.empty
           } else {
-            val sorted = it.toSeq.sortBy(order)
+            // decorate-sort-undecorate, NOT sortBy: sortBy only invokes
+            // the key function inside Ordering comparisons, so a 1-row
+            // group never evaluates `order` — silently skipping any
+            // validation a gate put there (chunkDedupStream's id-range
+            // require). Mapping first makes order total over every row.
+            val sorted = it.toSeq.map(i => (order(i), i)).sortBy(_._1).map(_._2)
             var st = gs.getOption.getOrElse(init)
             val out = Seq.newBuilder[O]
             sorted.foreach { i =>

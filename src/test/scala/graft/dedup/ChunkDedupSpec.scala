@@ -80,4 +80,26 @@ class ChunkDedupSpec extends SparkSpec {
       assert(got3 == got2, s"replay changed verdicts: ${got3 -- got2}")
     } finally q.stop()
   }
+
+  test("streaming gate rejects doc ids outside the order-packing range") {
+    // order packs (doc_id << 21 | cidx): an id >= 2^42 would wrap the
+    // packing and a negative id collides with the (-1, -1) sentinel —
+    // both must fail LOUDLY at the gate, not corrupt arrival order
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    for (badId <- Seq(1L << 42, -1L)) {
+      val in = MemoryStream[(Long, String)](spark)
+      val q = Dedup.chunkDedupStream(in.toDS().toDF("doc_id", "text"), k = 2)
+        .writeStream.format("noop").outputMode("update").start()
+      try {
+        in.addData((badId, "a b"))
+        val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+          q.processAllAvailable()
+        }
+        def messages(t: Throwable): Seq[String] =
+          Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+        assert(messages(e).exists(_.contains("order packing")),
+          s"id $badId: expected the order-packing guard, got $e")
+      } finally q.stop()
+    }
+  }
 }

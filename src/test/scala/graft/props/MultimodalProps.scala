@@ -66,6 +66,17 @@ object MultimodalProps extends Properties("graft.multimodal") {
       ok
     }
 
+  property("walkMp4 never throws on arbitrary bytes (total parser)") =
+    forAll(genBytes) { raw =>
+      // the walker fronts the decode stage, where a malformed payload
+      // must fall back, never kill the task — Option-total on any input,
+      // including bytes that happen to start with plausible box sizes
+      Multimodal.walkMp4(raw)
+      Multimodal.walkMp4(raw.take(8)) // truncated header
+      Multimodal.walkMp4(Multimodal.mp4File(7L).dropRight(3)) // truncated mdat
+      true
+    }
+
   property("mp4File walks back to its authored fields for any doc id + trailer") =
     forAll(Gen.choose(0L, 1000000L), Gen.asciiPrintableStr) { (id, trailer) =>
       // any printable-ASCII trailer must stop the walk (its first 4 bytes

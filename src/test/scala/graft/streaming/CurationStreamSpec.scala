@@ -221,6 +221,18 @@ class CurationStreamSpec extends SparkSpec {
       val direct = CurationStream.compactedKeepers(spark, out1, out2)
         .select("doc_id").as[Long].collect().toSet
       assert(direct == closureTwin)
+
+      // torn-epoch fallback: a crash mid-write leaves an epoch dir with
+      // no _SUCCESS — the view must ignore it and compose against the
+      // previous committed epoch, not a partial drop set
+      val torn = new java.io.File(s"$out3/epoch=${epochs.max + 1}")
+      assert(torn.mkdirs())
+      java.nio.file.Files.write(torn.toPath.resolve("part-torn.parquet"),
+        Array[Byte](1, 2, 3))
+      val afterTorn = CurationStream.compactedView(spark, out1, out3)
+        .select("doc_id").as[Long].collect().toSet
+      assert(afterTorn == closureTwin,
+        s"torn epoch must be ignored, got $afterTorn")
     } finally {
       q1.stop(); q2.stop(); q3.stop()
       spark.streams.active.foreach(_.stop())
