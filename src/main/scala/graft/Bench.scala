@@ -68,16 +68,21 @@ object Bench {
     * then never block and rows are never flagged.
     */
   private final class ProcCpu {
+    // Files.readAllBytes, not scala.io.Source: snap() runs per trial and
+    // per gate probe, and an unclosed Source leaks the fd until GC
+    private def readProc(path: String): String =
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), "US-ASCII")
+
     /** (all-cpus busy jiffies, all-cpus total jiffies, own jiffies). */
     def snap(): (Long, Long, Long) =
       try {
-        val cpu = scala.io.Source.fromFile("/proc/stat").getLines()
+        val cpu = readProc("/proc/stat").linesIterator
           .next().split("\\s+").drop(1).map(_.toLong)
         // user nice system idle iowait irq softirq steal [guest...]
         val total = cpu.take(8).sum
         val busy = total - cpu(3) - cpu(4) // minus idle, iowait
-        val self = scala.io.Source.fromFile("/proc/self/stat").mkString
-          .split("\\s+")
+        val self = readProc("/proc/self/stat").split("\\s+")
         // utime + stime + cutime + cstime: REAPED children count as own —
         // Hadoop's RawLocalFileSystem shells out (chmod & co.) for every
         // checkpoint file it writes, so a sustained streaming run spawns
@@ -364,7 +369,8 @@ object Bench {
 
     // BASELINE.md headline: full detection over a 7500-benign-flow,
     // 500-bot poll history (fixture generation + caching excluded)
-    val sc = Fixtures.scenario(Fixtures.ScenarioParams(nBenignFlows = 7500, nBots = 500))
+    val refParams = Fixtures.ScenarioParams(nBenignFlows = 7500, nBots = 500)
+    val sc = Fixtures.scenario(refParams)
     val flows = sc.flows.toDF().cache()
     flows.count() // materialize outside the timed section
     val detectTimes = Seq(
@@ -429,13 +435,16 @@ object Bench {
     }
     // reference-scale state (~8k per-flow counters) stays on the in-heap
     // default provider by cardinality selection. The argument is the
-    // KEYED-STATE cardinality — distinct flows, nBenign + nBots — not
-    // `flows.size`: that is rows × polls (8k × 8 = 64k), and passing it
-    // silently flipped this "in-heap" run onto RocksDB from round 7
-    // until the round-9 provider stamp exposed it. (Budget was never at
-    // risk — both providers clear 2 s at this scale — but the label in
-    // every prior analysis was wrong.)
-    DetectionStream.selectStateStore(spark, 7500 + 500)
+    // KEYED-STATE cardinality — distinct flows, nBenign + nBots, derived
+    // from the SAME params object as the fixture — not `flows.size`:
+    // that is rows × polls (8k × 8 = 64k), and passing it silently
+    // flipped this "in-heap" run onto RocksDB from round 7 until the
+    // round-9 provider stamp exposed it. (Budget was never at risk —
+    // both providers clear 2 s at this scale — but the label in every
+    // prior analysis was wrong.)
+    def stateKeys(p: Fixtures.ScenarioParams): Long =
+      p.nBenignFlows.toLong + p.nBots
+    DetectionStream.selectStateStore(spark, stateKeys(refParams))
     awaitIdle("sustained-polls")
     val sustained = sustainedPolls("detect_poll", sc.flows)
 
@@ -447,8 +456,8 @@ object Bench {
     val detect10x: Seq[(String, Double)] =
       if (sys.env.get("SPARK_GRAFT_DETECT10X").contains("0")) Nil
       else try {
-        val sc10 = Fixtures.scenario(
-          Fixtures.ScenarioParams(nBenignFlows = 75000, nBots = 5000))
+        val params10 = Fixtures.ScenarioParams(nBenignFlows = 75000, nBots = 5000)
+        val sc10 = Fixtures.scenario(params10)
         val flows10 = sc10.flows.toDF().cache()
         flows10.count()
         val batch = timed("detect_75k_batch", clear = false) {
@@ -461,13 +470,13 @@ object Bench {
         // max 10.76 s one round, flat ~1.1 s another) while RocksDB held
         // ≤ 2.4 s max in both. detect_75k_poll is therefore the engine's
         // real large-state path; the in-heap run is kept for contrast.
-        DetectionStream.selectStateStore(spark, 75000 + 5000) // keyed cardinality
+        DetectionStream.selectStateStore(spark, stateKeys(params10))
         awaitIdle("75k-polls")
         val polls10 = sustainedPolls("detect_75k_poll", sc10.flows)
         spark.conf.set("spark.sql.streaming.stateStore.providerClass",
           "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
         val polls10r = sustainedPolls("detect_75k_poll_inheap", sc10.flows)
-        DetectionStream.selectStateStore(spark, 7500 + 500) // restore small-state default
+        DetectionStream.selectStateStore(spark, stateKeys(refParams)) // restore default
         flows10.unpersist()
         batch +: (polls10 ++ polls10r)
       } catch { case e: Throwable =>

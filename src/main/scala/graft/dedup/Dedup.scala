@@ -192,14 +192,22 @@ object Dedup {
     * rather than left to AQE: the benchmark side is an exploded+distinct
     * plan whose size estimate Catalyst routinely overshoots, and a miss
     * would shuffle the ENTIRE corpus gram stream on `sh` — the hint makes
-    * the one-pass claim plan-enforced (asserted in PushdownSpec).
+    * the one-pass claim plan-enforced (asserted in a
+    * RepetitionDecontamSpec plan test). The pin is also a SIZE
+    * assumption: distinct bench grams are O(benchmark tokens), and a
+    * pinned broadcast past the 8 GB broadcast limit fails the job
+    * outright where AQE could have degraded to a shuffle join. Eval
+    * suites are thousands of docs — far inside the limit — but a caller
+    * decontaminating against something benchmark-shaped yet corpus-SIZED
+    * passes `broadcastBench = false` and gets the planner's choice back.
     */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame, k: Int = 8,
-                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                    idCol: String = "doc_id", textCol: String = "text",
+                    broadcastBench: Boolean = true): DataFrame = {
     val benchGrams = docShingles(benchmark, k, idCol, textCol)
       .select("sh").distinct()
     val contaminated = docShingles(corpus, k, idCol, textCol)
-      .join(broadcast(benchGrams), "sh")
+      .join(if (broadcastBench) broadcast(benchGrams) else benchGrams, "sh")
       .select(col("doc_id").as(idCol)).distinct()
     corpus.join(contaminated, Seq(idCol), "left_anti")
   }
@@ -763,6 +771,17 @@ object Dedup {
     * `Dataset.unpersist` on the RESULT would not reach the drop-set
     * cache entry (it uncaches the result's own plan, which was never
     * cached).
+    *
+    * Executor-loss recoverability follows the closure's checkpoint
+    * flavor, unchanged by the early release: under the default
+    * `localCheckpoint`, a lost executor was ALWAYS fatal to an
+    * in-flight consumer (its label blocks have no lineage to recompute
+    * from — with or without this release); under
+    * `spark.graft.cc.reliableCheckpoint=true` the label data lives in
+    * DFS checkpoint FILES that [[releaseCheckpoint]] does not touch, so
+    * a lost cached drop-set partition recomputes from the files and the
+    * consumer survives. Production closures should run reliable —
+    * exactly the dupClusters scaladoc's guidance.
     */
   def dedupByClustersWithRelease(docs: DataFrame, pairs: DataFrame,
                                  idCol: String = "doc_id"): (DataFrame, () => Unit) = {

@@ -545,16 +545,21 @@ object Multimodal {
                            mdatChunks: Array[Long])
 
   /** Decode an MP4 payload for REAL: walk the top-level box sequence
-    * (size/type framing), the moov children (mvhd → movie timescale and
-    * duration), the trak children (tkhd → 16.16 presentation width and
-    * height), and the mdat content bytes (count, byte sum, and the 8
-    * chunk byte-sums the feature stage uses). The walk STOPS at the
-    * first frame that is not a well-formed box (size < 8 or overrunning
-    * the payload) — which is exactly where the UTF-8 body trails the
-    * last box, the same conforming-reader behavior the PNG/WAV/JPEG
-    * trailers rely on (any 4 printable-ASCII chars read as a size
-    * ≥ 0x20202020, far past any payload). None when the bytes don't
-    * start with a valid ftyp box.
+    * (size/type framing, incl. the spec's `size == 1` 64-bit largesize
+    * — how real muxers frame a > 4 GB mdat — and `size == 0` = to end
+    * of file, legal on the final box), the moov children (mvhd → movie
+    * timescale and duration, version 0 AND version 1 layouts — v1 is
+    * standard muxer output with 64-bit times), the trak children (tkhd
+    * v0/v1 → 16.16 presentation width and height), and the mdat content
+    * bytes (count, byte sum, and the 8 chunk byte-sums the feature
+    * stage uses; largesize mdat payloads are walked from the extended
+    * header). The walk STOPS at the first frame that is not a
+    * well-formed box (size in [2, 8) or overrunning the payload) —
+    * which is exactly where the UTF-8 body trails the last box, the
+    * same conforming-reader behavior the PNG/WAV/JPEG trailers rely on
+    * (any 4 printable-ASCII chars read as a size ≥ 0x20202020, far past
+    * any payload, and never 0 or 1). None when the bytes don't start
+    * with a valid ftyp box.
     */
   def walkMp4(p: Array[Byte]): Option[Mp4Info] =
     try {
@@ -565,35 +570,59 @@ object Multimodal {
       var w = -1L; var h = -1L
       var mdatBytes = -1L; var mdatSum = 0L
       val chunks = Array.fill(FeatureDim)(0L)
+      // (total box size, payload start offset relative to box start);
+      // (-1, _) = not a well-formed box at `at` within `limit`
+      def box(at: Int, limit: Int): (Long, Int) = {
+        val s32 = beInt(p, at).toLong & 0xffffffffL
+        val (size, hdr) =
+          if (s32 == 0) ((limit - at).toLong, 8) // to end (final box)
+          else if (s32 == 1 && at + 16 <= limit) // 64-bit largesize
+            ((beInt(p, at + 8).toLong << 32) |
+              (beInt(p, at + 12).toLong & 0xffffffffL), 16)
+          else (s32, 8)
+        if (size < hdr || at + size > limit) (-1L, hdr) else (size, hdr)
+      }
       var ok = true
       while (ok && off + 8 <= p.length) {
-        val size = beInt(p, off).toLong & 0xffffffffL
-        if (size < 8 || off + size > p.length) ok = false // trailer / malformed
+        val (size, hdr) = box(off, p.length)
+        if (size < 0) ok = false // trailer / malformed
         else {
           n += 1
           new String(p, off + 4, 4, "US-ASCII") match {
             case "ftyp" =>
-              brand = new String(p, off + 8, 4, "US-ASCII")
+              brand = new String(p, off + hdr, 4, "US-ASCII")
             case "moov" =>
-              var c = off + 8
+              var c = off + hdr
               while (c + 8 <= off + size) {
-                val cs = beInt(p, c).toLong & 0xffffffffL
-                if (cs < 8 || c + cs > off + size) c = (off + size).toInt
+                val (cs, chdr) = box(c, (off + size).toInt)
+                if (cs < 0) c = (off + size).toInt
                 else {
                   new String(p, c + 4, 4, "US-ASCII") match {
-                    case "mvhd" => // v0: timescale at +20, duration at +24
-                      timescale = beInt(p, c + 20).toLong & 0xffffffffL
-                      duration = beInt(p, c + 24).toLong & 0xffffffffL
+                    case "mvhd" =>
+                      if ((p(c + chdr) & 0xff) == 1) {
+                        // v1: 64-bit creation/modification, timescale at
+                        // +4+8+8, 64-bit duration after it
+                        timescale = beInt(p, c + chdr + 20).toLong & 0xffffffffL
+                        duration = (beInt(p, c + chdr + 24).toLong << 32) |
+                          (beInt(p, c + chdr + 28).toLong & 0xffffffffL)
+                      } else { // v0: timescale at +4+4+4, 32-bit duration
+                        timescale = beInt(p, c + chdr + 12).toLong & 0xffffffffL
+                        duration = beInt(p, c + chdr + 16).toLong & 0xffffffffL
+                      }
                     case "trak" =>
-                      var t = c + 8
+                      var t = c + chdr
                       while (t + 8 <= c + cs) {
-                        val ts = beInt(p, t).toLong & 0xffffffffL
-                        if (ts < 8 || t + ts > c + cs) t = (c + cs).toInt
+                        val (ts, thdr) = box(t, (c + cs).toInt)
+                        if (ts < 0) t = (c + cs).toInt
                         else {
                           if (new String(p, t + 4, 4, "US-ASCII") == "tkhd") {
-                            // v0: width/height at +84/+88, 16.16 fixed
-                            w = (beInt(p, t + 84).toLong & 0xffffffffL) >> 16
-                            h = (beInt(p, t + 88).toLong & 0xffffffffL) >> 16
+                            // width/height are the last 8 bytes of the
+                            // fixed-size body: v0 body 84, v1 body 96
+                            // (64-bit times + duration add 12)
+                            val wOff = t + thdr +
+                              (if ((p(t + thdr) & 0xff) == 1) 88 else 76)
+                            w = (beInt(p, wOff).toLong & 0xffffffffL) >> 16
+                            h = (beInt(p, wOff + 4).toLong & 0xffffffffL) >> 16
                           }
                           t += ts.toInt
                         }
@@ -604,12 +633,12 @@ object Multimodal {
                 }
               }
             case "mdat" =>
-              mdatBytes = size - 8
-              var i = off + 8
+              mdatBytes = size - hdr
+              var i = off + hdr
               while (i < off + size) {
                 val v = (p(i) & 0xff).toLong
                 mdatSum += v
-                chunks((i - off - 8) % FeatureDim) += v
+                chunks((i - off - hdr) % FeatureDim) += v
                 i += 1
               }
             case _ => ()
@@ -648,8 +677,13 @@ object Multimodal {
               (frames, ch, chunks, Array.empty[Long])
             }
           case "video/mp4" =>
-            walkMp4(b.payload).map(m =>
-              (m.width.toInt, m.height.toInt, m.mdatChunks, Array.empty[Long]))
+            // full-metadata walks only: a partial walk (ftyp parsed but
+            // no tkhd/mdat reached) must take the fallback path like any
+            // other failed decode, not ship -1 dims and a zero vector
+            walkMp4(b.payload)
+              .filter(m => m.width >= 0 && m.height >= 0 && m.mdatBytes >= 0)
+              .map(m =>
+                (m.width.toInt, m.height.toInt, m.mdatChunks, Array.empty[Long]))
           case _ => None
         }
         real match {

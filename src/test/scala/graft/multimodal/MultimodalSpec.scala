@@ -91,6 +91,40 @@ class MultimodalSpec extends SparkSpec {
     assert(walkMp4(Array.emptyByteArray).isEmpty)
   }
 
+  test("box walker handles v1 mvhd/tkhd, largesize and to-EOF boxes (real muxer shapes)") {
+    def be4(v: Int) = java.nio.ByteBuffer.allocate(4).putInt(v).array()
+    def be8(v: Long) = java.nio.ByteBuffer.allocate(8).putLong(v).array()
+    def cc(s: String) = s.getBytes("US-ASCII")
+    val unity = be4(0x10000) ++ be4(0) ++ be4(0) ++ be4(0) ++ be4(0x10000) ++
+      be4(0) ++ be4(0) ++ be4(0) ++ be4(0x40000000)
+    val ftyp = be4(24) ++ cc("ftyp") ++ cc("isom") ++ be4(0x200) ++
+      cc("isom") ++ cc("mp42")
+    // version-1 mvhd (120 B): 64-bit times, timescale after them, 64-bit duration
+    val mvhd = be4(120) ++ cc("mvhd") ++ be4(0x01000000) ++ be8(0) ++ be8(0) ++
+      be4(1000) ++ be8(77777L) ++ be4(0x10000) ++ Array[Byte](1, 0, 0, 0) ++
+      Array.fill[Byte](8)(0) ++ unity ++ Array.fill[Byte](24)(0) ++ be4(2)
+    // version-1 tkhd (104 B): 64-bit times + 64-bit duration
+    val tkhd = be4(104) ++ cc("tkhd") ++ be4(0x01000007) ++ be8(0) ++ be8(0) ++
+      be4(1) ++ be4(0) ++ be8(77777L) ++ Array.fill[Byte](8)(0) ++
+      Array.fill[Byte](8)(0) ++ unity ++ be4(320 << 16) ++ be4(240 << 16)
+    val trak = be4(112) ++ cc("trak") ++ tkhd
+    val moov = be4(8 + 120 + 112) ++ cc("moov") ++ mvhd ++ trak
+    // largesize mdat: size field 1, 64-bit size after the type (the >4GB framing)
+    val n = 32
+    val mdat = be4(1) ++ cc("mdat") ++ be8(16L + n) ++
+      Array.tabulate(n)(i => (i % 7).toByte)
+    val m = walkMp4(ftyp ++ moov ++ mdat ++ "trailing body".getBytes("UTF-8")).get
+    assert(m.nBoxes == 3 && m.brand == "isom")
+    assert(m.timescale == 1000L && m.duration == 77777L)
+    assert((m.width, m.height) == ((320L, 240L)))
+    assert(m.mdatBytes == n.toLong)
+    assert(m.mdatSum == (0 until n).map(_ % 7).sum.toLong)
+    // size == 0: the final box legally extends to end of buffer
+    val toEof = be4(0) ++ cc("mdat") ++ Array.tabulate(8)(i => (1 + i).toByte)
+    val m2 = walkMp4(ftyp ++ toEof).get
+    assert(m2.mdatBytes == 8L && m2.mdatSum == 36L)
+  }
+
   test("mp4BoxStats over blobs matches the m8 arithmetic") {
     val stats = mp4BoxStats(toBlobs(docs)).collect()
       .map(r => r.getAs[Long]("doc_id") ->
