@@ -52,60 +52,14 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  /** Exact foreign-CPU attribution from /proc: over a window, the cores
-    * of CPU consumed by processes OTHER than this JVM =
-    * (Δtotal-busy − Δown) / Δtotal × ncores, with total-busy summed over
-    * /proc/stat's non-idle fields and own from /proc/self/stat
-    * utime+stime (same USER_HZ units, so the ratio is HZ-free). This is
-    * the number /proc/loadavg cannot give: loadavg counts OUR runnable
-    * and D-state threads and remembers our finished bursts for minutes
-    * (a first-cut loadavg−ownCpuEMA estimate false-flagged six clean
-    * rows in one run exactly because our own I/O-blocked threads count
-    * in loadavg but burn no CPU time). A foreign CPU eater — the
-    * BENCH_r08 `sf1_t9` 20× scenario — shows up here directly and
-    * instantly; a purely-I/O foreign hog is the one thing it misses.
-    * Returns 0.0 wherever /proc is unavailable (non-Linux): the gates
-    * then never block and rows are never flagged.
-    */
-  private final class ProcCpu {
-    // Files.readAllBytes, not scala.io.Source: snap() runs per trial and
-    // per gate probe, and an unclosed Source leaks the fd until GC
-    private def readProc(path: String): String =
-      new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(path)), "US-ASCII")
-
-    /** (all-cpus busy jiffies, all-cpus total jiffies, own jiffies). */
-    def snap(): (Long, Long, Long) =
-      try {
-        val cpu = readProc("/proc/stat").linesIterator
-          .next().split("\\s+").drop(1).map(_.toLong)
-        // user nice system idle iowait irq softirq steal [guest...]
-        val total = cpu.take(8).sum
-        val busy = total - cpu(3) - cpu(4) // minus idle, iowait
-        val self = readProc("/proc/self/stat").split("\\s+")
-        // utime + stime + cutime + cstime: REAPED children count as own —
-        // Hadoop's RawLocalFileSystem shells out (chmod & co.) for every
-        // checkpoint file it writes, so a sustained streaming run spawns
-        // hundreds of short-lived children whose CPU would otherwise read
-        // as foreign (it did: 6-9 "ambient" cores during the poll runs,
-        // all of it our own fork/exec traffic)
-        val own = self(13).toLong + self(14).toLong +
-          self(15).toLong + self(16).toLong
-        (busy, total, own)
-      } catch { case _: Throwable => (0L, 1L, 0L) }
-
-    /** Foreign cores consumed between two snapshots. */
-    def othersCores(a: (Long, Long, Long), b: (Long, Long, Long)): Double = {
-      val dTotal = (b._2 - a._2).max(1L)
-      val dOthers = ((b._1 - a._1) - (b._3 - a._3)).max(0L)
-      dOthers.toDouble / dTotal * Runtime.getRuntime.availableProcessors
-    }
-
-    /** Foreign cores over a fresh `windowMs` sampling window. */
-    def ambientNow(windowMs: Long = 1000L): Double = {
-      val a = snap(); Thread.sleep(windowMs); othersCores(a, snap())
-    }
-  }
+  // Foreign-CPU attribution lives in [[graft.util.ProcCpu]] (shared with
+  // the QueryProbe/DetectProbe adjudication mains). History of why it is
+  // /proc-delta based and why reaped children count as own: a first-cut
+  // loadavg−ownCpuEMA estimate false-flagged six clean rows (our own
+  // I/O-blocked threads count in loadavg but burn no CPU time), and the
+  // checkpoint-file chmod children Hadoop's RawLocalFileSystem forks
+  // read as 6-9 "ambient" cores during poll runs until cutime/cstime
+  // were included.
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -131,7 +85,7 @@ object Bench {
     val waitBudgetSec = sys.env.getOrElse("SPARK_GRAFT_LOAD_WAIT_SEC", "900").toInt
     var loadWaited = 0
     val loadOverride = sys.env.get("SPARK_GRAFT_LOAD_OVERRIDE").contains("1")
-    val proc = new ProcCpu
+    val proc = new graft.util.ProcCpu
     def ambient(): Double = proc.ambientNow()
     // the launch gate, now REUSABLE mid-suite: every latency-distribution
     // section and scale tier re-gates on the measured FOREIGN-cpu load

@@ -49,10 +49,14 @@ object DetectProbe {
       nBenignFlows = nFlows, nBots = nBots))
     val flows = sc.flows.toDF().cache()
     flows.count()
+    val proc = new graft.util.ProcCpu // per-trial load evidence, as in Bench
     for (t <- 1 to trials) {
+      val cpu0 = proc.snap()
       val t0 = System.nanoTime()
       val n = Detect.detect(flows).count()
-      println(f"detect_batch trial $t: $n rows in ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"detect_batch trial $t: $n rows in $dt%.3f s " +
+        f"(foreign load ${proc.othersCores(cpu0, proc.snap())}%.2f cores)")
     }
     spark.stop()
   }

@@ -19,11 +19,17 @@ object QueryProbe {
     val spark = GraftSession.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt, "query-probe")
     spark.sparkContext.setLogLevel("WARN")
+    // measured foreign load per trial: a drift adjudication must carry
+    // its own load evidence (the r8 sf1_t9 20x artifact took a judge
+    // rerun precisely because the number could not defend itself)
+    val proc = new graft.util.ProcCpu
     for (t <- 1 to trials) {
+      val cpu0 = proc.snap()
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()
       val dt = (System.nanoTime() - t0) / 1e9
-      println(f"$name trial $t: $n rows in $dt%.2f s")
+      val amb = proc.othersCores(cpu0, proc.snap())
+      println(f"$name trial $t: $n rows in $dt%.2f s (foreign load $amb%.2f cores)")
       spark.catalog.clearCache()
     }
     spark.stop()

@@ -269,6 +269,11 @@ object CurationStream {
     * run) opts into `fullSnapshot = true`, which additionally writes
     * the composed keeper rows to `outDir/snapshot/epoch=<batchId>` —
     * the cost is then explicit and chosen, not the default.
+    *
+    * Epoch retention: each epoch is self-contained (the FULL current
+    * drop set, not a delta), so only the newest committed epoch is ever
+    * read — older `epoch=<id>` dirs are safe to prune on any schedule
+    * the deployment likes; nothing here depends on them.
     */
   def startCompactionStage(spark: SparkSession, stage1Dir: String,
                            stage2Dir: String, outDir: String,
