@@ -51,6 +51,11 @@ class RepetitionDecontamSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     val kept = Dedup.decontaminate(corpus, bench)
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(3L, 4L), s"got $kept")
+    // the escape hatch (benchmark-shaped-but-corpus-sized callers) is
+    // semantics-identical — only the join strategy choice is released
+    val keptNoBc = Dedup.decontaminate(corpus, bench, broadcastBench = false)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptNoBc == kept)
   }
 
   test("decontaminate: the one-pass claim is plan-enforced, not AQE-dependent") {
