@@ -4,8 +4,29 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  /** Pre-flight for the one runtime-keyed oracle row: m7's JPEG channel
+    * sums are author-time constants exact only on the JDK family that
+    * generated `JpegFixtures` (IDCT output legally varies ±1/pixel across
+    * JDK builds). On a different runtime the driver's exact-hash compare
+    * would fail OPAQUELY; this turns that into a one-line diagnosis with
+    * the documented remediation. Returns None when the runtime matches.
+    */
+  def jdkPreflight(runtimeVersion: String): Option[String] = {
+    val author = graft.multimodal.JpegFixtures.AuthorJdk
+    if (runtimeVersion == author) None
+    else Some(
+      s"[verify] JDK mismatch: running on '$runtimeVersion' but the JPEG " +
+      s"fixtures were authored on '$author'. The m7_jpeg_pixel_stats oracle " +
+      "row is exact only on the authoring JDK family (JPEG IDCT variance is " +
+      "legal, +-1/pixel); a hash mismatch on m7 ALONE is expected here, not " +
+      "a code defect. To re-pin: re-run tools/AuthorJpegFixtures.java on " +
+      "this JDK and refresh JpegFixtures.ChanSums + AuthorJdk.")
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
+    jdkPreflight(System.getProperty("java.runtime.version"))
+      .foreach(System.err.println)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -558,7 +558,11 @@ object Multimodal {
     * which is exactly where the UTF-8 body trails the last box, the
     * same conforming-reader behavior the PNG/WAV/JPEG trailers rely on
     * (any 4 printable-ASCII chars read as a size ≥ 0x20202020, far past
-    * any payload, and never 0 or 1). None when the bytes don't start
+    * any payload). The ambiguous size==0 (to-EOF) and size==1
+    * (largesize) frames — which a body BEGINNING with NUL bytes would
+    * otherwise spoof — are additionally gated on a printable-ASCII
+    * fourcc, so arbitrary foreign payloads can't silently absorb the
+    * trailer into mdat/box stats. None when the bytes don't start
     * with a valid ftyp box.
     */
   def walkMp4(p: Array[Byte]): Option[Mp4Info] =
@@ -570,15 +574,30 @@ object Multimodal {
       var w = -1L; var h = -1L
       var mdatBytes = -1L; var mdatSum = 0L
       val chunks = Array.fill(FeatureDim)(0L)
+      // The 4 type bytes read as printable ASCII — required before the
+      // ambiguous size==0/size==1 frames are treated as boxes. A plain
+      // 32-bit size from a printable-ASCII trailer reads ≥ 0x20202020
+      // (past any payload, never 0 or 1) so the overrun check already
+      // rejects it, but a body BEGINNING with NUL bytes would otherwise
+      // parse as a to-EOF (or largesize) box and silently absorb the
+      // trailer. Real to-EOF/largesize boxes carry printable fourccs
+      // (mdat, moov, …), so this costs nothing on conforming files.
+      def printableType(at: Int): Boolean =
+        at + 8 <= p.length && (4 to 7).forall { i =>
+          val b = p(at + i) & 0xff; b >= 0x20 && b <= 0x7e
+        }
       // (total box size, payload start offset relative to box start);
       // (-1, _) = not a well-formed box at `at` within `limit`
       def box(at: Int, limit: Int): (Long, Int) = {
         val s32 = beInt(p, at).toLong & 0xffffffffL
         val (size, hdr) =
-          if (s32 == 0) ((limit - at).toLong, 8) // to end (final box)
+          if (s32 == 0) // to end (final box) — fourcc-gated, see above
+            (if (printableType(at)) (limit - at).toLong else -1L, 8)
           else if (s32 == 1 && at + 16 <= limit) // 64-bit largesize
-            ((beInt(p, at + 8).toLong << 32) |
-              (beInt(p, at + 12).toLong & 0xffffffffL), 16)
+            (if (printableType(at))
+              (beInt(p, at + 8).toLong << 32) |
+                (beInt(p, at + 12).toLong & 0xffffffffL)
+            else -1L, 16)
           else (s32, 8)
         if (size < hdr || at + size > limit) (-1L, hdr) else (size, hdr)
       }
@@ -756,13 +775,17 @@ object Multimodal {
     * real demuxer runs (the m8 oracle recomputes every field as doc_id
     * arithmetic in DuckDB; agreement pins the synthesized box framing,
     * the walker's offset math, and the trailing-body stop in one hash).
-    * Non-MP4 and unwalkable payloads are dropped.
+    * Non-MP4 and unwalkable payloads are dropped — including PARTIAL
+    * walks (valid ftyp but no tkhd/mdat reached), the same
+    * full-metadata filter [[decode]] applies, so foreign MP4 bytes
+    * never ship sentinel -1 rows into the stats table.
     */
   def mp4BoxStats(blobs: Dataset[MediaBlob]): DataFrame = {
     import blobs.sparkSession.implicits._
     blobs.mapPartitions { it =>
       it.flatMap { b =>
-        val info = if (b.mime == "video/mp4") walkMp4(b.payload) else None
+        val info = (if (b.mime == "video/mp4") walkMp4(b.payload) else None)
+          .filter(m => m.width >= 0 && m.height >= 0 && m.mdatBytes >= 0)
         info.map(m => (b.doc_id, m.nBoxes.toLong, m.brand, m.timescale,
           m.duration, m.width, m.height, m.mdatBytes, m.mdatSum))
       }

@@ -55,7 +55,11 @@ object ClassifierLoop {
     * arms are telnet blocks, `DIPA_Controller.py:399-415`); BOT alerts
     * install rules but do not touch the classifier. The collect is on the
     * alert plane — tiny frames, same single-writer rationale as
-    * `AlertLog.sink`, never the data plane.
+    * `AlertLog.sink`, never the data plane. The `.distinct()` bounds the
+    * driver transfer by (domain, label) cardinality instead of alert
+    * volume: within one batch every duplicate row folds the identical
+    * TriggerObs (same batchId seq), and `triggerStep` is idempotent on a
+    * repeated observation, so dropping duplicates is semantics-free.
     */
   def consumeTriggers(alerts: DataFrame, ref: ConfigRef,
                       checkpoint: String): StreamingQuery =
@@ -63,7 +67,7 @@ object ClassifierLoop {
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        val obs = batch.select("domain", "label").collect().toSeq.flatMap { r =>
+        val obs = batch.select("domain", "label").distinct().collect().toSeq.flatMap { r =>
           val label = r.getAs[String]("label")
           val telnetFocus = label == "CNC" || label.toDoubleOption.isDefined
           if (telnetFocus)

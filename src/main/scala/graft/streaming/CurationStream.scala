@@ -243,6 +243,40 @@ object CurationStream {
     kept.join(drops, Seq("doc_id"), "left_anti")
   }
 
+  /** Prune superseded compaction epochs. Each epoch is self-contained
+    * (the FULL current drop set, not a delta) and [[compactedView]]
+    * reads only the newest COMMITTED one, so older `epoch=<id>` dirs
+    * are pure retention cost — this is the invariant-preserving cleanup
+    * a deployment would otherwise hand-roll. Deletes only
+    * `_SUCCESS`-committed epochs older than the newest `keep`:
+    *   - the newest `keep` committed epochs are never touched, so a
+    *     concurrent [[compactedView]] read can never lose its target;
+    *   - TORN epochs (no `_SUCCESS`) are never touched — one may be
+    *     mid-write by the live compaction query RIGHT NOW, and a torn
+    *     id is replayed (overwritten in place) on restart, so deleting
+    *     it would race the writer for nothing;
+    *   - opt-in `snapshot/epoch=<id>` dirs are NOT pruned: snapshots
+    *     are frozen corpora handed to consumers (e.g. a training run)
+    *     and their retention is the consumer's call, not a cache
+    *     policy.
+    * Returns the pruned epoch ids. Safe to run on any schedule,
+    * concurrently with the compaction query and with readers.
+    */
+  def pruneEpochs(spark: SparkSession, epochDir: String, keep: Int = 1): Seq[Long] = {
+    require(keep >= 1, "must retain at least the newest committed epoch")
+    val p = new org.apache.hadoop.fs.Path(epochDir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) return Nil
+    val committed = fs.listStatus(p).map(_.getPath.getName)
+      .filter(_.startsWith("epoch="))
+      .filter(d => fs.exists(new org.apache.hadoop.fs.Path(p, s"$d/_SUCCESS")))
+      .map(_.stripPrefix("epoch=").toLong).sorted
+    val prune = committed.dropRight(keep).toSeq
+    prune.foreach(id =>
+      fs.delete(new org.apache.hadoop.fs.Path(p, s"epoch=$id"), true))
+    prune
+  }
+
   /** Periodic COMPACTION as a third chained query: file-stream STAGE 2's
     * output (so each epoch runs strictly AFTER the flags it folds in are
     * on disk — triggering off stage 1 would race the near-dup gate and
@@ -274,6 +308,9 @@ object CurationStream {
     * drop set, not a delta), so only the newest committed epoch is ever
     * read — older `epoch=<id>` dirs are safe to prune on any schedule
     * the deployment likes; nothing here depends on them.
+    * [[pruneEpochs]] is that cleanup, shipped against the exact
+    * invariant (committed-only, never the newest, torn dirs left to
+    * their replaying writer).
     */
   def startCompactionStage(spark: SparkSession, stage1Dir: String,
                            stage2Dir: String, outDir: String,

@@ -41,11 +41,25 @@ final class ProcCpu {
       (busy, total, own)
     } catch { case _: Throwable => (0L, 1L, 0L) }
 
+  /** Host CPU count from the `cpuN` rows of /proc/stat — NOT
+    * `availableProcessors`, which reports this JVM's cgroup/affinity
+    * quota. The aggregate `cpu` line spans all host CPUs, so scaling its
+    * jiffy ratio by a smaller quota would underestimate foreign load and
+    * let a contended-host gate pass. Falls back to availableProcessors
+    * where /proc is unavailable (where snap() returns zeros anyway).
+    */
+  lazy val hostCores: Int =
+    try {
+      val n = readProc("/proc/stat").linesIterator
+        .count(l => l.startsWith("cpu") && l.length > 3 && l.charAt(3).isDigit)
+      if (n > 0) n else Runtime.getRuntime.availableProcessors
+    } catch { case _: Throwable => Runtime.getRuntime.availableProcessors }
+
   /** Foreign cores consumed between two snapshots. */
   def othersCores(a: (Long, Long, Long), b: (Long, Long, Long)): Double = {
     val dTotal = (b._2 - a._2).max(1L)
     val dOthers = ((b._1 - a._1) - (b._3 - a._3)).max(0L)
-    dOthers.toDouble / dTotal * Runtime.getRuntime.availableProcessors
+    dOthers.toDouble / dTotal * hostCores
   }
 
   /** Foreign cores over a fresh `windowMs` sampling window. */

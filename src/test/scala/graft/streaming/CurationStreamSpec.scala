@@ -239,6 +239,125 @@ class CurationStreamSpec extends SparkSpec {
     }
   }
 
+  test("pruneEpochs: committed-older-only, newest kept, torn dirs untouched") {
+    val root = Files.createTempDirectory("prune").toString
+    val epochDir = s"$root/epochs"
+    def commit(id: Long, drops: Seq[Long]): Unit =
+      drops.toDF("doc_id").coalesce(1)
+        .write.mode("overwrite").parquet(s"$epochDir/epoch=$id")
+    def torn(id: Long): Unit = {
+      val d = new java.io.File(s"$epochDir/epoch=$id")
+      assert(d.mkdirs())
+      java.nio.file.Files.write(d.toPath.resolve("part-torn.parquet"),
+        Array[Byte](9, 9, 9))
+    }
+    def dirs(): Set[Long] =
+      Option(new java.io.File(epochDir).listFiles()).getOrElse(Array.empty)
+        .map(_.getName).filter(_.startsWith("epoch="))
+        .map(_.stripPrefix("epoch=").toLong).toSet
+
+    // missing dir: no-op, no throw
+    assert(CurationStream.pruneEpochs(spark, epochDir) == Nil)
+
+    commit(0L, Seq(1L)); commit(2L, Seq(1L, 3L)); torn(3L); commit(4L, Seq(3L))
+    // keep=2: only the OLDEST committed epoch goes; torn 3 survives
+    assert(CurationStream.pruneEpochs(spark, epochDir, keep = 2) == Seq(0L))
+    assert(dirs() == Set(2L, 3L, 4L))
+    // keep=1 (default): epoch 2 goes, newest committed 4 and torn 3 stay
+    assert(CurationStream.pruneEpochs(spark, epochDir) == Seq(2L))
+    assert(dirs() == Set(3L, 4L))
+    // idempotent: nothing older than the newest committed remains
+    assert(CurationStream.pruneEpochs(spark, epochDir) == Nil)
+    assert(dirs() == Set(3L, 4L))
+    // the view still composes against the surviving committed epoch
+    intercept[IllegalArgumentException] {
+      CurationStream.pruneEpochs(spark, epochDir, keep = 0)
+    }
+  }
+
+  test("chaos property: compactedView never regresses past the newest committed epoch (50 cases)") {
+    // Interleaves the full epoch lifecycle against a fixed stage-1
+    // corpus: committed epoch writes, mid-write crashes (a torn dir with
+    // junk bytes, or a complete write whose _SUCCESS is then removed —
+    // the two torn flavors), replayed-batch-id overwrites of a torn
+    // epoch, pruning at random retention, and compactedView reads. The
+    // invariant under EVERY interleaving: the view equals stage-1
+    // survivors minus the newest COMMITTED epoch's drop set (all
+    // survivors while none is committed) — i.e. a torn write is
+    // invisible, a replayed overwrite becomes visible exactly when its
+    // _SUCCESS lands, and pruning never moves the answer.
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val allIds = (1L to 8L).toSet
+    val root0 = Files.createTempDirectory("chaos").toString
+    val stage1 = s"$root0/out1"
+    allIds.toSeq.map(i => CurationDoc(i, "en", 4L, s"doc $i")).toDF()
+      .coalesce(1).write.parquet(stage1)
+
+    val caseNo = new java.util.concurrent.atomic.AtomicInteger(0)
+    val prop = Prop.forAll(Gen.long) { seed =>
+      val rnd = new scala.util.Random(seed)
+      val epochDir = s"$root0/epochs-${caseNo.incrementAndGet()}"
+      var nextId = 0L
+      var tornId = Option.empty[Long] // a torn id is replayable in place
+      var committedDrops = Map.empty[Long, Set[Long]]
+      def newestCommitted: Option[Set[Long]] =
+        committedDrops.keys.reduceOption(_ max _).map(committedDrops)
+
+      def writeCommitted(id: Long): Unit = {
+        val drops = allIds.filter(_ => rnd.nextBoolean())
+        drops.toSeq.toDF("doc_id").coalesce(1)
+          .write.mode("overwrite").parquet(s"$epochDir/epoch=$id")
+        committedDrops += id -> drops
+      }
+      def read(): Prop = {
+        val got = CurationStream.compactedView(spark, stage1, epochDir)
+          .select("doc_id").as[Long].collect().toSet
+        val expect = allIds -- newestCommitted.getOrElse(Set.empty)
+        Prop(got == expect) :| s"view $got != $expect (committed ${committedDrops.keys.toSeq.sorted})"
+      }
+
+      val checks = (0 until 5).map { _ =>
+        rnd.nextInt(5) match {
+          case 0 => // committed epoch write
+            writeCommitted(nextId); nextId += 1; Prop.passed
+          case 1 => // mid-write crash: torn dir, two flavors
+            val id = nextId; nextId += 1
+            if (rnd.nextBoolean()) {
+              val d = new java.io.File(s"$epochDir/epoch=$id")
+              d.mkdirs()
+              java.nio.file.Files.write(d.toPath.resolve("part-torn.parquet"),
+                Array[Byte](1, 2, 3))
+            } else { // complete write, then crash before commit marker
+              allIds.take(2).toSeq.toDF("doc_id").coalesce(1)
+                .write.mode("overwrite").parquet(s"$epochDir/epoch=$id")
+              assert(new java.io.File(s"$epochDir/epoch=$id/_SUCCESS").delete())
+            }
+            tornId = Some(id); Prop.passed
+          case 2 => // restart replays the torn batch id: overwrite in place
+            tornId match {
+              case Some(id) => writeCommitted(id); tornId = None
+              case None => ()
+            }
+            Prop.passed
+          case 3 => // prune at random retention; model the survivors
+            val keep = 1 + rnd.nextInt(2)
+            val pruned = CurationStream.pruneEpochs(spark, epochDir, keep)
+            val expectPruned =
+              committedDrops.keys.toSeq.sorted.dropRight(keep)
+            val ok = Prop(pruned == expectPruned) :|
+              s"pruned $pruned != $expectPruned"
+            committedDrops --= pruned
+            ok
+          case _ => read()
+        }
+      }
+      checks.reduce(_ && _) && read() // every case ends with a read
+    }
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(50).withWorkers(1), prop)
+    assert(res.passed, s"chaos property failed: ${res.status}")
+  }
+
   test("replay property: arbitrary batch-prefix replays yield no new verdicts (100 cases)") {
     // The composed end-to-end replay guarantee: DedupStreamSpec pins ONE
     // replay-inversion scenario per gate; this property replays arbitrary
