@@ -47,6 +47,25 @@ import org.apache.spark.sql.SparkSession
   * inflates 75k polls ~9×) and the state-store provider behind each
   * sustained-poll run.
   *
+  * Round-10 hardening (heap pinning): heap GEOMETRY is the second axis
+  * the foreign-CPU sentinel cannot see — BENCH_r09's official artifact
+  * inherited the driver's ~89 GiB `-Xmx` and read `detect_75k_poll_max`
+  * 2.075 s (a budget breach) where the calibrated 8 GiB run of the SAME
+  * tree read 1.455 s (round-7 diagnosis: 48 g inflates 75k polls ~9× —
+  * a huge G1 heap defers collection until region scans span tens of GiB
+  * of state-store garbage, landing one giant pause inside some poll).
+  * The suite now PINS its own heap: when launched with a max heap
+  * outside the calibrated family (8 g default, 16 g for the sf10 tier —
+  * PLANS.md's calibrated values), [[main]] re-execs itself in a child
+  * JVM at the pinned `-Xmx` (same classpath, module flags, env, cwd;
+  * stdout/stderr inherited so the driver's capture is unchanged) and
+  * the parent just relays the exit code. The JSON stamps
+  * `heap_target_bytes` + `heap_pinned` so the artifact PROVES the
+  * geometry it measured under. `SPARK_GRAFT_BENCH_HEAP=<size>` moves
+  * the pin (an intentional heap-sensitivity study);
+  * `SPARK_GRAFT_NO_HEAP_PIN=1` disables re-exec entirely — the stamp
+  * then records `heap_pinned:false` and adjudicates itself.
+  *
   * Failures are recorded per query in the emitted JSON (never swallowed as
   * a fake fast time).
   */
@@ -61,7 +80,74 @@ object Bench {
   // read as 6-9 "ambient" cores during poll runs until cutime/cstime
   // were included.
 
+  /** The calibrated max-heap for this run's tier: 8 g default, 16 g when
+    * the sf10 century tier is enabled (its 100× fixtures need the room —
+    * PLANS.md), `SPARK_GRAFT_BENCH_HEAP` to move the pin explicitly.
+    */
+  private[graft] def heapTargetBytes: Long = {
+    val spec = sys.env.getOrElse("SPARK_GRAFT_BENCH_HEAP",
+      if (sys.env.get("SPARK_GRAFT_SF10").contains("1")) "16g" else "8g")
+    parseHeapSpec(spec)
+  }
+
+  /** `-Xmx`-style size spec → bytes (plain bytes, k/m/g suffixes). */
+  private[graft] def parseHeapSpec(spec: String): Long = {
+    val s = spec.trim.toLowerCase
+    val (num, mult) = s.last match {
+      case 'k' => (s.dropRight(1), 1L << 10)
+      case 'm' => (s.dropRight(1), 1L << 20)
+      case 'g' => (s.dropRight(1), 1L << 30)
+      case _   => (s, 1L)
+    }
+    num.toLong * mult
+  }
+
+  /** Whether `actual` max heap is within the calibrated family of
+    * `target` — the band covers GC-dependent `Runtime.maxMemory`
+    * accounting (a survivor space may be subtracted) without admitting
+    * a 2× geometry change.
+    */
+  private[graft] def heapWithinFamily(actual: Long, target: Long): Boolean =
+    actual >= target / 10 * 7 && actual <= target / 10 * 13
+
+  /** Re-exec this main in a child JVM at the calibrated `-Xmx` when the
+    * inherited heap is outside the family (the driver's sbt fork passes
+    * its own `SPARK_DRIVER_MEM` through). Returns true when a child ran
+    * (the parent must just exit with its code). The child carries
+    * `SPARK_GRAFT_HEAP_PINNED=1` so it never recurses; all other env,
+    * the classpath, and every non-heap JVM flag (the `--add-opens`
+    * module set Spark 4 needs) are inherited verbatim.
+    */
+  private def maybeReexecPinned(args: Array[String]): Boolean = {
+    if (sys.env.get("SPARK_GRAFT_HEAP_PINNED").contains("1")) return false
+    if (sys.env.get("SPARK_GRAFT_NO_HEAP_PIN").contains("1")) return false
+    val target = heapTargetBytes
+    if (heapWithinFamily(Runtime.getRuntime.maxMemory, target)) return false
+    val javaBin = java.nio.file.Paths.get(
+      System.getProperty("java.home"), "bin", "java").toString
+    import scala.jdk.CollectionConverters._
+    val inherited = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.toSeq
+      .filterNot(a => a.startsWith("-Xmx") || a.startsWith("-Xms"))
+    val cmd = Seq(javaBin) ++ inherited ++ Seq(
+      s"-Xmx${target >> 20}m",
+      "-cp", System.getProperty("java.class.path"),
+      "graft.Bench") ++ args
+    System.err.println(
+      f"bench: inherited heap ${Runtime.getRuntime.maxMemory / (1L << 30)}%d GiB " +
+        f"is outside the calibrated family (${target / (1L << 30)}%d GiB) — " +
+        "re-exec in a heap-pinned child JVM " +
+        "(SPARK_GRAFT_NO_HEAP_PIN=1 to measure the inherited geometry)")
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.environment().put("SPARK_GRAFT_HEAP_PINNED", "1")
+    pb.inheritIO()
+    val rc = pb.start().waitFor()
+    if (rc != 0) sys.exit(rc)
+    true
+  }
+
   def main(args: Array[String]): Unit = {
+    if (maybeReexecPinned(args)) return
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val trials = sys.env.getOrElse("SPARK_GRAFT_TRIALS", "3").toInt.max(1)
@@ -495,7 +581,7 @@ object Bench {
       else try {
         val sf10Dir = new java.io.File("target/sf10").getAbsolutePath
         graft.fixtures.ScaleProbe.ensure(spark, sfDir, sf10Dir,
-          replicas = 100, withEvents = false)
+          replicas = 100)
         awaitIdle("sf10-tier")
         // d7 first and its sweep count captured IMMEDIATELY — u1 below
         // also runs dupClusters, so a read-at-the-end would report u1's
@@ -510,9 +596,17 @@ object Bench {
         // + the text-hygiene family (t8/t9/d8): the highest-traffic 100 TB
         // curation ops, previously measured only to sf1 — their second
         // decade completes the exponent table in PLANS.md
+        // round-10: + the temporal/session family (z1/z3/p1) — the join
+        // shapes a 100 TB telemetry workload leans on; their bin/window
+        // machinery has its own density dial, and replicas are
+        // KEY-disjoint (user_id offset per replica) so per-key density
+        // is constant and output is exactly 100× — linear wall time is
+        // the pass condition (z2's KEYLESS windows stay unprobed: same
+        // span × 100 density is a quadratic OUTPUT property)
         val rows = Seq("d1_exact_dedup", "d3_minhash_lsh",
             "s3_lsh_topk", "s8_ivf_indexed", "u1_curation",
-            "t8_repetition", "t9_decontam", "d8_chunk_dedup").map { name =>
+            "t8_repetition", "t9_decontam", "d8_chunk_dedup",
+            "z1_asof_join", "z3_range_join_keyed", "p1_sessionize").map { name =>
           timed("sf10_" + name, n = 1) {
             SparkEntry.queries(name)(spark, sf10Dir).count(); ()
           }
@@ -568,6 +662,8 @@ object Bench {
       s""""load_gate":$loadGate,"load_gate_waited_sec":$loadWaited,""" +
       s""""load_gate_timeout":$loadGateTimeout,"load_gate_override":$loadOverride,""" +
       s""""heap_max_bytes":${Runtime.getRuntime.maxMemory},""" +
+      s""""heap_target_bytes":$heapTargetBytes,""" +
+      s""""heap_pinned":${heapWithinFamily(Runtime.getRuntime.maxMemory, heapTargetBytes)},""" +
       s""""state_store_providers":$providersJson,"contended":$contendedJson,""" +
       s""""ambient_after":${ambient()},"wall_sec":$wallSec"""
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson$sentinel,"sf":"$sfDir"}"""

@@ -25,8 +25,10 @@ import org.apache.spark.sql.functions._
   *    genuinely N× corpus.
   *  - events: ids and user ids offset per replica but event_type KEPT — the
   *    5 hot keys each grow N×, which is exactly the regime the skew
-  *    rewrites (k-queries) must stay linear in. Skipped via
-  *    `withEvents = false` for tiers whose probe set reads no events.
+  *    rewrites (k-queries) must stay linear in; user populations are
+  *    replica-DISJOINT, so the keyed temporal/session probes (z1/z3/p1)
+  *    see constant per-key density and exactly N× output. `withEvents =
+  *    false` remains for tiers whose probe set reads no events.
   */
 object ScaleProbe {
 
@@ -35,8 +37,9 @@ object ScaleProbe {
 
   /** Standalone generation (Bench generates lazily; this lets QueryProbe
     * sessions reuse the same dir): `tools/run.sh graft.fixtures.ScaleProbe
-    * [srcDir] [outDir] [replicas]`. The 100× century tier skips events
-    * (its probe set reads none).
+    * [srcDir] [outDir] [replicas]`. Events are generated at every tier
+    * since round 10 (the century probe set gained z1/z3/p1) — at 100×
+    * they are 10 M rows / ~200 MB, the cheapest table in the dir.
     */
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
@@ -46,7 +49,7 @@ object ScaleProbe {
     val spark = graft.GraftSession.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt, "scale-probe-gen")
     spark.sparkContext.setLogLevel("WARN")
-    ensure(spark, src, out, n, withEvents = n <= Replicas)
+    ensure(spark, src, out, n)
     println(s"probe data at $out (src $src, x$n)")
     spark.stop()
   }
