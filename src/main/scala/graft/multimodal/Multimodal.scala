@@ -560,11 +560,20 @@ object Multimodal {
     * (any 4 printable-ASCII chars read as a size ≥ 0x20202020, far past
     * any payload). The ambiguous size==0 (to-EOF) and size==1
     * (largesize) frames — which a body BEGINNING with NUL bytes would
-    * otherwise spoof — are additionally gated on a printable-ASCII
-    * fourcc, so arbitrary foreign payloads can't silently absorb the
-    * trailer into mdat/box stats. None when the bytes don't start
-    * with a valid ftyp box.
+    * otherwise spoof, even with a printable "type" (the body's own
+    * text) — are additionally gated on the known fourccs real muxers
+    * use those forms for ([[AmbiguousFourccs]]), so arbitrary foreign
+    * payloads can't silently absorb the trailer into mdat/box stats.
+    * None when the bytes don't start with a valid ftyp box.
     */
+  /** The box types the spec's to-EOF (`size==0`) and largesize
+    * (`size==1`) framings are accepted for: mdat is the actual
+    * use case (>4 GB content / final-box-to-EOF), the padding family
+    * (free/skip/wide) appears in conforming tool output, moov for
+    * belt-and-braces on faststart-remuxed files.
+    */
+  private val AmbiguousFourccs = Set("mdat", "free", "skip", "wide", "moov")
+
   def walkMp4(p: Array[Byte]): Option[Mp4Info] =
     try {
       var off = 0
@@ -574,27 +583,30 @@ object Multimodal {
       var w = -1L; var h = -1L
       var mdatBytes = -1L; var mdatSum = 0L
       val chunks = Array.fill(FeatureDim)(0L)
-      // The 4 type bytes read as printable ASCII — required before the
-      // ambiguous size==0/size==1 frames are treated as boxes. A plain
-      // 32-bit size from a printable-ASCII trailer reads ≥ 0x20202020
-      // (past any payload, never 0 or 1) so the overrun check already
-      // rejects it, but a body BEGINNING with NUL bytes would otherwise
-      // parse as a to-EOF (or largesize) box and silently absorb the
-      // trailer. Real to-EOF/largesize boxes carry printable fourccs
-      // (mdat, moov, …), so this costs nothing on conforming files.
-      def printableType(at: Int): Boolean =
-        at + 8 <= p.length && (4 to 7).forall { i =>
-          val b = p(at + i) & 0xff; b >= 0x20 && b <= 0x7e
-        }
+      // The ambiguous size==0 (to-EOF) and size==1 (largesize) frames
+      // are accepted only for the fourccs real muxers use those forms
+      // for. A plain 32-bit size from a printable-ASCII trailer reads
+      // ≥ 0x20202020 (past any payload, never 0 or 1) so the overrun
+      // check already rejects it, but a body BEGINNING with NUL bytes
+      // — `00 00 00 00` + any 4 printable chars — would otherwise
+      // parse as a to-EOF box and silently absorb the trailer into
+      // n_boxes/mdat stats (so a printable-fourcc check alone is not
+      // enough: the spoofed "type" is the body's own printable text).
+      // ISO 14496-12 allows size==0 only on the final box — in
+      // practice mdat — and largesize exists for >4 GB mdat; the
+      // padding family rides along for conforming tools that emit it.
+      def ambiguousFormOk(at: Int): Boolean =
+        at + 8 <= p.length &&
+          AmbiguousFourccs(new String(p, at + 4, 4, "US-ASCII"))
       // (total box size, payload start offset relative to box start);
       // (-1, _) = not a well-formed box at `at` within `limit`
       def box(at: Int, limit: Int): (Long, Int) = {
         val s32 = beInt(p, at).toLong & 0xffffffffL
         val (size, hdr) =
           if (s32 == 0) // to end (final box) — fourcc-gated, see above
-            (if (printableType(at)) (limit - at).toLong else -1L, 8)
+            (if (ambiguousFormOk(at)) (limit - at).toLong else -1L, 8)
           else if (s32 == 1 && at + 16 <= limit) // 64-bit largesize
-            (if (printableType(at))
+            (if (ambiguousFormOk(at))
               (beInt(p, at + 8).toLong << 32) |
                 (beInt(p, at + 12).toLong & 0xffffffffL)
             else -1L, 16)

@@ -125,6 +125,55 @@ class MultimodalSpec extends SparkSpec {
     assert(m2.mdatBytes == 8L && m2.mdatSum == 36L)
   }
 
+  test("NUL-leading trailing bodies cannot spoof to-EOF/largesize boxes (round-10 gate)") {
+    val clean = walkMp4(mp4File(3L)).get
+    // size==0 spoof: 4 NUL bytes then printable text — pre-gate this
+    // parsed as a to-EOF box typed by the body's own first word and
+    // absorbed the whole trailer into n_boxes/mdat stats
+    val toEofSpoof = mp4File(3L) ++ Array[Byte](0, 0, 0, 0) ++
+      "junk text that follows the last box".getBytes("UTF-8")
+    val m = walkMp4(toEofSpoof).get
+    assert(m.nBoxes == clean.nBoxes && m.mdatBytes == clean.mdatBytes &&
+      m.mdatSum == clean.mdatSum, "to-EOF spoof absorbed the trailer")
+    // size==1 spoof: 00 00 00 01 then printable text read as largesize
+    val largeSpoof = mp4File(3L) ++ Array[Byte](0, 0, 0, 1) ++
+      "text pretending to be a largesize box header here".getBytes("UTF-8")
+    val m2 = walkMp4(largeSpoof).get
+    assert(m2.nBoxes == clean.nBoxes && m2.mdatSum == clean.mdatSum,
+      "largesize spoof absorbed the trailer")
+    // the legitimate ambiguous forms still walk (mdat to-EOF/largesize
+    // are pinned by the v1/largesize test above); an UNKNOWN fourcc on
+    // the ambiguous form stops the walk instead of absorbing to EOF
+    def be4(v: Int) = java.nio.ByteBuffer.allocate(4).putInt(v).array()
+    val ftyp = be4(24) ++ "ftyp".getBytes("US-ASCII") ++
+      "isom".getBytes("US-ASCII") ++ be4(0x200) ++
+      "isom".getBytes("US-ASCII") ++ "mp42".getBytes("US-ASCII")
+    val unknownToEof = ftyp ++ be4(0) ++ "zzzz".getBytes("US-ASCII") ++
+      Array.tabulate(8)(i => (1 + i).toByte)
+    val m3 = walkMp4(unknownToEof).get
+    assert(m3.nBoxes == 1 && m3.mdatBytes == -1L,
+      s"unknown-fourcc to-EOF frame must stop the walk, got $m3")
+  }
+
+  test("mp4BoxStats drops partial walks (no sentinel -1 rows for foreign MP4 bytes)") {
+    import spark.implicits._
+    def be4(v: Int) = java.nio.ByteBuffer.allocate(4).putInt(v).array()
+    // valid ftyp, no moov/tkhd/mdat ever reached: walkMp4 returns
+    // Some(...) with -1 sentinels, but the stats row must NOT ship
+    val ftypOnly = be4(24) ++ "ftyp".getBytes("US-ASCII") ++
+      "isom".getBytes("US-ASCII") ++ be4(0x200) ++
+      "isom".getBytes("US-ASCII") ++ "mp42".getBytes("US-ASCII") ++
+      "then unstructured text".getBytes("UTF-8")
+    assert(walkMp4(ftypOnly).isDefined, "fixture must be a partial walk")
+    assert(walkMp4(ftypOnly).get.mdatBytes == -1L)
+    val blobs = Seq(
+      Multimodal.MediaBlob(901L, "video/mp4", ftypOnly),
+      Multimodal.MediaBlob(902L, "video/mp4",
+        mp4File(3L) ++ "body".getBytes("UTF-8"))).toDS()
+    val got = mp4BoxStats(blobs).select("doc_id").as[Long].collect().toSet
+    assert(got == Set(902L), s"partial walk must be dropped, got $got")
+  }
+
   test("mp4BoxStats over blobs matches the m8 arithmetic") {
     val stats = mp4BoxStats(toBlobs(docs)).collect()
       .map(r => r.getAs[Long]("doc_id") ->
