@@ -310,13 +310,18 @@ object CurationStream {
     * the deployment likes; nothing here depends on them.
     * [[pruneEpochs]] is that cleanup, shipped against the exact
     * invariant (committed-only, never the newest, torn dirs left to
-    * their replaying writer).
+    * their replaying writer); `retainEpochs = Some(k)` runs it inline
+    * after each epoch commit, so the artifact dir stays bounded at k
+    * committed epochs with no external scheduler.
     */
   def startCompactionStage(spark: SparkSession, stage1Dir: String,
                            stage2Dir: String, outDir: String,
                            checkpointDir: String, every: Int = 1,
-                           fullSnapshot: Boolean = false): StreamingQuery = {
+                           fullSnapshot: Boolean = false,
+                           retainEpochs: Option[Int] = None): StreamingQuery = {
     require(every >= 1, "compaction period must be >= 1 batch")
+    retainEpochs.foreach(k => require(k >= 1,
+      "must retain at least the newest committed epoch"))
     spark.readStream
       .schema(org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("dup_id",
@@ -343,6 +348,11 @@ object CurationStream {
           // until driver GC (Dataset.unpersist would be a CacheManager
           // no-op on checkpoint-backed frames)
           handle.foreach(Dedup.releaseCheckpoint)
+          // opt-in self-pruning: runs AFTER this epoch's _SUCCESS lands,
+          // so the just-written epoch is always in the retained set;
+          // pruneEpochs' own invariant (committed-older-only, torn dirs
+          // untouched) makes this safe against concurrent readers
+          retainEpochs.foreach(k => pruneEpochs(spark, outDir, k))
         }
       }
       .start()

@@ -181,7 +181,8 @@ class CurationStreamSpec extends SparkSpec {
     val q2 = CurationStream.startNearDupStage(spark, out1, out2, s"$root/cp2",
       k = 3, numPerms = nP, bands = nB, threshold = cth)
     val q3 = CurationStream.startCompactionStage(spark, out1, out2, out3, s"$root/cp3",
-      fullSnapshot = true) // exercise the opt-in snapshot alongside the drops
+      fullSnapshot = true, // exercise the opt-in snapshot alongside the drops
+      retainEpochs = Some(1)) // and the inline self-pruning (round 10)
     try {
       docs.foreach { d =>
         in.addData(d)
@@ -200,6 +201,11 @@ class CurationStreamSpec extends SparkSpec {
       val epochs = new java.io.File(out3).listFiles()
         .map(_.getName).filter(_.startsWith("epoch=")).map(_.stripPrefix("epoch=").toLong)
       assert(epochs.nonEmpty)
+      // retainEpochs = Some(1): the live query self-pruned after each
+      // commit, so exactly the newest committed epoch dir remains (the
+      // snapshot dirs below must survive pruning — they are consumer
+      // artifacts, not cache)
+      assert(epochs.length == 1, s"self-pruning left ${epochs.toSeq.sorted}")
       val last = spark.read.parquet(s"$out3/epoch=${epochs.max}")
       assert(last.columns.toSet == Set("doc_id"),
         s"epoch artifact must be ids only, got ${last.columns.toSeq}")
