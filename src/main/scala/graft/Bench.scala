@@ -90,13 +90,20 @@ object Bench {
     parseHeapSpec(spec)
   }
 
-  /** `-Xmx`-style size spec → bytes (plain bytes, k/m/g suffixes). */
+  /** `-Xmx`-style size spec → bytes (plain bytes, k/m/g/t suffixes).
+    * Malformed specs fail with a one-line diagnosis naming the env var,
+    * not a bare NumberFormatException at suite start.
+    */
   private[graft] def parseHeapSpec(spec: String): Long = {
     val s = spec.trim.toLowerCase
+    require(s.matches("\\d+[kmgt]?"),
+      s"SPARK_GRAFT_BENCH_HEAP must be an -Xmx-style size " +
+        s"(e.g. 8g, 512m, 1t), got '$spec'")
     val (num, mult) = s.last match {
       case 'k' => (s.dropRight(1), 1L << 10)
       case 'm' => (s.dropRight(1), 1L << 20)
       case 'g' => (s.dropRight(1), 1L << 30)
+      case 't' => (s.dropRight(1), 1L << 40)
       case _   => (s, 1L)
     }
     num.toLong * mult
@@ -167,11 +174,16 @@ object Bench {
     // `load_gate_timeout` sentinel — a flagged bench beats no bench.
     // SPARK_GRAFT_LOAD_OVERRIDE=1 skips the wait for intentional
     // contended runs.
-    val loadGate = Runtime.getRuntime.availableProcessors / 8.0
+    // the gate is compared against ProcCpu's foreign-cores measure,
+    // which scales by the HOST core count (/proc/stat cpuN rows) — so
+    // the gate must use the same scale, not availableProcessors (this
+    // JVM's cgroup quota); mixing them on a CPU-limited JVM would make
+    // a 32-core host's 1-core tenant read as 2x a 4-quota JVM's gate
+    val proc = new graft.util.ProcCpu
+    val loadGate = proc.hostCores / 8.0
     val waitBudgetSec = sys.env.getOrElse("SPARK_GRAFT_LOAD_WAIT_SEC", "900").toInt
     var loadWaited = 0
     val loadOverride = sys.env.get("SPARK_GRAFT_LOAD_OVERRIDE").contains("1")
-    val proc = new graft.util.ProcCpu
     def ambient(): Double = proc.ambientNow()
     // the launch gate, now REUSABLE mid-suite: every latency-distribution
     // section and scale tier re-gates on the measured FOREIGN-cpu load
@@ -658,7 +670,8 @@ object Bench {
     val providersJson = providerStamps
       .map { case (k, v) => jq(k) + ":" + jq(v) }.mkString("{", ",", "}")
     val sentinel = s""","trials":$trials,"load_before":$loadBefore,"load_after":$loadAfter,""" +
-      s""""bench_cpus":"$cpus","host_cores":${Runtime.getRuntime.availableProcessors},""" +
+      s""""bench_cpus":"$cpus","host_cores":${proc.hostCores},""" +
+      s""""jvm_cpus":${Runtime.getRuntime.availableProcessors},""" +
       s""""load_gate":$loadGate,"load_gate_waited_sec":$loadWaited,""" +
       s""""load_gate_timeout":$loadGateTimeout,"load_gate_override":$loadOverride,""" +
       s""""heap_max_bytes":${Runtime.getRuntime.maxMemory},""" +

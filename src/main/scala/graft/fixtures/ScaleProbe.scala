@@ -70,9 +70,18 @@ object ScaleProbe {
       val m = new String(Files.readAllBytes(marker))
       m == stamp || (m == srcDir && replicas == Replicas)
     }
-    if (markerOk &&
-        (!withEvents || Files.exists(Paths.get(outDir, "events.parquet")))) return
+    val eventsOk = Files.exists(Paths.get(outDir, "events.parquet"))
+    if (markerOk && (!withEvents || eventsOk)) return
     val reps = spark.range(replicas).select(col("id").cast("int").as("r"))
+
+    if (markerOk && withEvents && !eventsOk) {
+      // upgrade path: the dir was generated before events joined this
+      // tier's probe set — add ONLY the missing table; re-running the
+      // 100x documents/embeddings generation (the bulk of the ~10 min
+      // century cost) to add the cheapest table would be absurd
+      writeEvents(spark, srcDir, outDir, reps)
+      return
+    }
 
     spark.read.parquet(s"$srcDir/documents.parquet")
       .crossJoin(broadcast(reps))
@@ -103,18 +112,21 @@ object ScaleProbe {
       .repartition(32)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
 
-    if (withEvents)
-      spark.read.parquet(s"$srcDir/events.parquet")
-        .crossJoin(broadcast(reps))
-        .select(
-          (col("event_id") + col("r") * IdStride).as("event_id"),
-          col("ts"),
-          (col("user_id") + col("r") * 1000000L).as("user_id"),
-          col("event_type"), col("value"), col("props"))
-        .repartition(32)
-        .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+    if (withEvents) writeEvents(spark, srcDir, outDir, reps)
 
     Files.write(marker, stamp.getBytes)
     ()
   }
+
+  private def writeEvents(spark: SparkSession, srcDir: String, outDir: String,
+                          reps: org.apache.spark.sql.DataFrame): Unit =
+    spark.read.parquet(s"$srcDir/events.parquet")
+      .crossJoin(broadcast(reps))
+      .select(
+        (col("event_id") + col("r") * IdStride).as("event_id"),
+        col("ts"),
+        (col("user_id") + col("r") * 1000000L).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
 }

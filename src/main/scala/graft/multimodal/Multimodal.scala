@@ -544,6 +544,14 @@ object Multimodal {
                            mdatBytes: Long, mdatSum: Long,
                            mdatChunks: Array[Long])
 
+  /** The box types the spec's to-EOF (`size==0`) and largesize
+    * (`size==1`) framings are accepted for: mdat is the actual
+    * use case (>4 GB content / final-box-to-EOF), the padding family
+    * (free/skip/wide) appears in conforming tool output, moov for
+    * belt-and-braces on faststart-remuxed files.
+    */
+  private val AmbiguousFourccs = Set("mdat", "free", "skip", "wide", "moov")
+
   /** Decode an MP4 payload for REAL: walk the top-level box sequence
     * (size/type framing, incl. the spec's `size == 1` 64-bit largesize
     * — how real muxers frame a > 4 GB mdat — and `size == 0` = to end
@@ -566,14 +574,6 @@ object Multimodal {
     * payloads can't silently absorb the trailer into mdat/box stats.
     * None when the bytes don't start with a valid ftyp box.
     */
-  /** The box types the spec's to-EOF (`size==0`) and largesize
-    * (`size==1`) framings are accepted for: mdat is the actual
-    * use case (>4 GB content / final-box-to-EOF), the padding family
-    * (free/skip/wide) appears in conforming tool output, moov for
-    * belt-and-braces on faststart-remuxed files.
-    */
-  private val AmbiguousFourccs = Set("mdat", "free", "skip", "wide", "moov")
-
   def walkMp4(p: Array[Byte]): Option[Mp4Info] =
     try {
       var off = 0

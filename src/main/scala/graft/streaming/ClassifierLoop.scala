@@ -69,7 +69,11 @@ object ClassifierLoop {
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val obs = batch.select("domain", "label").distinct().collect().toSeq.flatMap { r =>
           val label = r.getAs[String]("label")
-          val telnetFocus = label == "CNC" || label.toDoubleOption.isDefined
+          // null-safe: a malformed foreign alert with no label must be
+          // ignored, not NPE the query (which would silently freeze the
+          // classifier config)
+          val telnetFocus = label != null &&
+            (label == "CNC" || label.toDoubleOption.isDefined)
           if (telnetFocus)
             Some(TriggerObs(r.getAs[String]("domain"), batchId,
               proto_trig = None, collab_trig = Some("Telnet")))

@@ -234,14 +234,23 @@ object CurationStream {
     // against a partial drop set would silently resurrect duplicates
     // until the replayed batch overwrites it — fall back to the previous
     // complete epoch instead
-    val epochs = fs.listStatus(p).map(_.getPath.getName)
-      .filter(_.startsWith("epoch="))
-      .filter(d => fs.exists(new org.apache.hadoop.fs.Path(p, s"$d/_SUCCESS")))
-      .map(_.stripPrefix("epoch=").toLong)
+    val epochs = committedEpochs(fs, p)
     if (epochs.isEmpty) return kept
     val drops = spark.read.parquet(s"$epochDir/epoch=${epochs.max}")
     kept.join(drops, Seq("doc_id"), "left_anti")
   }
+
+  /** The committed-epoch definition BOTH the reader ([[compactedView]])
+    * and the pruner ([[pruneEpochs]]) rely on — one place, so they can
+    * never disagree about what "committed" means: an `epoch=<id>` dir
+    * whose parquet job finished (`_SUCCESS` present), ascending.
+    */
+  private def committedEpochs(fs: org.apache.hadoop.fs.FileSystem,
+                              p: org.apache.hadoop.fs.Path): Seq[Long] =
+    fs.listStatus(p).map(_.getPath.getName)
+      .filter(_.startsWith("epoch="))
+      .filter(d => fs.exists(new org.apache.hadoop.fs.Path(p, s"$d/_SUCCESS")))
+      .map(_.stripPrefix("epoch=").toLong).sorted.toSeq
 
   /** Prune superseded compaction epochs. Each epoch is self-contained
     * (the FULL current drop set, not a delta) and [[compactedView]]
@@ -250,7 +259,9 @@ object CurationStream {
     * a deployment would otherwise hand-roll. Deletes only
     * `_SUCCESS`-committed epochs older than the newest `keep`:
     *   - the newest `keep` committed epochs are never touched, so a
-    *     concurrent [[compactedView]] read can never lose its target;
+    *     [[compactedView]] plan RESOLVED after the latest commit keeps
+    *     its target (see the reader-concurrency caveat below for plans
+    *     resolved before it);
     *   - TORN epochs (no `_SUCCESS`) are never touched — one may be
     *     mid-write by the live compaction query RIGHT NOW, and a torn
     *     id is replayed (overwritten in place) on restart, so deleting
@@ -259,19 +270,24 @@ object CurationStream {
     *     are frozen corpora handed to consumers (e.g. a training run)
     *     and their retention is the consumer's call, not a cache
     *     policy.
-    * Returns the pruned epoch ids. Safe to run on any schedule,
-    * concurrently with the compaction query and with readers.
+    * Returns the pruned epoch ids. Safe to run on any schedule and
+    * concurrently with the compaction query. Concurrency with READERS
+    * has one caveat inherent to lazy plans: a [[compactedView]] plan
+    * that resolved its epoch BEFORE a newer one committed can still be
+    * executing (a long export job) when that epoch ages out of the
+    * retained set — the scan then fails on missing files (or, with
+    * `spark.sql.files.ignoreMissingFiles`, silently reads an empty
+    * drop set). Size `keep` to cover the longest reader overlapping a
+    * compaction interval — `keep = 2` already means a reader is only
+    * at risk after TWO full compaction epochs elapse mid-job — or
+    * materialize the view before pruning.
     */
   def pruneEpochs(spark: SparkSession, epochDir: String, keep: Int = 1): Seq[Long] = {
     require(keep >= 1, "must retain at least the newest committed epoch")
     val p = new org.apache.hadoop.fs.Path(epochDir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p)) return Nil
-    val committed = fs.listStatus(p).map(_.getPath.getName)
-      .filter(_.startsWith("epoch="))
-      .filter(d => fs.exists(new org.apache.hadoop.fs.Path(p, s"$d/_SUCCESS")))
-      .map(_.stripPrefix("epoch=").toLong).sorted
-    val prune = committed.dropRight(keep).toSeq
+    val prune = committedEpochs(fs, p).dropRight(keep)
     prune.foreach(id =>
       fs.delete(new org.apache.hadoop.fs.Path(p, s"epoch=$id"), true))
     prune
@@ -312,7 +328,9 @@ object CurationStream {
     * invariant (committed-only, never the newest, torn dirs left to
     * their replaying writer); `retainEpochs = Some(k)` runs it inline
     * after each epoch commit, so the artifact dir stays bounded at k
-    * committed epochs with no external scheduler.
+    * committed epochs with no external scheduler (pick k ≥ 2 when
+    * long-running readers overlap compaction intervals — see
+    * [[pruneEpochs]]'s reader-concurrency caveat).
     */
   def startCompactionStage(spark: SparkSession, stage1Dir: String,
                            stage2Dir: String, outDir: String,

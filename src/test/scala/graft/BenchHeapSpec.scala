@@ -15,7 +15,15 @@ class BenchHeapSpec extends AnyFunSuite {
     assert(Bench.parseHeapSpec("16G") == 16L << 30)
     assert(Bench.parseHeapSpec("512m") == 512L << 20)
     assert(Bench.parseHeapSpec("1024k") == 1024L << 10)
+    assert(Bench.parseHeapSpec("1t") == 1L << 40)
     assert(Bench.parseHeapSpec("123456789") == 123456789L)
+  }
+
+  test("malformed heap specs fail with a named diagnosis, not a bare parse error") {
+    for (bad <- Seq("8gb", "", "g", "eight", "8 g", "-8g"))
+      assert(intercept[IllegalArgumentException] {
+        Bench.parseHeapSpec(bad)
+      }.getMessage.contains("SPARK_GRAFT_BENCH_HEAP"), s"spec '$bad'")
   }
 
   test("family band admits GC maxMemory accounting, rejects geometry changes") {
