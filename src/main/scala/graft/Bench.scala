@@ -92,7 +92,12 @@ object Bench {
 
   /** `-Xmx`-style size spec → bytes (plain bytes, k/m/g/t suffixes).
     * Malformed specs fail with a one-line diagnosis naming the env var,
-    * not a bare NumberFormatException at suite start.
+    * not a bare NumberFormatException at suite start. Sub-32 MiB targets
+    * are rejected HERE for the same reason: the re-exec renders the pin
+    * as whole megabytes (`-Xmx${bytes >> 20}m`), so a 512k or plain-byte
+    * spec would truncate toward `-Xmx0m` and die as an opaque child-JVM
+    * launch error instead of this named diagnosis (and no Spark session
+    * starts under 32 MiB anyway).
     */
   private[graft] def parseHeapSpec(spec: String): Long = {
     val s = spec.trim.toLowerCase
@@ -106,7 +111,12 @@ object Bench {
       case 't' => (s.dropRight(1), 1L << 40)
       case _   => (s, 1L)
     }
-    num.toLong * mult
+    val bytes = num.toLong * mult
+    require(bytes >= (32L << 20),
+      s"SPARK_GRAFT_BENCH_HEAP target '$spec' is under 32 MiB — the pin " +
+        "is rendered in whole megabytes and a heap this small cannot run " +
+        "the suite; use at least 32m")
+    bytes
   }
 
   /** Whether `actual` max heap is within the calibrated family of
@@ -155,6 +165,12 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     if (maybeReexecPinned(args)) return
+    // same pre-flight as Verify: Bench runs the identical queries for
+    // TIMING, and a foreign JDK family would silently change m7's work
+    // (different IDCT constants → different row counts) before any
+    // correctness gate could name the cause
+    Verify.jdkPreflight(System.getProperty("java.runtime.version"))
+      .foreach(System.err.println)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val trials = sys.env.getOrElse("SPARK_GRAFT_TRIALS", "3").toInt.max(1)
@@ -266,6 +282,36 @@ object Bench {
     // query the map yields first, distorting its number
     try SparkEntry.queries("q1_agg")(spark, sfDir).count()
     catch { case _: Throwable => () }
+
+    // environment-epoch CALIBRATION rows (round 11): three consecutive
+    // rounds each spent a full tree-rebuild A/B (r7, r8, r9→r10 probes) to
+    // close drifts that were never code regressions — the box's epoch had
+    // moved. These two fixed-cost rows pin the epoch itself: a
+    // single-partition codegen'd hash loop (per-core compute speed — one
+    // task, no exchange) and a small fixed shuffle (the exchange path:
+    // hash write + fetch + partial agg). Their workloads never change, so
+    // future drift adjudication STARTS with "did the calibration rows
+    // move by the same factor as the drifted row?" — one division instead
+    // of a tree rebuild. The pair also runs inside the sf1 tier
+    // (`sf1_calib_*`) under that tier's ambient conditions, since sf1
+    // rows (d3's r10 drift) are where adjudication has been spent.
+    def calibRows(prefix: String): Seq[(String, Double)] = {
+      import org.apache.spark.sql.{functions => F}
+      Seq(
+        timed(prefix + "calib_cpu") {
+          // pmod keeps the running sum inside long range — a raw
+          // sum(xxhash64) overflows under the session's ANSI mode
+          spark.range(0, 30000000L, 1, 1)
+            .select(F.sum(F.pmod(F.xxhash64(F.col("id")),
+              F.lit(1000000007L)))).head(); ()
+        },
+        timed(prefix + "calib_shuffle") {
+          spark.range(0, 16000000L, 1, 32)
+            .groupBy(F.pmod(F.xxhash64(F.col("id")), F.lit(4096)).as("k"))
+            .agg(F.sum(F.col("id"))).count(); ()
+        })
+    }
+    val calib = calibRows("")
 
     val queryTimes = SparkEntry.queries.map { case (name, fn) =>
       timed(name) { fn(spark, sfDir).count(); () }
@@ -436,19 +482,20 @@ object Bench {
     // budget for the pipeline to keep up (BASELINE.md §Targets). This is a
     // sustained latency distribution, not a repeatable unit of work, so it
     // stays single-pass (mean/max over polls) rather than min-of-N.
-    def sustainedPolls(label: String, allFlows: Seq[graft.model.FlowStat])
+    def sustainedPollsGen(label: String, nPolls: Int,
+                          mkPoll: Int => Seq[graft.model.FlowStat])
         : Seq[(String, Double)] = {
-      val polls = allFlows.groupBy(_.poll_id).toSeq.sortBy(_._1).map(_._2)
       // warm the streaming plan (state-store init, codegen, shuffle setup) on
       // a throwaway query over the first poll: the thesis's no-backlog
       // condition is "every poll under 2 s", so the timed max must not be the
       // one-time plan/codegen cost the first trigger would otherwise pay
+      val first = mkPoll(0)
       locally {
         val warm = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
           graft.model.FlowStat](spark)
         val wq = DetectionStream.alerts(warm.toDS()).writeStream
           .format("noop").outputMode("update").start()
-        warm.addData(polls.head)
+        warm.addData(first)
         wq.processAllAvailable()
         wq.stop()
       }
@@ -456,10 +503,23 @@ object Bench {
         graft.model.FlowStat](spark)
       val q = DetectionStream.alerts(stream.toDS()).writeStream
         .format("noop").outputMode("update").start()
+      pollLoop(label, nPolls, q, { i =>
+        // row generation stays OUTSIDE the timed window
+        stream.addData(if (i == 0) first else mkPoll(i))
+      })
+    }
+
+    /** The timed sustained-poll core: one trigger per poll through a live
+      * query, mean/max/load stamps — shared by the MemoryStream tiers and
+      * the marker-fed 750k tier (whose rows materialize on executors).
+      */
+    def pollLoop(label: String, nPolls: Int,
+                 q: org.apache.spark.sql.streaming.StreamingQuery,
+                 addPoll: Int => Unit): Seq[(String, Double)] = {
       val runCpu0 = proc.snap() // foreign-cpu window over the timed polls
-      val perPoll = polls.map { rows =>
+      val perPoll = (0 until nPolls).map { i =>
         val t0 = System.nanoTime()
-        stream.addData(rows)
+        addPoll(i)
         q.processAllAvailable()
         (System.nanoTime() - t0) / 1e9
       }
@@ -484,6 +544,11 @@ object Bench {
           s"${label}_max" -> perPoll.max,
           s"${label}_loadavg" -> loadavg1m(),
           s"${label}_ambient" -> amb)
+    }
+    def sustainedPolls(label: String, allFlows: Seq[graft.model.FlowStat])
+        : Seq[(String, Double)] = {
+      val polls = allFlows.groupBy(_.poll_id).toSeq.sortBy(_._1).map(_._2)
+      sustainedPollsGen(label, polls.size, polls(_))
     }
     // reference-scale state (~8k per-flow counters) stays on the in-heap
     // default provider by cardinality selection. The argument is the
@@ -536,6 +601,66 @@ object Bench {
         Nil
       }
 
+    // detection CENTURY tier (round 11): 750 k flows / 50 k bots as TEN
+    // replica-disjoint DOMAINS of the 75 k scenario — the reference's own
+    // sharding axis (each domain runs an independent controller loop,
+    // `DIPA_Controller.py:308-352`), which is exactly how a
+    // 1000-executor deployment carries 100× the flows: per-domain density
+    // stays at the measured 75 k tier (the sequential per-key path's own
+    // row) while domains parallelize across the state store, the
+    // z1/z3/p1 replica-disjoint recipe applied to keyed state. Disjoint
+    // seeds give each domain its own bot list and benign matrix, so no
+    // cross-domain structure exists to exploit. The per-poll wall-time
+    // exponent vs the 75 k tier is the deliverable (flat-to-mild = the
+    // keyed sharding works; superlinear = a shared bottleneck a real
+    // cluster would hit) — NOT the 2 s trigger budget, which at 100× the
+    // reference's collapse point is reported, not promised. Rows
+    // materialize ON EXECUTORS from tiny (domain, poll) markers — feeding
+    // 850 k-row polls through MemoryStream ships the whole poll inside
+    // every task binary (~157 MiB broadcast per stage, measured; it OOM'd
+    // the pinned 8 g heap), and a driver that renders every ingested row
+    // is exactly the non-distributed shape this engine exists to avoid.
+    // The timed poll therefore includes the parallel fixture expansion
+    // (~ms per domain — the streaming analog of collector decode); the
+    // exchange + keyed-state path is identical to the 75 k tier's. Skip
+    // with SPARK_GRAFT_DETECT100X=0.
+    val detect100x: Seq[(String, Double)] =
+      if (sys.env.get("SPARK_GRAFT_DETECT100X").contains("0")) Nil
+      else try {
+        val params750 = (0 until 10).map { d =>
+          Fixtures.ScenarioParams(nBenignFlows = 75000,
+            nBots = 5000, domain = s"vm$d", seed = 42L + d)
+        }
+        def markerFed(): (org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Int, Int)],
+                          org.apache.spark.sql.streaming.StreamingQuery) = {
+          val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Int, Int)](spark)
+          val flowsDs = ms.toDS()
+            // one generator task per domain, then the usual domain-key
+            // exchange into the state store
+            .repartition(params750.size, org.apache.spark.sql.functions.col("_1"))
+            .flatMap { case (d, poll) => Fixtures.pollGen(params750(d)).poll(poll) }
+          (ms, DetectionStream.alerts(flowsDs).writeStream
+            .format("noop").outputMode("update").start())
+        }
+        def markers(poll: Int): Seq[(Int, Int)] =
+          params750.indices.map(d => (d, poll))
+        // keyed-state cardinality summed across domains → RocksDB
+        DetectionStream.selectStateStore(spark, params750.map(stateKeys).sum)
+        awaitIdle("750k-polls")
+        locally { // warm: plan/codegen/state-store init on a throwaway query
+          val (wms, wq) = markerFed()
+          wms.addData(markers(0)); wq.processAllAvailable(); wq.stop()
+        }
+        val (ms, q) = markerFed()
+        val rows = pollLoop("detect_750k_poll", params750.head.nPolls, q,
+          i => ms.addData(markers(i)))
+        DetectionStream.selectStateStore(spark, stateKeys(refParams))
+        rows
+      } catch { case e: Throwable =>
+        errors += "detect_750k" -> e.toString.takeWhile(_ != '\n').take(200)
+        Nil
+      }
+
     // sf1 scale-cliff probe: the dedup/sim suite at 10x the bench SF
     // (generated on first run into target/sf1 — replica-disjoint vocab so
     // output grows linearly; see ScaleProbe). A query whose sf1 time blows
@@ -549,6 +674,11 @@ object Bench {
         val sf1Dir = new java.io.File("target/sf1").getAbsolutePath
         graft.fixtures.ScaleProbe.ensure(spark, sfDir, sf1Dir)
         awaitIdle("sf1-tier")
+        // the calibration pair re-runs under THIS tier's conditions: sf1
+        // rows are where drift adjudication has actually been spent (d3
+        // r10, t9 r8), and the fixed-work reference must share their
+        // environment to divide against
+        calibRows("sf1_") ++
         // d7 runs FIRST: its iterative sweeps are the most load-sensitive
         // row in the probe (r5→r6 judge-idle spread 16.3→31.9 s), so it
         // must be measured cold, not under the tail load of the rest
@@ -616,7 +746,7 @@ object Bench {
         // the pass condition (z2's KEYLESS windows stay unprobed: same
         // span × 100 density is a quadratic OUTPUT property)
         val rows = Seq("d1_exact_dedup", "d3_minhash_lsh",
-            "s3_lsh_topk", "s8_ivf_indexed", "u1_curation",
+            "s3_lsh_topk", "u1_curation",
             "t8_repetition", "t9_decontam", "d8_chunk_dedup",
             "z1_asof_join", "z3_range_join_keyed", "p1_sessionize").map { name =>
           timed("sf10_" + name, n = 1) {
@@ -624,6 +754,38 @@ object Bench {
           }
         }
         val u1sweeps = "sf10_u1_sweeps" -> graft.dedup.Dedup.lastSweeps.toDouble
+        // round-11: the persisted-index lifecycle SPLIT the way a 100 TB
+        // deployment actually pays it, replacing the combined
+        // sf10_s8_ivf_indexed row whose ~358 s was "build-dominated" only
+        // in prose — BUILD once (Lloyd refine + assignment sweep +
+        // cell-partitioned write), QUERY repeatedly (centroid broadcast +
+        // cell-pruned read + rank; the per-request cost), APPEND daily
+        // (the delta assigned against STORED centroids — the incremental
+        // path, previously measured only at sf0.1). The append's initial
+        // half-corpus build is setup, not the measured row.
+        val ivfRows = {
+          import graft.queries.SimQueries
+          import graft.sim.Similarity
+          val e = SimQueries.clustered(spark, sf10Dir)
+          val ivfBase = new java.io.File("target/ivfindex_sf10_split").getAbsolutePath
+          val build = timed("sf10_s8_build", n = 1) {
+            Similarity.buildIvfIndex(e, SimQueries.ClusterCentPred,
+              SimQueries.Dim, ivfBase)
+          }
+          val query = timed("sf10_s8_query", n = 1) {
+            Similarity.ivfTopKIndexed(spark, ivfBase,
+              e.filter(SimQueries.QueryPred), SimQueries.K,
+              SimQueries.NProbe).count(); ()
+          }
+          val apBase = new java.io.File("target/ivfappend_sf10_split").getAbsolutePath
+          Similarity.buildIvfIndex(e.filter(SimQueries.InitPred),
+            SimQueries.ClusterCentPred, SimQueries.Dim, apBase)
+          val append = timed("sf10_s10_append", n = 1) {
+            Similarity.appendToIvfIndex(
+              e.filter(s"NOT (${SimQueries.InitPred})"), apBase)
+          }
+          Seq(build, query, append)
+        }
         // epoch BPE past fixture pair-exhaustion: the sf0.1 corpus runs
         // dry at ~90 merges, so the "32k merges ≈ 32k/b rounds" claim
         // rested on one measured decade. The sf10 replica suffixes (`~r`)
@@ -643,7 +805,7 @@ object Bench {
                 .as("text")),
             512, batch = 64)._2; ()
         }
-        d7row +: d7sweeps +: (rows ++ Seq(u1sweeps, bpe512,
+        d7row +: d7sweeps +: (rows ++ ivfRows ++ Seq(u1sweeps, bpe512,
           "sf10_t7_bpe_512_epoch_rounds" -> epoch512.rounds.toDouble,
           "sf10_t7_bpe_512_epoch_merges" -> epoch512.merges.toDouble,
           "sf10_t7_bpe_512_epoch_meanbatch" -> epoch512.meanBatch,
@@ -657,9 +819,10 @@ object Bench {
     val loadAfter = loadavg1m()
     val wallSec = (System.nanoTime() - wallStart) / 1e9
 
-    val results = queryTimes.toSeq ++ bpeTimes ++ bpeEpochTimes ++ recall ++ filteredRecall ++
+    val results = calib ++ queryTimes.toSeq ++ bpeTimes ++ bpeEpochTimes ++
+      recall ++ filteredRecall ++
       clusteredGates ++ annAuto ++ detectTimes ++ sustained ++ detect10x ++
-      sf1Times ++ sf10Times
+      detect100x ++ sf1Times ++ sf10Times
     def jq(s: String): String = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val qs = results.map { case (k, v) => jq(k) + ":" + v }.mkString("{", ",", "}")
     val errJson =

@@ -10,10 +10,17 @@ object Verify {
     * JDK builds). On a different runtime the driver's exact-hash compare
     * would fail OPAQUELY; this turns that into a one-line diagnosis with
     * the documented remediation. Returns None when the runtime matches.
+    *
+    * Matching is by version FAMILY (the `feature.interim.update` triple —
+    * everything before the `+` build suffix): the IDCT code is fixed
+    * within an update release, so a rebuild/vendor-suffix bump of the
+    * same update (e.g. `17.0.20+8-2`) must not cry wolf, while a real
+    * update or feature bump still warns.
     */
   def jdkPreflight(runtimeVersion: String): Option[String] = {
     val author = graft.multimodal.JpegFixtures.AuthorJdk
-    if (runtimeVersion == author) None
+    def family(v: String): String = v.takeWhile(_ != '+')
+    if (family(runtimeVersion) == family(author)) None
     else Some(
       s"[verify] JDK mismatch: running on '$runtimeVersion' but the JPEG " +
       s"fixtures were authored on '$author'. The m7_jpeg_pixel_stats oracle " +

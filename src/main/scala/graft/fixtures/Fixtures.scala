@@ -70,31 +70,34 @@ object Fixtures {
   private def ts(pollId: Long, intervalS: Int): Timestamp =
     new Timestamp(1735689600000L + pollId * intervalS * 1000L) // 2025-01-01 UTC
 
-  /** Generate a full scenario: benign background + BoNeSi-shaped attack.
-    *
-    * Benign traffic: `nBenignFlows` seeded (src, dst, port ∈ {80, 443, 53,
-    * 67, 8080}) flows with Poisson-ish cumulative counter increments.
-    * Attack traffic from `attackStartPoll` on: the CNC floods telnet scans
-    * (tcp_dst 23) at `attackRatePps`; every bot carries a symmetric
-    * udp/48101 loading flow (`h3_attack.py:8-13`) plus a weak telnet probe
-    * flow — exactly the bias pattern `DIPA_Controller.py:489` scores.
+  /** Per-poll lazy view of a scenario: the seeded flow SPECS (small —
+    * one tuple per benign flow, one IP per bot) computed once, each
+    * poll's rows generated on demand. `scenario` is `polls.flatMap` of
+    * this, so the two forms are row-for-row identical; the lazy form
+    * exists for the 100× detection scale tier, where holding every
+    * poll of a ~850 k-row-per-poll stream at once (~2.5 GiB of boxed
+    * case classes) would distort the very heap geometry the bench pins.
     */
-  def scenario(p: ScenarioParams): Scenario = {
-    val rnd = new Random(p.seed)
-    val hosts = hostIps(p.nHosts)
-    val bots = botList(p.nBots, p.seed + 1)
-    val cnc = "10.0.0.4"
-
-    val benignSpec = (0 until p.nBenignFlows).map { i =>
-      val src = hosts(rnd.nextInt(hosts.size))
-      val dst = hosts(rnd.nextInt(hosts.size))
-      val port = Seq(80, 443, 53, 67, 8080)(rnd.nextInt(5))
-      val baseRate = rnd.nextInt(40) + 1
-      (i, src, dst, port, baseRate)
+  final class PollGen private[Fixtures] (val p: ScenarioParams) {
+    private val hosts = hostIps(p.nHosts)
+    val bots: Seq[String] = botList(p.nBots, p.seed + 1)
+    val cnc: String = "10.0.0.4"
+    private val benignSpec = {
+      val rnd = new Random(p.seed)
+      (0 until p.nBenignFlows).map { i =>
+        val src = hosts(rnd.nextInt(hosts.size))
+        val dst = hosts(rnd.nextInt(hosts.size))
+        val port = Seq(80, 443, 53, 67, 8080)(rnd.nextInt(5))
+        val baseRate = rnd.nextInt(40) + 1
+        (i, src, dst, port, baseRate)
+      }
     }
 
-    val rows = Seq.newBuilder[FlowStat]
-    for (poll <- 0 until p.nPolls) {
+    /** All rows of poll `poll` (benign background first, then attack —
+      * the order [[scenario]] has always emitted).
+      */
+    def poll(poll: Int): Seq[FlowStat] = {
+      val rows = Seq.newBuilder[FlowStat]
       val t = ts(poll.toLong, p.pollIntervalS)
       // benign background (dpid = stable hash bucket, cumulative counters)
       benignSpec.foreach { case (i, src, dst, port, baseRate) =>
@@ -131,7 +134,24 @@ object Fixtures {
             Some(50000 + bi), Some(23), None, None, 2, probePc, probePc * 60)
         }
       }
+      rows.result()
     }
-    Scenario(rows.result(), bots, cnc, topology(p.nHosts))
+  }
+
+  def pollGen(p: ScenarioParams): PollGen = new PollGen(p)
+
+  /** Generate a full scenario: benign background + BoNeSi-shaped attack.
+    *
+    * Benign traffic: `nBenignFlows` seeded (src, dst, port ∈ {80, 443, 53,
+    * 67, 8080}) flows with Poisson-ish cumulative counter increments.
+    * Attack traffic from `attackStartPoll` on: the CNC floods telnet scans
+    * (tcp_dst 23) at `attackRatePps`; every bot carries a symmetric
+    * udp/48101 loading flow (`h3_attack.py:8-13`) plus a weak telnet probe
+    * flow — exactly the bias pattern `DIPA_Controller.py:489` scores.
+    */
+  def scenario(p: ScenarioParams): Scenario = {
+    val gen = new PollGen(p)
+    val rows = (0 until p.nPolls).flatMap(gen.poll)
+    Scenario(rows, gen.bots, gen.cnc, topology(p.nHosts))
   }
 }

@@ -70,7 +70,13 @@ object ScaleProbe {
       val m = new String(Files.readAllBytes(marker))
       m == stamp || (m == srcDir && replicas == Replicas)
     }
-    val eventsOk = Files.exists(Paths.get(outDir, "events.parquet"))
+    // gate on the COMMIT marker, not bare dir existence: Spark creates the
+    // output dir before the job commits, so a crash mid-writeEvents would
+    // otherwise leave a torn events table that every later ensure()
+    // permanently accepts, silently feeding a partial corpus into the
+    // z1/z3/p1 tiers and breaking their exactly-N× linearity premise
+    val eventsOk =
+      Files.exists(Paths.get(outDir, "events.parquet", "_SUCCESS"))
     if (markerOk && (!withEvents || eventsOk)) return
     val reps = spark.range(replicas).select(col("id").cast("int").as("r"))
 

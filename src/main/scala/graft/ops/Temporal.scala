@@ -85,6 +85,56 @@ object Temporal {
       .drop("__side", "__pay")
   }
 
+  /** Output-density guard thresholds for the KEYLESS [[rangeJoin]] form:
+    * warn when the estimated match count exceeds BOTH an absolute floor
+    * (small fixtures never warn) and this factor times the combined
+    * input rows (the signature of quadratic OUTPUT, which no plan can
+    * make linear). Per-decade evidence behind the guard: the sf10
+    * century probe deliberately EXCLUDES the keyless z2 shape because
+    * 10× density in the same span multiplies its pairs ~100× — an
+    * output property, not a plan property; this encodes that footnote
+    * at the API.
+    */
+  val DenseOutputFactor = 16.0
+  val DenseOutputFloorRows: Long = 1L << 20
+
+  /** The keyless-density estimate behind [[rangeJoin]]'s guard, exposed
+    * for tests and for callers that want the number without the join:
+    * expected matches ≈ points × interval-bin-entries ÷ distinct point
+    * bins (uniform-occupancy estimate — exact when density is flat,
+    * conservative-low under skew, which still catches the quadratic
+    * regime because skew only concentrates pairs further). Returns the
+    * diagnosis when the estimate crosses BOTH thresholds, None
+    * otherwise (including empty inputs). Costs two small aggregate
+    * jobs, one per input.
+    */
+  def keylessDensityDiagnosis(points: DataFrame, ptTs: String,
+                              intervals: DataFrame, startCol: String,
+                              endCol: String, binWidth: Long): Option[String] = {
+    val pAgg = points
+      .select(expr(s"$ptTs div $binWidth").as("__bin"))
+      .agg(count(lit(1)), countDistinct(col("__bin"))).head()
+    val (p, b) = (pAgg.getLong(0), pAgg.getLong(1))
+    val iAgg = intervals.filter(col(endCol) > col(startCol))
+      .agg(count(lit(1)),
+        sum(expr(s"($endCol - 1) div $binWidth - $startCol div $binWidth + 1")))
+      .head()
+    val i = iAgg.getLong(0)
+    val ie = if (iAgg.isNullAt(1)) 0L else iAgg.getLong(1)
+    if (p == 0L || ie == 0L) return None
+    val estOut = p.toDouble * ie.toDouble / math.max(b, 1L)
+    if (estOut > DenseOutputFloorRows && estOut > DenseOutputFactor * (p + i))
+      Some(f"[rangeJoin] keyless range join at quadratic output density: " +
+        f"~$estOut%.3g estimated matches from $p points × $i intervals " +
+        f"(${ie} interval bin entries over $b point bins) — more than " +
+        f"${DenseOutputFactor}%.0f× the input. Every point matches every " +
+        "overlapping interval, so OUTPUT (not the plan) is the scale " +
+        "cliff here. Partition by a real key (the `keys` variant holds " +
+        "per-(key, bin) density constant — see z3 vs z2 in PLANS.md), " +
+        "shrink the span per call, or pre-aggregate the interval side.")
+    else None
+  }
+
   /** Interval (range) join: every (`interval`, `point`) pair of the same
     * `keys` with `startCol <= ts < endCol`, produced as a plain EQUI-join.
     *
@@ -105,11 +155,26 @@ object Temporal {
     * (any unit; `div` truncation = floor only for non-negatives).
     * Empty or inverted intervals (`endCol <= startCol`) are dropped —
     * they can match no point under the `[start, end)` contract.
+    *
+    * Keyless density guard: with `keys = Nil` the OUTPUT itself is
+    * quadratic in per-bin density (every point × every overlapping
+    * interval), which no join strategy can make linear — the reason
+    * the century scale tier probes the keyed z3 but not keyless z2.
+    * When `densityGuard` is on (default) the keyless form estimates its
+    * match count first ([[keylessDensityDiagnosis]], two small
+    * aggregate jobs) and prints the named diagnosis — pointing at the
+    * keyed variant — instead of letting a dense call discover the
+    * cliff as an executor OOM three stages later. Set it false for
+    * repeated calls on inputs already known sparse.
     */
   def rangeJoin(points: DataFrame, ptTs: String, intervals: DataFrame,
                 startCol: String, endCol: String, binWidth: Long,
-                keys: Seq[String] = Nil): DataFrame = {
+                keys: Seq[String] = Nil,
+                densityGuard: Boolean = true): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
+    if (keys.isEmpty && densityGuard)
+      keylessDensityDiagnosis(points, ptTs, intervals, startCol, endCol,
+        binWidth).foreach(System.err.println)
     val clash = intervals.columns.toSeq.intersect(points.columns.toSeq)
       .filterNot(keys.contains)
     require(clash.isEmpty, s"interval/point column collision: $clash")

@@ -278,11 +278,16 @@ object CurationStream {
     * retained set — the scan then fails on missing files (or, with
     * `spark.sql.files.ignoreMissingFiles`, silently reads an empty
     * drop set). Size `keep` to cover the longest reader overlapping a
-    * compaction interval — `keep = 2` already means a reader is only
-    * at risk after TWO full compaction epochs elapse mid-job — or
-    * materialize the view before pruning.
+    * compaction interval, or materialize the view before pruning. The
+    * DEFAULT is `keep = 2` precisely for that race: a plan resolved any
+    * time after the previous commit survives one full compaction
+    * interval of pruning (the newest-but-one epoch is always retained),
+    * so a reader is only at risk after TWO full epochs elapse mid-job.
+    * `keep = 1` (minimum retention) is still accepted for deployments
+    * that materialize before pruning — but it makes the sharp edge the
+    * caller's explicit choice instead of the path of least resistance.
     */
-  def pruneEpochs(spark: SparkSession, epochDir: String, keep: Int = 1): Seq[Long] = {
+  def pruneEpochs(spark: SparkSession, epochDir: String, keep: Int = 2): Seq[Long] = {
     require(keep >= 1, "must retain at least the newest committed epoch")
     val p = new org.apache.hadoop.fs.Path(epochDir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
@@ -328,9 +333,10 @@ object CurationStream {
     * invariant (committed-only, never the newest, torn dirs left to
     * their replaying writer); `retainEpochs = Some(k)` runs it inline
     * after each epoch commit, so the artifact dir stays bounded at k
-    * committed epochs with no external scheduler (pick k ≥ 2 when
-    * long-running readers overlap compaction intervals — see
-    * [[pruneEpochs]]'s reader-concurrency caveat).
+    * committed epochs with no external scheduler. Pick k ≥ 2 (the
+    * [[pruneEpochs]] default) unless every reader materializes before
+    * the next compaction — k = 1 re-exposes the reader race
+    * [[pruneEpochs]]'s default exists to blunt.
     */
   def startCompactionStage(spark: SparkSession, stage1Dir: String,
                            stage2Dir: String, outDir: String,

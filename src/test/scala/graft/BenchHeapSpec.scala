@@ -14,7 +14,7 @@ class BenchHeapSpec extends AnyFunSuite {
     assert(Bench.parseHeapSpec("8g") == 8L << 30)
     assert(Bench.parseHeapSpec("16G") == 16L << 30)
     assert(Bench.parseHeapSpec("512m") == 512L << 20)
-    assert(Bench.parseHeapSpec("1024k") == 1024L << 10)
+    assert(Bench.parseHeapSpec("65536k") == 65536L << 10)
     assert(Bench.parseHeapSpec("1t") == 1L << 40)
     assert(Bench.parseHeapSpec("123456789") == 123456789L)
   }
@@ -24,6 +24,16 @@ class BenchHeapSpec extends AnyFunSuite {
       assert(intercept[IllegalArgumentException] {
         Bench.parseHeapSpec(bad)
       }.getMessage.contains("SPARK_GRAFT_BENCH_HEAP"), s"spec '$bad'")
+  }
+
+  test("sub-32MiB targets are rejected here, not as an opaque -Xmx0m child crash") {
+    // the re-exec renders the pin in whole megabytes, so 512k would
+    // truncate to -Xmx0m — the parser owns that diagnosis
+    for (tiny <- Seq("512k", "31m", "1024", "16777215"))
+      assert(intercept[IllegalArgumentException] {
+        Bench.parseHeapSpec(tiny)
+      }.getMessage.contains("32 MiB"), s"spec '$tiny'")
+    assert(Bench.parseHeapSpec("32m") == 32L << 20) // the floor itself is fine
   }
 
   test("family band admits GC maxMemory accounting, rejects geometry changes") {

@@ -14,6 +14,18 @@ class VerifySpec extends AnyFunSuite {
     assert(Verify.jdkPreflight(graft.multimodal.JpegFixtures.AuthorJdk).isEmpty)
   }
 
+  test("same update, different build/vendor suffix: silent (family match)") {
+    // IDCT code is fixed within an update release — a rebuild of the same
+    // 17.0.20 must not emit the spurious mismatch warning
+    val rebuild = graft.multimodal.JpegFixtures.AuthorJdk.takeWhile(_ != '+') +
+      "+8-2-rebuilt-OtherVendor"
+    assert(Verify.jdkPreflight(rebuild).isEmpty)
+  }
+
+  test("same feature, different update: warns (a real IDCT-relevant bump)") {
+    assert(Verify.jdkPreflight("17.0.21+9-1-deb12u1-Debian").isDefined)
+  }
+
   test("foreign runtime: names both JDKs, the affected row, and the re-pin step") {
     val fake = "21.0.99+7-FutureVendor"
     val msg = Verify.jdkPreflight(fake)

@@ -60,4 +60,36 @@ class ScenarioSpec extends SparkSpec {
     assert(Fixtures.scenario(Fixtures.ScenarioParams(100, 5)).flows ==
       Fixtures.scenario(Fixtures.ScenarioParams(100, 5)).flows)
   }
+
+  test("pollGen is row-for-row the scenario, poll by poll") {
+    // the lazy per-poll generator feeds the 750k bench tier; it must be
+    // the SAME workload as the golden-tested scenario, in the same order
+    val p = Fixtures.ScenarioParams(nBenignFlows = 200, nBots = 7)
+    val sc = Fixtures.scenario(p)
+    val gen = Fixtures.pollGen(p)
+    assert(gen.bots == sc.bots && gen.cnc == sc.cncIp)
+    val regrouped = (0 until p.nPolls).flatMap(gen.poll)
+    assert(regrouped == sc.flows)
+    // and each poll() slice is exactly the scenario's rows of that poll_id
+    for (i <- 0 until p.nPolls)
+      assert(gen.poll(i) == sc.flows.filter(_.poll_id == i),
+        s"poll $i slice mismatch")
+  }
+
+  test("replica-disjoint domains: per-domain detection is independent") {
+    // the 750k tier's premise: ten disjoint-seed domains through ONE
+    // streaming query produce exactly each domain's own alert set
+    val params = (0 until 3).map(d => Fixtures.ScenarioParams(
+      nBenignFlows = 150, nBots = 5, domain = s"vm$d", seed = 42L + d))
+    val scs = params.map(Fixtures.scenario)
+    val merged = scs.flatMap(_.flows)
+      .groupBy(_.poll_id).toSeq.sortBy(_._1).flatMap(_._2)
+    val alerts = DetectionStream.alerts(merged.toDS()).collect()
+    for ((p, sc) <- params.zip(scs)) {
+      val botAlerts = alerts.filter(a => a.domain == p.domain && a.label == "BOT")
+      assert(botAlerts.map(_.ip).toSet == sc.bots.toSet,
+        s"${p.domain}: bots ${botAlerts.length}")
+      assert(alerts.count(a => a.domain == p.domain && a.label == "CNC") == 1)
+    }
+  }
 }

@@ -112,6 +112,34 @@ class TemporalSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(rows(fast) == rows(naive))
   }
 
+  test("keyless density guard: silent on sparse inputs, fires in the quadratic regime") {
+    // the z2 shape at test/bench scale: far under the absolute floor
+    assert(Temporal.keylessDensityDiagnosis(
+      points.drop("k"), "ts", intervals, "lo", "hi", 25L).isEmpty)
+    // empty sides: never warn
+    assert(Temporal.keylessDensityDiagnosis(
+      points.drop("k").limit(0), "ts", intervals, "lo", "hi", 25L).isEmpty)
+    assert(Temporal.keylessDensityDiagnosis(
+      points.drop("k"), "ts", intervals.limit(0), "lo", "hi", 25L).isEmpty)
+    // dense: 3000 points × 3000 intervals all inside two bins — the
+    // quadratic-OUTPUT regime the century tier excluded z2 over
+    // (est ≈ 3000 × 6000 / 2 = 9M matches from 6000 input rows)
+    val densePts = spark.range(3000)
+      .select(col("id").as("pid"), (col("id") % 50).as("ts"))
+    val denseIvs = spark.range(3000)
+      .select(col("id").as("wid"), lit(0L).as("lo"), lit(50L).as("hi"))
+    val diag = Temporal.keylessDensityDiagnosis(
+      densePts, "ts", denseIvs, "lo", "hi", 25L)
+    assert(diag.isDefined, "dense fixture must trip the guard")
+    assert(diag.get.contains("Partition by a real key"),
+      "diagnosis must point at the keyed variant")
+    // inverted intervals are invisible to the estimate (they join to
+    // nothing), so an all-inverted interval side stays silent
+    val inverted = denseIvs.select(col("wid"), col("hi").as("lo"), col("lo").as("hi"))
+    assert(Temporal.keylessDensityDiagnosis(
+      densePts, "ts", inverted, "lo", "hi", 25L).isEmpty)
+  }
+
   test("rangeJoinStream matches the batch join and drops late rows") {
     import java.sql.Timestamp
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -266,14 +266,16 @@ class CurationStreamSpec extends SparkSpec {
     assert(CurationStream.pruneEpochs(spark, epochDir) == Nil)
 
     commit(0L, Seq(1L)); commit(2L, Seq(1L, 3L)); torn(3L); commit(4L, Seq(3L))
-    // keep=2: only the OLDEST committed epoch goes; torn 3 survives
-    assert(CurationStream.pruneEpochs(spark, epochDir, keep = 2) == Seq(0L))
+    // default keep=2 (reader-grace retention): only the OLDEST committed
+    // epoch goes; torn 3 survives
+    assert(CurationStream.pruneEpochs(spark, epochDir) == Seq(0L))
     assert(dirs() == Set(2L, 3L, 4L))
-    // keep=1 (default): epoch 2 goes, newest committed 4 and torn 3 stay
-    assert(CurationStream.pruneEpochs(spark, epochDir) == Seq(2L))
+    // explicit keep=1 (minimum retention — the caller's choice now, not
+    // the default): epoch 2 goes, newest committed 4 and torn 3 stay
+    assert(CurationStream.pruneEpochs(spark, epochDir, keep = 1) == Seq(2L))
     assert(dirs() == Set(3L, 4L))
     // idempotent: nothing older than the newest committed remains
-    assert(CurationStream.pruneEpochs(spark, epochDir) == Nil)
+    assert(CurationStream.pruneEpochs(spark, epochDir, keep = 1) == Nil)
     assert(dirs() == Set(3L, 4L))
     // the view still composes against the surviving committed epoch
     intercept[IllegalArgumentException] {
@@ -286,7 +288,10 @@ class CurationStreamSpec extends SparkSpec {
     // corpus: committed epoch writes, mid-write crashes (a torn dir with
     // junk bytes, or a complete write whose _SUCCESS is then removed —
     // the two torn flavors), replayed-batch-id overwrites of a torn
-    // epoch, pruning at random retention, and compactedView reads. The
+    // epoch, pruning at random retention, compactedView reads, and a
+    // LAGGING reader whose plan resolves one epoch behind a
+    // default-retention prune (it must keep answering as of resolve
+    // time — the keep=2 default's whole point). The
     // invariant under EVERY interleaving: the view equals stage-1
     // survivors minus the newest COMMITTED epoch's drop set (all
     // survivors while none is committed) — i.e. a torn write is
@@ -323,7 +328,7 @@ class CurationStreamSpec extends SparkSpec {
       }
 
       val checks = (0 until 5).map { _ =>
-        rnd.nextInt(5) match {
+        rnd.nextInt(6) match {
           case 0 => // committed epoch write
             writeCommitted(nextId); nextId += 1; Prop.passed
           case 1 => // mid-write crash: torn dir, two flavors
@@ -354,6 +359,19 @@ class CurationStreamSpec extends SparkSpec {
               s"pruned $pruned != $expectPruned"
             committedDrops --= pruned
             ok
+          case 4 => // lagging reader: a plan resolved ONE epoch behind the
+            // pruner (the round-10 watch item). Resolve now, let one more
+            // epoch commit, run the pruner at its DEFAULT retention — the
+            // keep=2 default must leave the resolved epoch's files intact,
+            // so the held plan still answers as of its resolve time.
+            val held = CurationStream.compactedView(spark, stage1, epochDir)
+            val expectHeld = allIds -- newestCommitted.getOrElse(Set.empty)
+            writeCommitted(nextId); nextId += 1
+            val pruned = CurationStream.pruneEpochs(spark, epochDir)
+            committedDrops --= pruned
+            val gotHeld = held.select("doc_id").as[Long].collect().toSet
+            Prop(gotHeld == expectHeld) :|
+              s"lagging reader $gotHeld != $expectHeld after default prune"
           case _ => read()
         }
       }
