@@ -471,16 +471,39 @@ object Similarity {
       .write.mode(mode).partitionBy("cell").parquet(s"$path/assigned")
   }
 
+  /** Above this many distinct probed cells, [[ivfTopKIndexed]] falls back
+    * from explicit per-cell paths to a full-layout read (the path list
+    * itself, and the per-path existence probes, stop being cheaper than
+    * one recursive listing somewhere around here).
+    */
+  val MaxPrunedIndexPaths = 4096
+
   /** Query a persisted [[buildIvfIndex]] index: probe cells against the
     * (small, broadcast) centroid table, then score ONLY the stored
     * vectors of probed cells. No assignment sweep at query time — the
-    * defining win of a persisted index — and the partitioned layout
-    * prunes the files read down to the probed cells.
+    * defining win of a persisted index.
+    *
+    * The probed-cell set is resolved FIRST (one tiny queries×centroids
+    * job, bounded by queries × nprobe) and the scan is constructed over
+    * exactly those `cell=<id>` directories — so file LISTING is
+    * O(probed cells), not O(all cells). Dynamic partition pruning alone
+    * is not enough at index scale: it prunes which partitions are READ,
+    * but the file index still lists every cell directory up front — at
+    * the sf10 century tier (~30 k cells, `ClusterCentPred` seeds scale
+    * with the corpus) that listing dominated the whole query
+    * (`sf10_s8_query` 20.9 s for an 8-query lookup), and on an object
+    * store it is 30 k LIST calls before any work. Reading only the
+    * probed posting lists is what a vector store does. Probed cells with
+    * no stored vectors are dropped against ONE top-level directory
+    * listing (they contribute zero candidates either way); query sets
+    * probing more than `maxPrunedPaths` distinct cells fall back to the
+    * full-layout read, where one recursive listing is the better trade.
     */
   def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
                      queries: DataFrame, k: Int, nprobe: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding",
-                     candidateFilter: Option[Column] = None): DataFrame = {
+                     candidateFilter: Option[Column] = None,
+                     maxPrunedPaths: Int = MaxPrunedIndexPaths): DataFrame = {
     val dot = nativeDot(queries)
     val cents = broadcast(spark.read.parquet(s"$path/centroids")
       .withColumn("cn0", sqrt(dot(col("cv0"), col("cv0")))))
@@ -492,7 +515,31 @@ object Similarity {
       .withColumn("crn", row_number().over(wq))
       .filter(col("crn") <= nprobe)
       .select(col("q_id"), col("cid").as("cell"))
-    val assigned0 = spark.read.parquet(s"$path/assigned")
+    // resolve the probed cells eagerly; intersect with the cells that
+    // actually exist on disk (an empty cell has no directory — reading
+    // it would fail, skipping it is semantically identical)
+    val probed = qCells.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val assignedRoot = s"$path/assigned"
+    val prune = probed.nonEmpty && probed.length <= maxPrunedPaths
+    val selected: Array[Long] = if (!prune) probed else {
+      val root = new org.apache.hadoop.fs.Path(assignedRoot)
+      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+      val onDisk = fs.listStatus(root).iterator
+        .map(_.getPath.getName).filter(_.startsWith("cell="))
+        .map(_.stripPrefix("cell=").toLong).toSet
+      probed.filter(onDisk)
+    }
+    if (prune && selected.isEmpty)
+      // nothing stored under any probed cell: zero candidates, typed empty
+      return rankTopK(spark.range(0).select(col("id").as("q_id"),
+        col("id").as("c_id"), col("id").cast("double").as("cos")), k)
+    val assignedRead =
+      if (prune)
+        spark.read.option("basePath", assignedRoot)
+          .parquet(selected.map(c => s"$assignedRoot/cell=$c").toIndexedSeq: _*)
+      else spark.read.parquet(assignedRoot)
+    val assigned0 = assignedRead
       .withColumn("cell", col("cell").cast("long")) // partition col inference
     // FILTERED search: the predicate lands on the already-cell-pruned
     // scan over `carry` metadata (parquet predicate pushdown composes

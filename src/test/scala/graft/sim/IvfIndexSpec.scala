@@ -29,16 +29,37 @@ class IvfIndexSpec extends SparkSpec {
     assert(idx == mem)
   }
 
-  test("the stored layout is partitioned by cell and pruned at query time") {
+  test("the stored layout is partitioned by cell and pruned at LISTING time") {
     val cells = new java.io.File(s"$path/assigned").listFiles()
       .filter(_.getName.startsWith("cell=")) // one directory per cell
     assert(cells.length > 1, "assignments must be partitioned by cell")
     val q = corpus.filter(SimQueries.QueryPred)
+    val nQ = q.count()
     val df = Similarity.ivfTopKIndexed(spark, path, q, SimQueries.K, SimQueries.NProbe)
-    df.count() // finalize the adaptive plan before reading it
-    val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("dynamicpruning"),
-      s"probe join must dynamically prune the cell partitions:\n$plan")
+    // the scan is CONSTRUCTED over only the probed cell directories —
+    // stronger than dynamic partition pruning, which still lists every
+    // cell dir up front (at 30k century-tier cells that listing
+    // dominated the whole query)
+    val cellsListed = df.inputFiles.filter(_.contains("/assigned/"))
+      .map(_.split("/assigned/")(1).split("/")(0)).distinct
+    assert(cellsListed.forall(_.startsWith("cell=")))
+    assert(cellsListed.length <= nQ * SimQueries.NProbe,
+      s"listed ${cellsListed.length} cell dirs for $nQ queries × ${SimQueries.NProbe} probes")
+    // a single query must touch at most nprobe dirs — a strict subset of
+    // the layout (the 8-query set can legitimately cover every cell of
+    // this small fixture)
+    val one = Similarity.ivfTopKIndexed(spark, path,
+        corpus.filter("vec_id = 0"), SimQueries.K, SimQueries.NProbe)
+      .inputFiles.filter(_.contains("/assigned/"))
+      .map(_.split("/assigned/")(1).split("/")(0)).distinct
+    assert(one.length <= SimQueries.NProbe && one.length < cells.length,
+      s"1 query listed ${one.length} of ${cells.length} cell dirs")
+    // and the pruned read answers exactly like the full-layout fallback
+    val full = Similarity.ivfTopKIndexed(spark, path, q, SimQueries.K,
+        SimQueries.NProbe, maxPrunedPaths = 0)
+      .collect().map(_.toSeq).toSet
+    assert(df.collect().map(_.toSeq).toSet == full,
+      "pruned-path read must equal the full-layout read")
   }
 
   test("filtered search: predicate excludes candidates BEFORE ranking and pushes to the scan") {
@@ -62,6 +83,19 @@ class IvfIndexSpec extends SparkSpec {
     val plan = filtered.queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters: [") && plan.contains("LessThan(label,4)"),
       s"label predicate must push into the index scan:\n$plan")
+  }
+
+  test("probed cells with no stored vectors: empty typed result, no read failure") {
+    // centroids exist but nothing was ever assigned — every probed cell
+    // directory is missing; the pruned read must skip them (zero
+    // candidates) instead of failing on nonexistent paths
+    val p2 = java.nio.file.Files.createTempDirectory("ivfempty").toString
+    spark.read.parquet(s"$path/centroids").write.parquet(s"$p2/centroids")
+    assert(new java.io.File(s"$p2/assigned").mkdirs())
+    val q = corpus.filter(SimQueries.QueryPred)
+    val out = Similarity.ivfTopKIndexed(spark, p2, q, SimQueries.K, SimQueries.NProbe)
+    assert(out.columns.toSeq == Seq("q_id", "c_id", "cos", "rank"))
+    assert(out.count() == 0)
   }
 
   // ---- incremental maintenance (appendToIvfIndex) --------------------
@@ -118,13 +152,16 @@ class IvfIndexSpec extends SparkSpec {
     assert(after.size > before.size, "the delta must land as NEW files")
     assert(spark.read.parquet(s"$p/assigned").count() == rowsBefore + rest.count(),
       "appended row count must equal the delta row count")
-    // pruning still holds on the appended layout
-    val q = corpus.filter(SimQueries.QueryPred)
-    val df = Similarity.ivfTopKIndexed(spark, p, q, SimQueries.K, SimQueries.NProbe)
-    df.count()
-    val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("dynamicpruning"),
-      s"probe join must still prune the appended cell partitions:\n$plan")
+    // pruned listing still holds on the appended layout (single query =
+    // at most nprobe dirs touched)
+    val df = Similarity.ivfTopKIndexed(spark, p,
+      corpus.filter("vec_id = 0"), SimQueries.K, SimQueries.NProbe)
+    val cellsListed = df.inputFiles.filter(_.contains("/assigned/"))
+      .map(_.split("/assigned/")(1).split("/")(0)).distinct
+    val allCells = new java.io.File(s"$p/assigned").listFiles()
+      .count(_.getName.startsWith("cell="))
+    assert(cellsListed.length <= SimQueries.NProbe && cellsListed.length < allCells,
+      s"1 query listed ${cellsListed.length} of $allCells appended cell dirs")
   }
 
   test("streaming ingest: foreachBatch appends arriving vectors batch by batch") {
