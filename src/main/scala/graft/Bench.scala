@@ -777,6 +777,34 @@ object Bench {
               e.filter(SimQueries.QueryPred), SimQueries.K,
               SimQueries.NProbe).count(); ()
           }
+          // round-11: SAMPLED quantizer training at the century tier —
+          // seeds + Lloyd sweep over a deterministic 10% hash sample
+          // (which also right-sizes the seed count: seeds are drawn by
+          // predicate FROM the sample, so ~3k cells instead of ~30k),
+          // assignment still over every vector. The row pair vs
+          // sf10_s8_build/query is the measured cost of full-corpus
+          // training; the recall row (vs exact brute force) is what the
+          // sample gives up.
+          val sampledBase = new java.io.File("target/ivfindex_sf10_sampled").getAbsolutePath
+          val buildS = timed("sf10_s8_build_sampled", n = 1) {
+            Similarity.buildIvfIndex(e, SimQueries.ClusterCentPred,
+              SimQueries.Dim, sampledBase, trainFraction = 0.1)
+          }
+          val queryS = timed("sf10_s8s_query", n = 1) {
+            Similarity.ivfTopKIndexed(spark, sampledBase,
+              e.filter(SimQueries.QueryPred), SimQueries.K,
+              SimQueries.NProbe).count(); ()
+          }
+          val truthS = Similarity.bruteForceTopK(
+              e.filter(SimQueries.QueryPred), e, SimQueries.K)
+            .select("q_id", "c_id").cache()
+          val nTruthS = truthS.count().toDouble
+          val hitsS = Similarity.ivfTopKIndexed(spark, sampledBase,
+              e.filter(SimQueries.QueryPred), SimQueries.K, SimQueries.NProbe)
+            .select("q_id", "c_id")
+            .join(truthS, Seq("q_id", "c_id"), "left_semi").count()
+          truthS.unpersist()
+          val recallS = "sf10_s8s_recall" -> hitsS / nTruthS
           val apBase = new java.io.File("target/ivfappend_sf10_split").getAbsolutePath
           Similarity.buildIvfIndex(e.filter(SimQueries.InitPred),
             SimQueries.ClusterCentPred, SimQueries.Dim, apBase)
@@ -784,7 +812,14 @@ object Bench {
             Similarity.appendToIvfIndex(
               e.filter(s"NOT (${SimQueries.InitPred})"), apBase)
           }
-          Seq(build, query, append)
+          // round-11: compaction at the century tier — the append above
+          // left a second file in ~every touched cell, so this measures
+          // the full maintenance rewrite a daily-append deployment
+          // schedules (read + rewrite of every over-threshold cell)
+          val compact = timed("sf10_s10_compact", n = 1) {
+            Similarity.compactIvfIndex(spark, apBase); ()
+          }
+          Seq(build, query, buildS, queryS, recallS, append, compact)
         }
         // epoch BPE past fixture pair-exhaustion: the sf0.1 corpus runs
         // dry at ~90 merges, so the "32k merges ≈ 32k/b rounds" claim

@@ -196,6 +196,45 @@ object SimQueries {
       .withColumn("rank", col("rank").cast("long"))
   }
 
+  /** s12 — SAMPLED quantizer training: the coarse quantizer (seeds +
+    * Lloyd sweep) trains on a deterministic md5-hash HALF of the corpus
+    * while the assignment sweep still covers every vector — how a
+    * production build sizes quantizer training, since centroids are
+    * density estimates and a sample estimates density at a fraction of
+    * the dominant build cost. Exact vs the twin: the oracle replays the
+    * identical md5 cut as the Lloyd sweep's build predicate.
+    */
+  val TrainFraction = 0.5
+  val TrainCut: Long = (TrainFraction * graft.ops.Sampling.Space).toLong
+
+  def s12IvfSampled(s: SparkSession, dir: String): DataFrame = {
+    val base = new java.io.File(
+      s"target/ivfsample${dir.replaceAll("[^a-zA-Z0-9]", "_")}").getAbsolutePath
+    val e = clustered(s, dir)
+    Similarity.buildIvfIndex(e, ClusterCentPred, Dim, base,
+      trainFraction = TrainFraction)
+    Similarity.ivfTopKIndexed(s, base, e.filter(QueryPred), K, NProbe)
+      .withColumn("rank", col("rank").cast("long"))
+  }
+
+  /** s13 — the full maintenance lifecycle: build over the even-id half,
+    * append the odd-id half (small files land in each touched cell),
+    * COMPACT the layout back to one file per cell, query. Compaction is
+    * pure layout maintenance, so the twin is s10's exactly — same
+    * refine-over-initial-half + assign-all math; a compaction that
+    * dropped or duplicated one row would break the exact hash compare.
+    */
+  def s13IvfCompacted(s: SparkSession, dir: String): DataFrame = {
+    val base = new java.io.File(
+      s"target/ivfcompact${dir.replaceAll("[^a-zA-Z0-9]", "_")}").getAbsolutePath
+    val e = clustered(s, dir)
+    Similarity.buildIvfIndex(e.filter(InitPred), ClusterCentPred, Dim, base)
+    Similarity.appendToIvfIndex(e.filter(s"NOT ($InitPred)"), base)
+    Similarity.compactIvfIndex(s, base)
+    Similarity.ivfTopKIndexed(s, base, e.filter(QueryPred), K, NProbe)
+      .withColumn("rank", col("rank").cast("long"))
+  }
+
   /** s11 — FILTERED vector search on the LSH path: the `label` metadata
     * rides the corpus side of the bucket index (`carry`) and the
     * predicate prunes candidates BEFORE bucketing/scoring — the
@@ -222,7 +261,9 @@ object SimQueries {
     "s8_ivf_indexed" -> (s8IvfIndexed _),
     "s9_ivf_filtered" -> (s9IvfFiltered _),
     "s10_ivf_append" -> (s10IvfAppend _),
-    "s11_lsh_filtered" -> (s11LshFiltered _)
+    "s11_lsh_filtered" -> (s11LshFiltered _),
+    "s12_ivf_sampled" -> (s12IvfSampled _),
+    "s13_ivf_compacted" -> (s13IvfCompacted _)
   )
 
   // ---- generated DuckDB twins ----------------------------------------
@@ -517,6 +558,14 @@ object SimQueries {
     "s10_ivf_append" -> ivfRefinedSqlWhere("TRUE", InitPred),
     // s11: the LSH twin plus the candidate predicate before scoring
     "s11_lsh_filtered" -> lshMultiSqlWhere(s"c.$FilterPred"),
+    // s12: seeds + Lloyd sweep over the deterministic md5 train sample
+    // (the same cut Sampling.hashUnit computes), final assignment over
+    // every vector — the sampled-quantizer-training twin
+    "s12_ivf_sampled" -> ivfRefinedSqlWhere("TRUE",
+      s"('0x' || substring(md5('ivf-train' || vec_id::VARCHAR), 1, 15))::BIGINT < $TrainCut"),
+    // s13: compaction is layout-only, so the twin is s10's exactly —
+    // build over the initial half, append the rest, compact, query
+    "s13_ivf_compacted" -> ivfRefinedSqlWhere("TRUE", InitPred),
     "s1_ann_topk" -> topKSql,
     "s3_lsh_topk" -> lshMultiSql,
     "s4_ivf_topk" -> ivfSql,

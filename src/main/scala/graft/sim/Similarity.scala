@@ -375,16 +375,37 @@ object Similarity {
     * broadcast probe join; IvfIndexSpec asserts it in the plan). At
     * 100 TB a query touches nprobe/C of the index FILES, not just
     * nprobe/C of the rows.
+    *
+    * `trainFraction` < 1 trains the coarse quantizer on a DETERMINISTIC
+    * hash sample of the corpus (seeds AND Lloyd sweeps see only the
+    * sample; the final assignment sweep always sees every vector — each
+    * vector must land in a cell). This is how a production vector store
+    * sizes quantizer training: cell centroids are density estimates, and
+    * a ~10% sample estimates density at ~10% of the dominant build cost
+    * (the refine sweep is corpus × centroids). The sample is
+    * [[graft.ops.Sampling.hashUnit]]-addressed — reproducible across
+    * clusters, partitionings and engines (the `s12_ivf_sampled` oracle
+    * replays the identical md5 cut in DuckDB), retry-safe, and stable
+    * under append. At `trainFraction = 1` the build is bit-identical to
+    * the untrained-parameter form (the s8 oracle row).
     */
   def buildIvfIndex(corpus: DataFrame, centroidPred: String, dim: Int,
                     path: String, refineIters: Int = 1, gridScale: Int = 1024,
                     idCol: String = "vec_id", vecCol: String = "embedding",
-                    carry: Seq[String] = Nil): Unit = {
+                    carry: Seq[String] = Nil,
+                    trainFraction: Double = 1.0,
+                    trainSalt: String = "ivf-train"): Unit = {
+    require(trainFraction > 0 && trainFraction <= 1,
+      s"trainFraction must be in (0, 1], got $trainFraction")
     val dot = nativeDot(corpus)
-    var cents = corpus.filter(centroidPred)
+    val train =
+      if (trainFraction >= 1.0) corpus
+      else graft.ops.Sampling.sampleFraction(corpus, col(idCol), trainSalt,
+        trainFraction)
+    var cents = train.filter(centroidPred)
       .select(col(idCol).as("cid"), col(vecCol).as("cv0"))
     for (_ <- 0 until refineIters)
-      cents = refineCentroids(corpus, cents, dim, gridScale, idCol, vecCol)
+      cents = refineCentroids(train, cents, dim, gridScale, idCol, vecCol)
     cents.write.mode("overwrite").parquet(s"$path/centroids")
     assignIntoIndex(corpus, path, SaveMode.Overwrite, idCol, vecCol, carry)
   }
@@ -469,6 +490,68 @@ object Similarity {
       // executor build needs.
       .repartition(col("cell"))
       .write.mode(mode).partitionBy("cell").parquet(s"$path/assigned")
+  }
+
+  /** Compact the small files a persisted index accumulates under
+    * [[appendToIvfIndex]]/[[appendToIvfIndexStream]]: every append lands
+    * its delta as NEW files inside each touched cell's directory (that is
+    * what makes the append cheap and idempotent), so a daily-append
+    * deployment drifts toward many tiny files per cell — and at 100 TB
+    * the per-file open/footer cost starts to rival the row scan itself.
+    * Rewrites ONLY the cells holding more than `maxFilesPerCell` data
+    * files, one output file per rewritten cell (each cell's rows land in
+    * one task via the same repartition-by-cell the build uses);
+    * untouched cells' files are never read or replaced. Returns the
+    * compacted cell ids.
+    *
+    * Staging: the rewritten cells are written under
+    * `assigned_compacting/` first, then swapped in with one
+    * delete+rename per cell — the layout a reader resolves is always
+    * complete per cell, and a crash mid-swap loses no data that is not
+    * already durable in the staging dir. Readers holding a plan over a
+    * cell DURING its swap can fail mid-scan (the pruneEpochs
+    * reader-race class): run compaction when the affected cells are
+    * quiescent, or retry the read — content is identical either way.
+    * Pure layout maintenance: row set, schema and query answers are
+    * unchanged (IvfIndexSpec pins parity, and `s13_ivf_compacted` pins
+    * the full build→append→compact→query lifecycle to the s10 twin).
+    */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                      maxFilesPerCell: Int = 1): Seq[Long] = {
+    require(maxFilesPerCell >= 1, s"maxFilesPerCell >= 1, got $maxFilesPerCell")
+    val assignedRoot = s"$path/assigned"
+    val root = new org.apache.hadoop.fs.Path(assignedRoot)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    def dataFiles(p: org.apache.hadoop.fs.Path): Int =
+      fs.listStatus(p).count { f =>
+        val n = f.getPath.getName
+        f.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+    val targets = fs.listStatus(root).iterator
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+      .filter(s => dataFiles(s.getPath) > maxFilesPerCell)
+      .map(_.getPath.getName.stripPrefix("cell=").toLong)
+      .toSeq.sorted
+    if (targets.isEmpty) return Nil
+    val staging = new org.apache.hadoop.fs.Path(s"$path/assigned_compacting")
+    fs.delete(staging, true)
+    spark.read.option("basePath", assignedRoot)
+      .parquet(targets.map(c => s"$assignedRoot/cell=$c"): _*)
+      .withColumn("cell", col("cell").cast("long"))
+      .repartition(col("cell"))
+      .write.mode(SaveMode.Overwrite).partitionBy("cell")
+      .parquet(staging.toString)
+    targets.foreach { c =>
+      val src = new org.apache.hadoop.fs.Path(s"$staging/cell=$c")
+      val dst = new org.apache.hadoop.fs.Path(s"$assignedRoot/cell=$c")
+      fs.delete(dst, true)
+      // a cell whose every file held zero rows produces no staged dir;
+      // deleting it outright is identical (missing cell = empty cell to
+      // the pruned read)
+      if (fs.exists(src)) fs.rename(src, dst)
+    }
+    fs.delete(staging, true)
+    targets
   }
 
   /** Above this many distinct probed cells, [[ivfTopKIndexed]] falls back

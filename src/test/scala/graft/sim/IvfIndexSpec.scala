@@ -164,6 +164,72 @@ class IvfIndexSpec extends SparkSpec {
       s"1 query listed ${cellsListed.length} of $allCells appended cell dirs")
   }
 
+  test("sampled quantizer training: seeds+Lloyd see the hash sample, assignment sees everything") {
+    val p = java.nio.file.Files.createTempDirectory("ivfsampled").toString
+    Similarity.buildIvfIndex(corpus, SimQueries.ClusterCentPred,
+      SimQueries.Dim, p, trainFraction = SimQueries.TrainFraction)
+    // the assignment sweep is never sampled: every corpus vector lands
+    assert(spark.read.parquet(s"$p/assigned").count() == corpus.count())
+    // the fixture genuinely samples (fewer seeds than the full build)
+    val train = graft.ops.Sampling.sampleFraction(corpus, col("vec_id"),
+      "ivf-train", SimQueries.TrainFraction)
+    val sampleSeeds = train.filter(SimQueries.ClusterCentPred).count()
+    assert(sampleSeeds > 0 &&
+      sampleSeeds < corpus.filter(SimQueries.ClusterCentPred).count())
+    assert(spark.read.parquet(s"$p/centroids").count() <= sampleSeeds)
+    // compositional reference: refine over the sample EXPLICITLY, then
+    // one full assignment sweep at those centroids — the trainFraction
+    // build must equal it row for row
+    val pRef = java.nio.file.Files.createTempDirectory("ivfsampledref").toString
+    Similarity.refineCentroids(train,
+        train.filter(SimQueries.ClusterCentPred)
+          .select(col("vec_id").as("cid"), col("embedding").as("cv0")),
+        SimQueries.Dim)
+      .write.parquet(s"$pRef/centroids")
+    Similarity.appendToIvfIndex(corpus, pRef)
+    assert(assignedRows(p) == assignedRows(pRef),
+      "sampled build must equal explicit sample-refine + assign-all")
+  }
+
+  test("compaction: rewrites only many-file cells, preserves rows, files and answers") {
+    val init = corpus.filter(SimQueries.InitPred)
+    val delta = corpus.filter("vec_id % 2 = 1 AND vec_id < 6")
+    val p = java.nio.file.Files.createTempDirectory("ivfcompactspec").toString
+    Similarity.buildIvfIndex(init, SimQueries.ClusterCentPred, SimQueries.Dim, p)
+    Similarity.appendToIvfIndex(delta, p)
+    val before = fileSnapshot(p)
+    val rowsBefore = assignedRows(p)
+    val countBefore = spark.read.parquet(s"$p/assigned").count()
+    val q = corpus.filter(SimQueries.QueryPred)
+    val answerBefore = Similarity.ivfTopKIndexed(spark, p, q, SimQueries.K,
+      SimQueries.NProbe).collect().map(_.toSeq).toSet
+    val targets = Similarity.compactIvfIndex(spark, p)
+    // only the delta's cells crossed the file threshold
+    assert(targets.nonEmpty && targets.size < new java.io.File(s"$p/assigned")
+      .listFiles().count(_.getName.startsWith("cell=")),
+      "a small delta must not force a full-index rewrite")
+    // exact multiset preservation: same count, same row set
+    assert(spark.read.parquet(s"$p/assigned").count() == countBefore)
+    assert(assignedRows(p) == rowsBefore)
+    val after = fileSnapshot(p)
+    // every compacted cell holds exactly one data file now
+    targets.foreach { c =>
+      val n = after.keys.count(_.contains(s"/cell=$c/"))
+      assert(n == 1, s"cell $c holds $n files after compaction")
+    }
+    // untouched cells' files survive byte-for-byte
+    val untouched = before.filter { case (f, _) =>
+      !targets.exists(c => f.contains(s"/cell=$c/")) }
+    assert(untouched.nonEmpty)
+    assert(untouched.forall { case (f, len) => after.get(f).contains(len) },
+      "compaction must never touch cells under the file threshold")
+    // answers unchanged; a second compaction is a no-op
+    val answerAfter = Similarity.ivfTopKIndexed(spark, p, q, SimQueries.K,
+      SimQueries.NProbe).collect().map(_.toSeq).toSet
+    assert(answerAfter == answerBefore)
+    assert(Similarity.compactIvfIndex(spark, p).isEmpty)
+  }
+
   test("streaming ingest: foreachBatch appends arriving vectors batch by batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
