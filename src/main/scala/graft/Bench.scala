@@ -799,12 +799,37 @@ object Bench {
               e.filter(SimQueries.QueryPred), e, SimQueries.K)
             .select("q_id", "c_id").cache()
           val nTruthS = truthS.count().toDouble
-          val hitsS = Similarity.ivfTopKIndexed(spark, sampledBase,
-              e.filter(SimQueries.QueryPred), SimQueries.K, SimQueries.NProbe)
-            .select("q_id", "c_id")
-            .join(truthS, Seq("q_id", "c_id"), "left_semi").count()
+          def recallVsTruth(p: String): Double =
+            Similarity.ivfTopKIndexed(spark, p,
+                e.filter(SimQueries.QueryPred), SimQueries.K, SimQueries.NProbe)
+              .select("q_id", "c_id")
+              .join(truthS, Seq("q_id", "c_id"), "left_semi").count() / nTruthS
+          val recallS = "sf10_s8s_recall" -> recallVsTruth(sampledBase)
+          // round-11: SQ8 STORAGE at the century tier, built at the SAME
+          // sampled-train geometry as sampledBase so every delta vs the
+          // s8s rows is attributable to the quantized payload alone —
+          // bytes ratio (the ~4× resident-set claim, measured), query
+          // cost (integer-only candidate scoring), recall give-up.
+          val q8Base = new java.io.File("target/ivfindex_sf10_q8").getAbsolutePath
+          val buildQ = timed("sf10_s14_build", n = 1) {
+            Similarity.buildIvfIndex(e, SimQueries.ClusterCentPred,
+              SimQueries.Dim, q8Base, trainFraction = 0.1, storage = "int8")
+          }
+          val queryQ = timed("sf10_s14_query", n = 1) {
+            Similarity.ivfTopKIndexed(spark, q8Base,
+              e.filter(SimQueries.QueryPred), SimQueries.K,
+              SimQueries.NProbe).count(); ()
+          }
+          val recallQ = "sf10_s14_recall" -> recallVsTruth(q8Base)
+          def assignedBytes(p: String): Long = {
+            def walk(f: java.io.File): Long =
+              if (f.isDirectory) f.listFiles().map(walk).sum
+              else if (f.getName.endsWith(".parquet")) f.length() else 0L
+            walk(new java.io.File(s"$p/assigned"))
+          }
+          val bytesQ = "sf10_s14_bytes_ratio" ->
+            assignedBytes(q8Base).toDouble / assignedBytes(sampledBase)
           truthS.unpersist()
-          val recallS = "sf10_s8s_recall" -> hitsS / nTruthS
           val apBase = new java.io.File("target/ivfappend_sf10_split").getAbsolutePath
           Similarity.buildIvfIndex(e.filter(SimQueries.InitPred),
             SimQueries.ClusterCentPred, SimQueries.Dim, apBase)
@@ -819,7 +844,8 @@ object Bench {
           val compact = timed("sf10_s10_compact", n = 1) {
             Similarity.compactIvfIndex(spark, apBase); ()
           }
-          Seq(build, query, buildS, queryS, recallS, append, compact)
+          Seq(build, query, buildS, queryS, recallS,
+            buildQ, queryQ, recallQ, bytesQ, append, compact)
         }
         // epoch BPE past fixture pair-exhaustion: the sf0.1 corpus runs
         // dry at ~90 merges, so the "32k merges ≈ 32k/b rounds" claim

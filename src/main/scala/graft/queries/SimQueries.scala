@@ -235,6 +235,23 @@ object SimQueries {
       .withColumn("rank", col("rank").cast("long"))
   }
 
+  /** s14 — the persisted index with SQ8 STORAGE (the FAISS `IVF…,SQ8`
+    * pairing): centroids/seeding/assignment/probing all on exact floats,
+    * but the stored candidate payload is the quantized int array +
+    * integer norm — ~4× less index resident set, integer-only candidate
+    * scoring at query time. Quantization is `floor(x/s + 0.5)` (the s7
+    * math), so the whole lifecycle stays EXACT-oracle checkable: the
+    * twin replays refine/assign/probe on floats and scores quantized.
+    */
+  def s14IvfQ8Indexed(s: SparkSession, dir: String): DataFrame = {
+    val base = new java.io.File(
+      s"target/ivfq8${dir.replaceAll("[^a-zA-Z0-9]", "_")}").getAbsolutePath
+    val e = clustered(s, dir)
+    Similarity.buildIvfIndex(e, ClusterCentPred, Dim, base, storage = "int8")
+    Similarity.ivfTopKIndexed(s, base, e.filter(QueryPred), K, NProbe)
+      .withColumn("rank", col("rank").cast("long"))
+  }
+
   /** s11 — FILTERED vector search on the LSH path: the `label` metadata
     * rides the corpus side of the bucket index (`carry`) and the
     * predicate prunes candidates BEFORE bucketing/scoring — the
@@ -263,7 +280,8 @@ object SimQueries {
     "s10_ivf_append" -> (s10IvfAppend _),
     "s11_lsh_filtered" -> (s11LshFiltered _),
     "s12_ivf_sampled" -> (s12IvfSampled _),
-    "s13_ivf_compacted" -> (s13IvfCompacted _)
+    "s13_ivf_compacted" -> (s13IvfCompacted _),
+    "s14_ivf_q8_indexed" -> (s14IvfQ8Indexed _)
   )
 
   // ---- generated DuckDB twins ----------------------------------------
@@ -417,10 +435,16 @@ object SimQueries {
     * and a build predicate restricting which vectors the Lloyd sweep
     * refines over (the incremental-append twin: seeds and refinement see
     * only the INITIAL corpus, the final assignment sees everything —
-    * appended vectors never move fixed centroids).
+    * appended vectors never move fixed centroids). `q8` swaps candidate
+    * scoring to the SQ8 integer path (the s7 math verbatim — quantize
+    * with `floor(x/s + 0.5)`, integer dots, one final division):
+    * seeding/refinement/assignment/probing stay on the exact floats,
+    * mirroring an `int8`-storage [[graft.sim.Similarity.buildIvfIndex]]
+    * where only the stored candidate payload is quantized.
     */
   private def ivfRefinedSqlWhere(candPred: String,
-                                 buildPred: String = "TRUE"): String = {
+                                 buildPred: String = "TRUE",
+                                 q8: Boolean = false): String = {
     val sumList = (1 to Dim)
       .map(k => s"CAST(sum(CAST(embedding[$k] * 1024 AS BIGINT)) AS BIGINT)")
       .mkString("[", ",\n    ", "]")
@@ -468,7 +492,7 @@ object SimQueries {
        |        ${dotSql("q.qv", "c.cv")} / (q.qn * c.cn) DESC, c.cid ASC) AS rn
        |    FROM q CROSS JOIN cn c)
        |  WHERE rn <= $NProbe
-       |), scored AS (
+       |), ${if (!q8) s"""scored AS (
        |  SELECT q.q_id, v.vec_id AS c_id,
        |    ${dotSql("q.qv", "v.embedding")} / (q.qn * v.n) AS cos
        |  FROM v
@@ -476,7 +500,34 @@ object SimQueries {
        |  JOIN qprobe p ON p.cell = a.cell
        |  JOIN q ON q.q_id = p.q_id
        |  WHERE q.q_id <> v.vec_id AND $candPred
-       |), ranked AS (
+       |)""" else s"""vq AS (
+       |  SELECT vec_id,
+       |    greatest(list_reduce(list_transform(embedding,
+       |      x -> abs(x::DOUBLE)), (a, b) -> greatest(a, b)), 1e-30) / 127.0 AS s,
+       |    embedding
+       |  FROM v
+       |), vqq AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(floor(x::DOUBLE / s + 0.5) AS BIGINT)) AS qv8
+       |  FROM vq
+       |), vqn AS (
+       |  SELECT vec_id, qv8,
+       |    sqrt(CAST(list_reduce(list_transform(range(1, ${Dim + 1}),
+       |      k -> qv8[k] * qv8[k]), (a, x) -> a + x) AS DOUBLE)) AS qv8n
+       |  FROM vqq
+       |), scored AS (
+       |  SELECT q.q_id, v.vec_id AS c_id,
+       |    CAST(list_reduce(list_transform(range(1, ${Dim + 1}),
+       |      k -> qq.qv8[k] * cq.qv8[k]), (a, x) -> a + x) AS DOUBLE)
+       |      / (qq.qv8n * cq.qv8n) AS cos
+       |  FROM v
+       |  JOIN cassign a ON a.vec_id = v.vec_id
+       |  JOIN qprobe p ON p.cell = a.cell
+       |  JOIN q ON q.q_id = p.q_id
+       |  JOIN vqn cq ON cq.vec_id = v.vec_id
+       |  JOIN vqn qq ON qq.vec_id = q.q_id
+       |  WHERE q.q_id <> v.vec_id AND $candPred
+       |)"""}, ranked AS (
        |  SELECT q_id, c_id, cos,
        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS BIGINT) AS "rank"
        |  FROM scored
@@ -566,6 +617,9 @@ object SimQueries {
     // s13: compaction is layout-only, so the twin is s10's exactly —
     // build over the initial half, append the rest, compact, query
     "s13_ivf_compacted" -> ivfRefinedSqlWhere("TRUE", InitPred),
+    // s14: the s6/s8 refine/assign/probe chain on floats, candidate
+    // scoring through the s7 SQ8 integer math — the int8-storage twin
+    "s14_ivf_q8_indexed" -> ivfRefinedSqlWhere("TRUE", q8 = true),
     "s1_ann_topk" -> topKSql,
     "s3_lsh_topk" -> lshMultiSql,
     "s4_ivf_topk" -> ivfSql,

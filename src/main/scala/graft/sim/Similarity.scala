@@ -388,15 +388,29 @@ object Similarity {
     * replays the identical md5 cut in DuckDB), retry-safe, and stable
     * under append. At `trainFraction = 1` the build is bit-identical to
     * the untrained-parameter form (the s8 oracle row).
+    *
+    * `storage = "int8"` stores the SQ8-quantized payload instead of the
+    * float vectors (the FAISS `IVF…,SQ8` pairing): centroids, seeding,
+    * Lloyd sweeps and cell assignment are all computed on the exact
+    * floats, but what lands in the cell files is the `q8` int array +
+    * `q8_scale` + integer norm — ~4× less index resident set at 100 TB,
+    * and candidate scoring at query time becomes integer-only
+    * ([[ivfTopKIndexed]] dispatches on the stored schema). The
+    * quantization is `floor(x/s + 0.5)` — deterministic and
+    * engine-portable, so the quantized index is still exact-oracle
+    * checkable (`s14_ivf_q8_indexed`).
     */
   def buildIvfIndex(corpus: DataFrame, centroidPred: String, dim: Int,
                     path: String, refineIters: Int = 1, gridScale: Int = 1024,
                     idCol: String = "vec_id", vecCol: String = "embedding",
                     carry: Seq[String] = Nil,
                     trainFraction: Double = 1.0,
-                    trainSalt: String = "ivf-train"): Unit = {
+                    trainSalt: String = "ivf-train",
+                    storage: String = "float32"): Unit = {
     require(trainFraction > 0 && trainFraction <= 1,
       s"trainFraction must be in (0, 1], got $trainFraction")
+    require(storage == "float32" || storage == "int8",
+      s"storage must be float32 or int8, got $storage")
     val dot = nativeDot(corpus)
     val train =
       if (trainFraction >= 1.0) corpus
@@ -407,7 +421,8 @@ object Similarity {
     for (_ <- 0 until refineIters)
       cents = refineCentroids(train, cents, dim, gridScale, idCol, vecCol)
     cents.write.mode("overwrite").parquet(s"$path/centroids")
-    assignIntoIndex(corpus, path, SaveMode.Overwrite, idCol, vecCol, carry)
+    assignIntoIndex(corpus, path, SaveMode.Overwrite, idCol, vecCol, carry,
+      quantize = storage == "int8")
   }
 
   /** Incrementally admit NEW vectors into a persisted [[buildIvfIndex]]
@@ -432,8 +447,24 @@ object Similarity {
     */
   def appendToIvfIndex(delta: DataFrame, path: String,
                        idCol: String = "vec_id", vecCol: String = "embedding",
-                       carry: Seq[String] = Nil): Unit =
-    assignIntoIndex(delta, path, SaveMode.Append, idCol, vecCol, carry)
+                       carry: Seq[String] = Nil,
+                       storage: Option[String] = None): Unit = {
+    // the stored form follows the EXISTING index (an append can never
+    // silently mix storage forms); the override only matters when there
+    // is no assigned data yet to detect from
+    val quantize = storage match {
+      case Some(s) =>
+        require(s == "float32" || s == "int8",
+          s"storage must be float32 or int8, got $s")
+        s == "int8"
+      case None =>
+        try delta.sparkSession.read.parquet(s"$path/assigned")
+          .columns.contains("q8")
+        catch { case _: org.apache.spark.sql.AnalysisException => false }
+    }
+    assignIntoIndex(delta, path, SaveMode.Append, idCol, vecCol, carry,
+      quantize = quantize)
+  }
 
   /** Streaming form of [[appendToIvfIndex]]: every micro-batch of
     * arriving vectors is assigned against the stored centroids and
@@ -458,11 +489,16 @@ object Similarity {
 
   /** The shared assignment sweep: score `vecs` against the index's stored
     * centroids (broadcast), pick each vector's argmax cell, write into the
-    * cell-partitioned layout under `mode`.
+    * cell-partitioned layout under `mode`. With `quantize` the stored
+    * payload is the SQ8 form ([[withQuantized]]: `q8` int array +
+    * `q8_scale`) plus the integer norm `qn` INSTEAD of the float vector —
+    * assignment still scores the float vector (centroids stay float;
+    * they are the small side), only the per-vector storage shrinks.
     */
   private def assignIntoIndex(vecs: DataFrame, path: String, mode: SaveMode,
                               idCol: String, vecCol: String,
-                              carry: Seq[String]): Unit = {
+                              carry: Seq[String],
+                              quantize: Boolean = false): Unit = {
     val spark = vecs.sparkSession
     val dot = nativeDot(vecs)
     // read (don't recompute) the centroids: build reuses its just-written
@@ -474,13 +510,22 @@ object Similarity {
     val aggs = Seq(first(col("v")).as("v"), first(col("n")).as("n")) ++
       carry.map(c => first(col(c)).as(c)) :+
       max_by(col("cid"), struct(col("ccos"), (-col("cid")).as("nc"))).as("cell")
-    vecs.select(col(idCol).as("c_id") +: col(vecCol).as("v") +:
+    val assigned = vecs.select(col(idCol).as("c_id") +: col(vecCol).as("v") +:
         carry.map(col): _*)
       .withColumn("n", sqrt(dot(col("v"), col("v"))))
       .crossJoin(centsR)
       .withColumn("ccos", cosine(dot(col("v"), col("cv0")), col("n"), col("cn0")))
       .groupBy(col("c_id"))
       .agg(aggs.head, aggs.tail: _*)
+    val stored =
+      if (!quantize) assigned
+      else {
+        val dotI = nativeDotInt(assigned)
+        withQuantized(assigned, "v", "q8")
+          .withColumn("qn", sqrt(dotI(col("q8"), col("q8")).cast(DoubleType)))
+          .drop("v", "n")
+      }
+    stored
       // cluster by cell BEFORE the partitioned write: the groupBy output
       // is hashed on c_id, so without this every write task holds rows of
       // ~every cell and opens one parquet writer per cell — file count
@@ -629,12 +674,31 @@ object Similarity {
     // with the partition pruning) — candidates are filtered BEFORE
     // scoring, so top-k is over the qualifying vectors only
     val assigned = candidateFilter.fold(assigned0)(assigned0.filter)
-    val scored = assigned.join(broadcast(qCells), Seq("cell"))
-      .filter(col("q_id") =!= col("c_id"))
-      .join(broadcast(q.select(col("q_id"), col("v").as("qv"), col("n").as("qn"))),
-        Seq("q_id"))
-      .withColumn("cos", cosine(dot(col("qv"), col("v")), col("qn"), col("n")))
-      .select(col("q_id"), col("c_id"), col("cos"))
+    // dispatch on the STORED schema: an `int8` index holds q8 + integer
+    // norms instead of float vectors, so candidate scoring is the s7
+    // integer-only path (queries quantized on the fly; per-vector scales
+    // cancel in the cosine) — probing above always uses exact floats
+    // against the float centroids either way
+    val scored =
+      if (!assigned0.columns.contains("q8"))
+        assigned.join(broadcast(qCells), Seq("cell"))
+          .filter(col("q_id") =!= col("c_id"))
+          .join(broadcast(q.select(col("q_id"), col("v").as("qv"), col("n").as("qn"))),
+            Seq("q_id"))
+          .withColumn("cos", cosine(dot(col("qv"), col("v")), col("qn"), col("n")))
+          .select(col("q_id"), col("c_id"), col("cos"))
+      else {
+        val dotI = nativeDotInt(queries)
+        val qq = withQuantized(q.select(col("q_id"), col("v")), "v", "qa")
+          .withColumn("qan", sqrt(dotI(col("qa"), col("qa")).cast(DoubleType)))
+          .select(col("q_id"), col("qa"), col("qan"))
+        assigned.join(broadcast(qCells), Seq("cell"))
+          .filter(col("q_id") =!= col("c_id"))
+          .join(broadcast(qq), Seq("q_id"))
+          .withColumn("cos",
+            dotI(col("qa"), col("q8")).cast(DoubleType) / (col("qan") * col("qn")))
+          .select(col("q_id"), col("c_id"), col("cos"))
+      }
     rankTopK(scored, k)
   }
 

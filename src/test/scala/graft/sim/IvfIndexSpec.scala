@@ -230,6 +230,41 @@ class IvfIndexSpec extends SparkSpec {
     assert(Similarity.compactIvfIndex(spark, p).isEmpty)
   }
 
+  test("int8 storage: quantized payload, float assignment, integer scoring, auto-detected append") {
+    // full-corpus quantized twin of the float fixture `path`
+    val pQ = java.nio.file.Files.createTempDirectory("ivfq8full").toString
+    Similarity.buildIvfIndex(corpus, SimQueries.ClusterCentPred,
+      SimQueries.Dim, pQ, storage = "int8")
+    val cols = spark.read.parquet(s"$pQ/assigned").columns.toSet
+    assert(Set("q8", "q8_scale", "qn").subsetOf(cols) &&
+      !cols.contains("v") && !cols.contains("n"),
+      s"int8 layout must store the quantized payload only, got $cols")
+    // cell assignment runs on the exact floats — identical cells to the
+    // float index built from the same corpus
+    def cells(p: String): Set[Seq[Any]] = spark.read.parquet(s"$p/assigned")
+      .select(col("c_id"), col("cell").cast("long")).collect().map(_.toSeq).toSet
+    assert(cells(pQ) == cells(path))
+    // integer candidate scoring ranks ~the float ranking
+    val q = corpus.filter(SimQueries.QueryPred)
+    val qk = Similarity.ivfTopKIndexed(spark, pQ, q, SimQueries.K,
+      SimQueries.NProbe).select("q_id", "c_id").collect().map(_.toSeq).toSet
+    val fk = Similarity.ivfTopKIndexed(spark, path, q, SimQueries.K,
+      SimQueries.NProbe).select("q_id", "c_id").collect().map(_.toSeq).toSet
+    assert(qk.intersect(fk).size.toDouble / fk.size >= 0.8,
+      s"quantized recall vs float index ${qk.intersect(fk).size}/${fk.size}")
+    // identical rows, materially smaller layout
+    assert(fileSnapshot(pQ).values.sum < fileSnapshot(path).values.sum,
+      "quantized index files must be smaller than the float layout")
+    // append auto-detects the stored form — no storage param — and an
+    // int8 index never silently mixes float rows in
+    val pH = java.nio.file.Files.createTempDirectory("ivfq8half").toString
+    Similarity.buildIvfIndex(corpus.filter(SimQueries.InitPred),
+      SimQueries.ClusterCentPred, SimQueries.Dim, pH, storage = "int8")
+    Similarity.appendToIvfIndex(corpus.filter(s"NOT (${SimQueries.InitPred})"), pH)
+    val a = spark.read.parquet(s"$pH/assigned")
+    assert(a.count() == corpus.count() && a.columns.toSet == cols)
+  }
+
   test("streaming ingest: foreachBatch appends arriving vectors batch by batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
