@@ -829,6 +829,26 @@ object Bench {
           }
           val bytesQ = "sf10_s14_bytes_ratio" ->
             assignedBytes(q8Base).toDouble / assignedBytes(sampledBase)
+          // round-11: PQ STORAGE at the century tier, same sampled-train
+          // geometry again — codes + reconstruction norm instead of the
+          // vector (the smallest stored form; ADC map-lookup scoring).
+          // The bytes row quantifies the ~16× payload claim against the
+          // float layout; the recall row is what 8×32 codebooks give up
+          // vs exact brute force at 1.1 M vectors.
+          val pqBase = new java.io.File("target/ivfindex_sf10_pq").getAbsolutePath
+          val buildP = timed("sf10_s15_build", n = 1) {
+            Similarity.buildIvfIndex(e, SimQueries.ClusterCentPred,
+              SimQueries.Dim, pqBase, trainFraction = 0.1, storage = "pq",
+              pqM = SimQueries.PqM, pqK = SimQueries.PqK)
+          }
+          val queryP = timed("sf10_s15_query", n = 1) {
+            Similarity.ivfTopKIndexed(spark, pqBase,
+              e.filter(SimQueries.QueryPred), SimQueries.K,
+              SimQueries.NProbe).count(); ()
+          }
+          val recallP = "sf10_s15_recall" -> recallVsTruth(pqBase)
+          val bytesP = "sf10_s15_bytes_ratio" ->
+            assignedBytes(pqBase).toDouble / assignedBytes(sampledBase)
           truthS.unpersist()
           val apBase = new java.io.File("target/ivfappend_sf10_split").getAbsolutePath
           Similarity.buildIvfIndex(e.filter(SimQueries.InitPred),
@@ -845,7 +865,8 @@ object Bench {
             Similarity.compactIvfIndex(spark, apBase); ()
           }
           Seq(build, query, buildS, queryS, recallS,
-            buildQ, queryQ, recallQ, bytesQ, append, compact)
+            buildQ, queryQ, recallQ, bytesQ,
+            buildP, queryP, recallP, bytesP, append, compact)
         }
         // epoch BPE past fixture pair-exhaustion: the sf0.1 corpus runs
         // dry at ~90 merges, so the "32k merges ≈ 32k/b rounds" claim

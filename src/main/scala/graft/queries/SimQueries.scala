@@ -252,6 +252,31 @@ object SimQueries {
       .withColumn("rank", col("rank").cast("long"))
   }
 
+  /** PQ geometry: 8 subspaces × 8 dims, 32-entry codebooks — 64 float
+    * components stored as 8 small ints + one norm (the `IVF…,PQ8`
+    * FAISS pairing; at 100 TB this is the ~16× index-resident-set form).
+    */
+  val PqM = 8
+  val PqK = 32
+
+  /** s15 — the persisted index with PRODUCT-QUANTIZED storage: per-vector
+    * payload is `pqM` codebook entry ids + the reconstruction norm;
+    * candidate scoring is ADC (per-query lookup tables, `pqM` map probes
+    * per candidate instead of a 64-wide dot). Codebooks train with the
+    * same grid-exact Lloyd discipline as the coarse quantizer, so the
+    * whole lifecycle — seed ranks, per-subspace refinement, code
+    * assignment, table scoring — replays EXACTLY in DuckDB.
+    */
+  def s15IvfPqIndexed(s: SparkSession, dir: String): DataFrame = {
+    val base = new java.io.File(
+      s"target/ivfpq${dir.replaceAll("[^a-zA-Z0-9]", "_")}").getAbsolutePath
+    val e = clustered(s, dir)
+    Similarity.buildIvfIndex(e, ClusterCentPred, Dim, base, storage = "pq",
+      pqM = PqM, pqK = PqK)
+    Similarity.ivfTopKIndexed(s, base, e.filter(QueryPred), K, NProbe)
+      .withColumn("rank", col("rank").cast("long"))
+  }
+
   /** s11 — FILTERED vector search on the LSH path: the `label` metadata
     * rides the corpus side of the bucket index (`carry`) and the
     * predicate prunes candidates BEFORE bucketing/scoring — the
@@ -281,7 +306,8 @@ object SimQueries {
     "s11_lsh_filtered" -> (s11LshFiltered _),
     "s12_ivf_sampled" -> (s12IvfSampled _),
     "s13_ivf_compacted" -> (s13IvfCompacted _),
-    "s14_ivf_q8_indexed" -> (s14IvfQ8Indexed _)
+    "s14_ivf_q8_indexed" -> (s14IvfQ8Indexed _),
+    "s15_ivf_pq_indexed" -> (s15IvfPqIndexed _)
   )
 
   // ---- generated DuckDB twins ----------------------------------------
@@ -442,9 +468,13 @@ object SimQueries {
     * mirroring an `int8`-storage [[graft.sim.Similarity.buildIvfIndex]]
     * where only the stored candidate payload is quantized.
     */
-  private def ivfRefinedSqlWhere(candPred: String,
-                                 buildPred: String = "TRUE",
-                                 q8: Boolean = false): String = {
+  /** The shared WITH-chain every persisted-index twin starts from: the
+    * PlantedClusters corpus, the seed→assign→grid-exact-refine coarse
+    * quantizer over `buildPred`, the all-vector cell assignment and the
+    * query probe — identical CTE text for s6/s8/s9/s10/s12/s13/s14/s15,
+    * which differ only in how candidates are SCORED after `qprobe`.
+    */
+  private def ivfPrefixSql(buildPred: String): String = {
     val sumList = (1 to Dim)
       .map(k => s"CAST(sum(CAST(embedding[$k] * 1024 AS BIGINT)) AS BIGINT)")
       .mkString("[", ",\n    ", "]")
@@ -492,7 +522,13 @@ object SimQueries {
        |        ${dotSql("q.qv", "c.cv")} / (q.qn * c.cn) DESC, c.cid ASC) AS rn
        |    FROM q CROSS JOIN cn c)
        |  WHERE rn <= $NProbe
-       |), ${if (!q8) s"""scored AS (
+       |)""".stripMargin
+  }
+
+  private def ivfRefinedSqlWhere(candPred: String,
+                                 buildPred: String = "TRUE",
+                                 q8: Boolean = false): String = {
+    s"""${ivfPrefixSql(buildPred)}, ${if (!q8) s"""scored AS (
        |  SELECT q.q_id, v.vec_id AS c_id,
        |    ${dotSql("q.qv", "v.embedding")} / (q.qn * v.n) AS cos
        |  FROM v
@@ -528,6 +564,108 @@ object SimQueries {
        |  JOIN vqn qq ON qq.vec_id = q.q_id
        |  WHERE q.q_id <> v.vec_id AND $candPred
        |)"""}, ranked AS (
+       |  SELECT q_id, c_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS BIGINT) AS "rank"
+       |  FROM scored
+       |)
+       |SELECT q_id, c_id, cos, "rank" FROM ranked WHERE "rank" <= $K""".stripMargin
+  }
+
+  /** Width-parametrized [[dotSql]] (PQ subvectors are `Dim/PqM` wide). */
+  private def dotSqlW(a: String, b: String, w: Int): String =
+    s"""list_reduce(list_transform(range(1, ${w + 1}),
+       |    k -> ($a)[k]::DOUBLE * ($b)[k]::DOUBLE),
+       |    (acc, x) -> acc + x)""".stripMargin
+
+  /** Left-fold squared L2 over `w` components — the PQ assignment
+    * distance, index-ordered doubles exactly like the Spark side's fold.
+    */
+  private def l2Sql(a: String, b: String, w: Int): String =
+    s"""list_reduce(list_transform(range(1, ${w + 1}),
+       |    k -> (($a)[k]::DOUBLE - ($b)[k]::DOUBLE) * (($a)[k]::DOUBLE - ($b)[k]::DOUBLE)),
+       |    (acc, x) -> acc + x)""".stripMargin
+
+  /** Twin of the `pq`-storage index (`s15_ivf_pq_indexed`): the shared
+    * coarse-quantizer prefix, then the PQ lifecycle — per-subspace seed
+    * ranks by the same md5 hash as Sampling.hashUnit, one grid-exact
+    * Lloyd step per subspace, argmin-L2 code assignment (ties to the
+    * smaller cid, the Spark min_by struct), reconstruction norms folded
+    * in sub order, and ADC scoring through per-query lookup tables whose
+    * numerator folds in sub order too — every fold left-to-right doubles,
+    * so the quantized lifecycle is EXACT cross-engine. Heavy CTEs are
+    * MATERIALIZED (codes/qtab are referenced through multi-way joins;
+    * plain CTEs would inline and re-derive them).
+    */
+  private def ivfPqSql: String = {
+    val w = Dim / PqM
+    val gridSums = (1 to w)
+      .map(j => s"CAST(sum(CAST(sv[$j] * 1024 AS BIGINT)) AS BIGINT)")
+      .mkString("[", ",\n    ", "]")
+    s"""${ivfPrefixSql("TRUE")}, msub AS (
+       |  SELECT unnest(range(0, $PqM)) AS sub
+       |), vsub AS MATERIALIZED (
+       |  SELECT v.vec_id, m.sub,
+       |    list_slice(v.embedding, m.sub * $w + 1, m.sub * $w + $w) AS sv
+       |  FROM v CROSS JOIN msub m
+       |), tsub AS MATERIALIZED (
+       |  SELECT s.* FROM vsub s JOIN bv b ON b.vec_id = s.vec_id
+       |), pseed AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id,
+       |      CAST(row_number() OVER (ORDER BY
+       |        ('0x' || substring(md5('pq-seed' || vec_id::VARCHAR), 1, 15))::BIGINT,
+       |        vec_id) - 1 AS BIGINT) AS cid
+       |    FROM bv)
+       |  WHERE cid < $PqK
+       |), cb0 AS (
+       |  SELECT t.sub, s.cid, t.sv AS cv
+       |  FROM pseed s JOIN tsub t ON t.vec_id = s.vec_id
+       |), pa0 AS (
+       |  SELECT vec_id, sub, cid FROM (
+       |    SELECT t.vec_id, t.sub, c.cid,
+       |      row_number() OVER (PARTITION BY t.vec_id, t.sub ORDER BY
+       |        ${l2Sql("t.sv", "c.cv", w)} ASC, c.cid ASC) AS rn
+       |    FROM tsub t JOIN cb0 c ON c.sub = t.sub)
+       |  WHERE rn = 1
+       |), pref AS (
+       |  SELECT t.sub, a.cid, count(*) AS cnt,
+       |    $gridSums AS sums
+       |  FROM tsub t JOIN pa0 a ON a.vec_id = t.vec_id AND a.sub = t.sub
+       |  GROUP BY t.sub, a.cid
+       |), pcn2 AS MATERIALIZED (
+       |  SELECT sub, cid, cv, ${dotSqlW("cv", "cv", w)} AS cn2 FROM (
+       |    SELECT sub, cid,
+       |      list_transform(sums, x -> (x::DOUBLE / (cnt * 1024.0))::FLOAT) AS cv
+       |    FROM pref)
+       |), codes AS MATERIALIZED (
+       |  SELECT vec_id, sub, cid, cn2 FROM (
+       |    SELECT s.vec_id, s.sub, c.cid, c.cn2,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.sub ORDER BY
+       |        ${l2Sql("s.sv", "c.cv", w)} ASC, c.cid ASC) AS rn
+       |    FROM vsub s JOIN pcn2 c ON c.sub = s.sub)
+       |  WHERE rn = 1
+       |), rnv AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    sqrt(list_reduce(list(cn2 ORDER BY sub), (a, x) -> a + x)) AS rn
+       |  FROM codes GROUP BY vec_id
+       |), qtab AS MATERIALIZED (
+       |  SELECT q.q_id, c.sub, c.cid,
+       |    ${dotSqlW(s"list_slice(q.qv, c.sub * $w + 1, c.sub * $w + $w)", "c.cv", w)} AS t
+       |  FROM q CROSS JOIN pcn2 c
+       |), scored AS (
+       |  SELECT x.q_id, x.c_id, x.num / (x.qn * r.rn) AS cos FROM (
+       |    SELECT q.q_id, v.vec_id AS c_id, q.qn,
+       |      list_reduce(list(t.t ORDER BY t.sub), (a, x) -> a + x) AS num
+       |    FROM v
+       |    JOIN cassign a ON a.vec_id = v.vec_id
+       |    JOIN qprobe p ON p.cell = a.cell
+       |    JOIN q ON q.q_id = p.q_id
+       |    JOIN codes c2 ON c2.vec_id = v.vec_id
+       |    JOIN qtab t ON t.q_id = q.q_id AND t.sub = c2.sub AND t.cid = c2.cid
+       |    WHERE q.q_id <> v.vec_id
+       |    GROUP BY q.q_id, v.vec_id, q.qn) x
+       |  JOIN rnv r ON r.vec_id = x.c_id
+       |), ranked AS (
        |  SELECT q_id, c_id, cos,
        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS BIGINT) AS "rank"
        |  FROM scored
@@ -620,6 +758,10 @@ object SimQueries {
     // s14: the s6/s8 refine/assign/probe chain on floats, candidate
     // scoring through the s7 SQ8 integer math — the int8-storage twin
     "s14_ivf_q8_indexed" -> ivfRefinedSqlWhere("TRUE", q8 = true),
+    // s15: the same coarse chain, candidate payload product-quantized —
+    // seed ranks, per-subspace Lloyd, code argmin and ADC tables all
+    // replayed (folds pinned to sub order on both engines)
+    "s15_ivf_pq_indexed" -> ivfPqSql,
     "s1_ann_topk" -> topKSql,
     "s3_lsh_topk" -> lshMultiSql,
     "s4_ivf_topk" -> ivfSql,

@@ -406,11 +406,13 @@ object Similarity {
                     carry: Seq[String] = Nil,
                     trainFraction: Double = 1.0,
                     trainSalt: String = "ivf-train",
-                    storage: String = "float32"): Unit = {
+                    storage: String = "float32",
+                    pqM: Int = 8, pqK: Int = 16,
+                    pqSeedSalt: String = "pq-seed"): Unit = {
     require(trainFraction > 0 && trainFraction <= 1,
       s"trainFraction must be in (0, 1], got $trainFraction")
-    require(storage == "float32" || storage == "int8",
-      s"storage must be float32 or int8, got $storage")
+    require(Storages(storage),
+      s"storage must be one of ${Storages.mkString("/")}, got $storage")
     val dot = nativeDot(corpus)
     val train =
       if (trainFraction >= 1.0) corpus
@@ -421,9 +423,19 @@ object Similarity {
     for (_ <- 0 until refineIters)
       cents = refineCentroids(train, cents, dim, gridScale, idCol, vecCol)
     cents.write.mode("overwrite").parquet(s"$path/centroids")
+    // PQ codebooks train on the SAME sample as the coarse quantizer and
+    // are persisted beside the centroids — appends and queries read the
+    // stored codebooks, never retrain (codes stay valid under append)
+    if (storage == "pq")
+      trainPqCodebooks(train, dim, pqM, pqK, refineIters, gridScale,
+        idCol, vecCol, pqSeedSalt)
+        .write.mode("overwrite").parquet(s"$path/pq_codebooks")
     assignIntoIndex(corpus, path, SaveMode.Overwrite, idCol, vecCol, carry,
-      quantize = storage == "int8")
+      storage = storage)
   }
+
+  /** The stored candidate-payload forms a persisted index supports. */
+  val Storages: Set[String] = Set("float32", "int8", "pq")
 
   /** Incrementally admit NEW vectors into a persisted [[buildIvfIndex]]
     * index: assign ONLY the delta against the STORED centroids (the same
@@ -452,18 +464,23 @@ object Similarity {
     // the stored form follows the EXISTING index (an append can never
     // silently mix storage forms); the override only matters when there
     // is no assigned data yet to detect from
-    val quantize = storage match {
+    val stored = storage match {
       case Some(s) =>
-        require(s == "float32" || s == "int8",
-          s"storage must be float32 or int8, got $s")
-        s == "int8"
+        require(Storages(s),
+          s"storage must be one of ${Storages.mkString("/")}, got $s")
+        s
       case None =>
-        try delta.sparkSession.read.parquet(s"$path/assigned")
-          .columns.contains("q8")
-        catch { case _: org.apache.spark.sql.AnalysisException => false }
+        try {
+          val cols = delta.sparkSession.read.parquet(s"$path/assigned").columns
+          if (cols.contains("codes")) "pq"
+          else if (cols.contains("q8")) "int8"
+          else "float32"
+        } catch {
+          case _: org.apache.spark.sql.AnalysisException => "float32"
+        }
     }
     assignIntoIndex(delta, path, SaveMode.Append, idCol, vecCol, carry,
-      quantize = quantize)
+      storage = stored)
   }
 
   /** Streaming form of [[appendToIvfIndex]]: every micro-batch of
@@ -498,7 +515,7 @@ object Similarity {
   private def assignIntoIndex(vecs: DataFrame, path: String, mode: SaveMode,
                               idCol: String, vecCol: String,
                               carry: Seq[String],
-                              quantize: Boolean = false): Unit = {
+                              storage: String = "float32"): Unit = {
     val spark = vecs.sparkSession
     val dot = nativeDot(vecs)
     // read (don't recompute) the centroids: build reuses its just-written
@@ -517,14 +534,38 @@ object Similarity {
       .withColumn("ccos", cosine(dot(col("v"), col("cv0")), col("n"), col("cn0")))
       .groupBy(col("c_id"))
       .agg(aggs.head, aggs.tail: _*)
-    val stored =
-      if (!quantize) assigned
-      else {
+    val stored = storage match {
+      case "float32" => assigned
+      case "int8" =>
         val dotI = nativeDotInt(assigned)
         withQuantized(assigned, "v", "q8")
           .withColumn("qn", sqrt(dotI(col("q8"), col("q8")).cast(DoubleType)))
           .drop("v", "n")
-      }
+      case "pq" =>
+        // encode against the STORED codebooks (appends reuse the build's
+        // training, the same contract as the fixed coarse centroids):
+        // per (vector, sub) argmin-L2 entry, packed into one codes array
+        // (sub order) plus the reconstruction norm `rn` — precomputable
+        // exactly because subspaces are disjoint coordinates, so
+        // |x̂|² = Σ_sub |codebook[sub][code]|²
+        val cbRaw = spark.read.parquet(s"$path/pq_codebooks")
+        val mw = cbRaw.agg(max(col("sub")).as("m"), max(size(col("cv"))).as("w")).head()
+        val (pqM, w) = (mw.getInt(0) + 1, mw.getInt(1))
+        val cbn = broadcast(cbRaw.withColumn("cn2", dot(col("cv"), col("cv"))))
+        val codes = subVecRows(assigned.select(col("c_id"), col("v")), "c_id", "v", pqM, w)
+          .join(cbn, Seq("sub"))
+          .withColumn("d2", l2sq(col("sv"), col("cv")))
+          .groupBy(col("pid"), col("sub"))
+          .agg(min_by(struct(col("cid"), col("cn2")), struct(col("d2"), col("cid"))).as("ch"))
+          .groupBy(col("pid"))
+          .agg(sort_array(collect_list(struct(col("sub"),
+            col("ch.cid").as("cid"), col("ch.cn2").as("cn2")))).as("cs"))
+          .select(col("pid").as("c_id"),
+            transform(col("cs"), s => s.getField("cid").cast("int")).as("codes"),
+            sqrt(aggregate(col("cs"), lit(0.0d),
+              (a, s) => a + s.getField("cn2"))).as("rn"))
+        assigned.drop("v", "n").join(codes, Seq("c_id"))
+    }
     stored
       // cluster by cell BEFORE the partitioned write: the groupBy output
       // is hashed on c_id, so without this every write task holds rows of
@@ -675,19 +716,35 @@ object Similarity {
     // scoring, so top-k is over the qualifying vectors only
     val assigned = candidateFilter.fold(assigned0)(assigned0.filter)
     // dispatch on the STORED schema: an `int8` index holds q8 + integer
-    // norms instead of float vectors, so candidate scoring is the s7
-    // integer-only path (queries quantized on the fly; per-vector scales
-    // cancel in the cosine) — probing above always uses exact floats
-    // against the float centroids either way
+    // norms instead of float vectors (s7 integer-only scoring, queries
+    // quantized on the fly, per-vector scales cancel); a `pq` index holds
+    // codes + reconstruction norms and scores by ADC — per-query lookup
+    // tables t[sub][cid] = q_sub · codebook[sub][cid], broadcast with the
+    // queries, so each candidate costs pqM map lookups instead of a
+    // dim-wide dot. Probing above always uses exact floats against the
+    // float centroids either way.
     val scored =
-      if (!assigned0.columns.contains("q8"))
+      if (assigned0.columns.contains("codes")) {
+        val cbRaw = spark.read.parquet(s"$path/pq_codebooks")
+        val mw = cbRaw.agg(max(col("sub")).as("m"), max(size(col("cv"))).as("w")).head()
+        val (pqM, w) = (mw.getInt(0) + 1, mw.getInt(1))
+        val qtab = q.crossJoin(broadcast(cbRaw))
+          .withColumn("t", dot(slice(col("v"), col("sub") * w + 1, lit(w)), col("cv")))
+          .groupBy(col("q_id"))
+          .agg(first(col("n")).as("qn"),
+            map_from_entries(collect_list(struct(
+              (col("sub").cast("long") * PqKeySpace + col("cid").cast("long")).as("k"),
+              col("t").as("v")))).as("qtab"))
         assigned.join(broadcast(qCells), Seq("cell"))
           .filter(col("q_id") =!= col("c_id"))
-          .join(broadcast(q.select(col("q_id"), col("v").as("qv"), col("n").as("qn"))),
-            Seq("q_id"))
-          .withColumn("cos", cosine(dot(col("qv"), col("v")), col("qn"), col("n")))
+          .join(broadcast(qtab), Seq("q_id"))
+          .withColumn("num", aggregate(
+            zip_with(col("codes"), sequence(lit(0), lit(pqM - 1)), (c, s) =>
+              element_at(col("qtab"), s.cast("long") * PqKeySpace + c.cast("long"))),
+            lit(0.0d), (a, x) => a + x))
+          .withColumn("cos", col("num") / (col("qn") * col("rn")))
           .select(col("q_id"), col("c_id"), col("cos"))
-      else {
+      } else if (assigned0.columns.contains("q8")) {
         val dotI = nativeDotInt(queries)
         val qq = withQuantized(q.select(col("q_id"), col("v")), "v", "qa")
           .withColumn("qan", sqrt(dotI(col("qa"), col("qa")).cast(DoubleType)))
@@ -698,7 +755,13 @@ object Similarity {
           .withColumn("cos",
             dotI(col("qa"), col("q8")).cast(DoubleType) / (col("qan") * col("qn")))
           .select(col("q_id"), col("c_id"), col("cos"))
-      }
+      } else
+        assigned.join(broadcast(qCells), Seq("cell"))
+          .filter(col("q_id") =!= col("c_id"))
+          .join(broadcast(q.select(col("q_id"), col("v").as("qv"), col("n").as("qn"))),
+            Seq("q_id"))
+          .withColumn("cos", cosine(dot(col("qv"), col("v")), col("qn"), col("n")))
+          .select(col("q_id"), col("c_id"), col("cos"))
     rankTopK(scored, k)
   }
 
@@ -775,6 +838,99 @@ object Similarity {
   private def nativeDotInt(df: DataFrame): (Column, Column) => Column = {
     graft.functions.IntDotProduct.register(df.sparkSession)
     graft.functions.IntDotProduct(_, _)
+  }
+
+  // ---- product quantization (the `pq` stored form) ---------------------
+
+  /** Key packing for the per-query ADC lookup map: `sub * PqKeySpace +
+    * cid`. Codebook entry ids are seed RANKS (0 until pqK), so 2^20
+    * bounds any realistic codebook.
+    */
+  private val PqKeySpace = 1L << 20
+
+  /** (pid, sub, sv) subvector rows of `df` — a map-only explode of each
+    * vector into `pqM` w-wide slices (1-based `slice`, disjoint
+    * coordinate ranges).
+    */
+  private def subVecRows(df: DataFrame, idCol: String, vecCol: String,
+                         pqM: Int, w: Int): DataFrame =
+    df.select(col(idCol).as("pid"), explode(array((0 until pqM).map(s =>
+        struct(lit(s).as("sub"), slice(col(vecCol), s * w + 1, w).as("sv"))): _*)).as("sx"))
+      .select(col("pid"), col("sx.sub").as("sub"), col("sx.sv").as("sv"))
+
+  /** Exact left-fold squared L2 distance between two float arrays:
+    * `(a_k − b_k)²` accumulated in index order as doubles — the same
+    * cross-engine-deterministic fold discipline as the dot product (the
+    * oracle replays it verbatim), used for PQ codebook assignment where
+    * subvector MAGNITUDE matters (a per-subspace cosine would quantize
+    * direction only and reconstruct the wrong lengths).
+    */
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) =>
+        (x.cast(DoubleType) - y.cast(DoubleType)) *
+          (x.cast(DoubleType) - y.cast(DoubleType))),
+      lit(0.0d), (acc, d) => acc + d)
+
+  /** Train per-subspace PQ codebooks: split `dim` into `pqM` disjoint
+    * subspaces of width `dim/pqM`, seed each subspace's codebook from
+    * the `pqK` train vectors with the smallest (md5-hash, id) — the
+    * same engine-portable hash as [[graft.ops.Sampling.hashUnit]], so
+    * the oracle replays the identical seed ranks — then run
+    * `refineIters` Lloyd steps per subspace with the grid-exact LONG-sum
+    * means of [[refineCentroids]] (order-independent, DuckDB-replayable).
+    * Returns (sub, cid, cv); cid is the seed rank (a codebook entry that
+    * loses every training point to a twin entry with a smaller rank
+    * drops out — deterministic on both engines).
+    *
+    * Scale shape: one broadcast of pqM×pqK tiny entries per Lloyd step,
+    * one exchange on (vector, sub); the seed pick is a distributed
+    * TakeOrdered of pqK rows. Training cost is |train| × pqM × pqK
+    * broadcast-local scores — the sampled-train lever (`trainFraction`)
+    * applies to it exactly as to the coarse quantizer.
+    */
+  def trainPqCodebooks(train: DataFrame, dim: Int, pqM: Int = 8, pqK: Int = 16,
+                       refineIters: Int = 1, gridScale: Int = 1024,
+                       idCol: String = "vec_id", vecCol: String = "embedding",
+                       seedSalt: String = "pq-seed"): DataFrame = {
+    require(pqM >= 1 && dim % pqM == 0,
+      s"dim $dim must split into pqM $pqM equal subspaces")
+    require(pqK >= 1, s"pqK must be >= 1, got $pqK")
+    val w = dim / pqM
+    val subs = subVecRows(train, idCol, vecCol, pqM, w)
+    val h = graft.ops.Sampling.hashUnit(col("pid"), seedSalt)
+    // the single-partition window ranks only the pqK TakeOrdered rows
+    val lim = train.select(col(idCol).as("pid")).withColumn("hh", h)
+      .orderBy(col("hh"), col("pid")).limit(pqK)
+    val seedIds = lim.withColumn("cid",
+        row_number().over(Window.orderBy(col("hh"), col("pid"))) - 1)
+      .select(col("pid"), col("cid"))
+    var cb = subs.join(broadcast(seedIds), Seq("pid"))
+      .select(col("sub"), col("cid"), col("sv").as("cv"))
+    for (_ <- 0 until refineIters)
+      cb = refinePqCodebooks(subs, cb, w, gridScale)
+    cb
+  }
+
+  /** One per-subspace Lloyd step: assign every train subvector to its
+    * argmin-L2 entry (ties to the smaller cid), replace each nonempty
+    * entry with the grid-exact componentwise mean of its members — the
+    * [[refineCentroids]] discipline applied per (sub, cid).
+    */
+  private def refinePqCodebooks(subs: DataFrame, cb: DataFrame,
+                                w: Int, gridScale: Int): DataFrame = {
+    val assigned = subs.join(broadcast(cb), Seq("sub"))
+      .withColumn("d2", l2sq(col("sv"), col("cv")))
+      .groupBy(col("pid"), col("sub"))
+      .agg(first(col("sv")).as("sv"),
+        min_by(col("cid"), struct(col("d2"), col("cid"))).as("cid"))
+    val sums = (0 until w).map(j =>
+      sum((element_at(col("sv"), j + 1) * gridScale).cast("long")).as(s"s$j"))
+    assigned.groupBy(col("sub"), col("cid"))
+      .agg(count(lit(1)).as("cnt"), sums: _*)
+      .select(col("sub"), col("cid"),
+        array((0 until w).map(j =>
+          (col(s"s$j").cast(DoubleType) / (col("cnt") * lit(gridScale.toDouble)))
+            .cast("float")): _*).as("cv"))
   }
 
   /** Brute-force top-k over int8-QUANTIZED vectors. Cosine over the

@@ -265,6 +265,59 @@ class IvfIndexSpec extends SparkSpec {
     assert(a.count() == corpus.count() && a.columns.toSet == cols)
   }
 
+  test("pq storage: codes+norm payload, float assignment, ADC scoring, auto-detected append") {
+    val pP = java.nio.file.Files.createTempDirectory("ivfpqfull").toString
+    Similarity.buildIvfIndex(corpus, SimQueries.ClusterCentPred,
+      SimQueries.Dim, pP, storage = "pq",
+      pqM = SimQueries.PqM, pqK = SimQueries.PqK)
+    val cols = spark.read.parquet(s"$pP/assigned").columns.toSet
+    assert(Set("codes", "rn").subsetOf(cols) &&
+      Seq("v", "n", "q8").forall(!cols.contains(_)),
+      s"pq layout must store codes + reconstruction norm only, got $cols")
+    // every code array has exactly pqM entries (sub order)
+    val badLen = spark.read.parquet(s"$pP/assigned")
+      .filter(size(col("codes")) =!= SimQueries.PqM).count()
+    assert(badLen == 0, s"$badLen rows with malformed code arrays")
+    // coarse assignment runs on the exact floats — identical cells to the
+    // float index built from the same corpus
+    def cells(p: String): Set[Seq[Any]] = spark.read.parquet(s"$p/assigned")
+      .select(col("c_id"), col("cell").cast("long")).collect().map(_.toSeq).toSet
+    assert(cells(pP) == cells(path))
+    // ADC ranking approximates the float ranking on the planted clusters
+    val q = corpus.filter(SimQueries.QueryPred)
+    val pk = Similarity.ivfTopKIndexed(spark, pP, q, SimQueries.K,
+      SimQueries.NProbe).select("q_id", "c_id").collect().map(_.toSeq).toSet
+    val fk = Similarity.ivfTopKIndexed(spark, path, q, SimQueries.K,
+      SimQueries.NProbe).select("q_id", "c_id").collect().map(_.toSeq).toSet
+    assert(pk.intersect(fk).size.toDouble / fk.size >= 0.5,
+      s"pq recall vs float index ${pk.intersect(fk).size}/${fk.size}")
+    // the planted-cluster structure survives quantization: ADC scoring
+    // adds AT MOST ONE cross-cluster neighbor (vec_id % KC) beyond what
+    // the shared coarse probe already forces on the float path — the
+    // codebook's per-component error is ≤ noise scale, so same-cluster
+    // candidates keep outranking cos≈0 strangers except at the rank-k
+    // boundary
+    def crossCluster(p: String): Long =
+      Similarity.ivfTopKIndexed(spark, p, q, SimQueries.K, SimQueries.NProbe)
+        .filter(pmod(col("q_id"), lit(PlantedClusters.KC)) =!=
+          pmod(col("c_id"), lit(PlantedClusters.KC))).count()
+    val (mismP, mismF) = (crossCluster(pP), crossCluster(path))
+    assert(mismP <= mismF + 1,
+      s"ADC scoring added cross-cluster neighbors: pq $mismP vs float $mismF")
+    // smallest stored form of the three
+    assert(fileSnapshot(pP).values.sum < fileSnapshot(path).values.sum,
+      "pq index files must be smaller than the float layout")
+    // append auto-detects the stored form; codebooks are NOT retrained, so
+    // build-half + append-half equals build-all row for row
+    val pH = java.nio.file.Files.createTempDirectory("ivfpqhalf").toString
+    Similarity.buildIvfIndex(corpus.filter(SimQueries.InitPred),
+      SimQueries.ClusterCentPred, SimQueries.Dim, pH, storage = "pq",
+      pqM = SimQueries.PqM, pqK = SimQueries.PqK)
+    Similarity.appendToIvfIndex(corpus.filter(s"NOT (${SimQueries.InitPred})"), pH)
+    val a = spark.read.parquet(s"$pH/assigned")
+    assert(a.count() == corpus.count() && a.columns.toSet == cols)
+  }
+
   test("streaming ingest: foreachBatch appends arriving vectors batch by batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
