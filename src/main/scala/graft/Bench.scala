@@ -849,6 +849,25 @@ object Bench {
           val recallP = "sf10_s15_recall" -> recallVsTruth(pqBase)
           val bytesP = "sf10_s15_bytes_ratio" ->
             assignedBytes(pqBase).toDouble / assignedBytes(sampledBase)
+          // round-11: the refine tier over the PQ index — the quantized
+          // scan generates candidates, the exact pass re-scores only
+          // those against the float corpus. At this fixture's density
+          // (34k-member clusters) the raw ADC recall above is the honest
+          // cost of 0.18× bytes (codes cannot resolve ~1e-5 cosine gaps);
+          // the rerank depth is sized to the probed-candidate count
+          // (~4 cells × ~370 rows at the sampled-geometry cell sizes).
+          val rerankR = 2048
+          val queryR = timed("sf10_s16_rerank_query", n = 1) {
+            Similarity.ivfTopKReranked(spark, pqBase,
+              e.filter(SimQueries.QueryPred), e, SimQueries.K,
+              SimQueries.NProbe, rerankR).count(); ()
+          }
+          val recallR = "sf10_s16_recall" ->
+            (Similarity.ivfTopKReranked(spark, pqBase,
+                e.filter(SimQueries.QueryPred), e, SimQueries.K,
+                SimQueries.NProbe, rerankR)
+              .select("q_id", "c_id")
+              .join(truthS, Seq("q_id", "c_id"), "left_semi").count() / nTruthS)
           truthS.unpersist()
           val apBase = new java.io.File("target/ivfappend_sf10_split").getAbsolutePath
           Similarity.buildIvfIndex(e.filter(SimQueries.InitPred),
@@ -866,7 +885,8 @@ object Bench {
           }
           Seq(build, query, buildS, queryS, recallS,
             buildQ, queryQ, recallQ, bytesQ,
-            buildP, queryP, recallP, bytesP, append, compact)
+            buildP, queryP, recallP, bytesP, queryR, recallR,
+            append, compact)
         }
         // epoch BPE past fixture pair-exhaustion: the sf0.1 corpus runs
         // dry at ~90 merges, so the "32k merges ≈ 32k/b rounds" claim

@@ -277,6 +277,30 @@ object SimQueries {
       .withColumn("rank", col("rank").cast("long"))
   }
 
+  /** s16 rerank depth: the quantized index emits this many candidates per
+    * query, the exact refine re-scores only those.
+    */
+  val RerankR = 32
+
+  /** s16 — TWO-TIER retrieval: the PQ index generates `RerankR`
+    * candidates per query (quantized scan — the cheap pass), then the
+    * exact refine re-scores just those candidates against the float
+    * corpus and takes the real top-k. This is the production pairing for
+    * any quantized payload: at dense neighborhoods the true top-k's
+    * cosine gaps sit below quantized resolution, so the index's job is
+    * candidate generation and the refine restores the final order.
+    */
+  def s16IvfPqReranked(s: SparkSession, dir: String): DataFrame = {
+    val base = new java.io.File(
+      s"target/ivfpqr${dir.replaceAll("[^a-zA-Z0-9]", "_")}").getAbsolutePath
+    val e = clustered(s, dir)
+    Similarity.buildIvfIndex(e, ClusterCentPred, Dim, base, storage = "pq",
+      pqM = PqM, pqK = PqK)
+    Similarity.ivfTopKReranked(s, base, e.filter(QueryPred), e, K, NProbe,
+        RerankR)
+      .withColumn("rank", col("rank").cast("long"))
+  }
+
   /** s11 — FILTERED vector search on the LSH path: the `label` metadata
     * rides the corpus side of the bucket index (`carry`) and the
     * predicate prunes candidates BEFORE bucketing/scoring — the
@@ -307,7 +331,8 @@ object SimQueries {
     "s12_ivf_sampled" -> (s12IvfSampled _),
     "s13_ivf_compacted" -> (s13IvfCompacted _),
     "s14_ivf_q8_indexed" -> (s14IvfQ8Indexed _),
-    "s15_ivf_pq_indexed" -> (s15IvfPqIndexed _)
+    "s15_ivf_pq_indexed" -> (s15IvfPqIndexed _),
+    "s16_ivf_pq_reranked" -> (s16IvfPqReranked _)
   )
 
   // ---- generated DuckDB twins ----------------------------------------
@@ -596,7 +621,14 @@ object SimQueries {
     * MATERIALIZED (codes/qtab are referenced through multi-way joins;
     * plain CTEs would inline and re-derive them).
     */
-  private def ivfPqSql: String = {
+  private def ivfPqSql: String = ivfPqSqlRerank(None)
+
+  /** [[ivfPqSql]] with an optional exact-refine stage: ADC ranks cut to
+    * the top `rerankR` candidates per query, which are then re-scored
+    * with the EXACT float cosine (the s1 scoring expression) and
+    * re-ranked — the twin of [[graft.sim.Similarity.ivfTopKReranked]].
+    */
+  private def ivfPqSqlRerank(rerankR: Option[Int]): String = {
     val w = Dim / PqM
     val gridSums = (1 to w)
       .map(j => s"CAST(sum(CAST(sv[$j] * 1024 AS BIGINT)) AS BIGINT)")
@@ -665,10 +697,22 @@ object SimQueries {
        |    WHERE q.q_id <> v.vec_id
        |    GROUP BY q.q_id, v.vec_id, q.qn) x
        |  JOIN rnv r ON r.vec_id = x.c_id
-       |), ranked AS (
+       |)${rerankR.fold("")(r => s""", rcand AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT q_id, c_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS arn
+       |    FROM scored)
+       |  WHERE arn <= $r
+       |), rescored AS (
+       |  SELECT rc.q_id, rc.c_id,
+       |    ${dotSql("q.qv", "v.embedding")} / (q.qn * v.n) AS cos
+       |  FROM rcand rc
+       |  JOIN v ON v.vec_id = rc.c_id
+       |  JOIN q ON q.q_id = rc.q_id
+       |)""")}, ranked AS (
        |  SELECT q_id, c_id, cos,
        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS BIGINT) AS "rank"
-       |  FROM scored
+       |  FROM ${if (rerankR.isDefined) "rescored" else "scored"}
        |)
        |SELECT q_id, c_id, cos, "rank" FROM ranked WHERE "rank" <= $K""".stripMargin
   }
@@ -762,6 +806,9 @@ object SimQueries {
     // seed ranks, per-subspace Lloyd, code argmin and ADC tables all
     // replayed (folds pinned to sub order on both engines)
     "s15_ivf_pq_indexed" -> ivfPqSql,
+    // s16: the s15 chain cut to the ADC top-RerankR, re-scored with the
+    // exact float cosine — the two-tier quantized-scan + exact-refine twin
+    "s16_ivf_pq_reranked" -> ivfPqSqlRerank(Some(RerankR)),
     "s1_ann_topk" -> topKSql,
     "s3_lsh_topk" -> lshMultiSql,
     "s4_ivf_topk" -> ivfSql,

@@ -765,6 +765,46 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Two-tier retrieval over a persisted index: the (small, quantized)
+    * index generates `rerankR` candidates per query, then EXACTLY
+    * re-scores only those candidates against the caller's source-of-truth
+    * corpus — the refine stage every production vector store pairs with a
+    * quantized scan (a quantized payload trades within-neighborhood
+    * resolution for bytes: at 34k-member clusters the true top-5's cosine
+    * gaps are ~1e-5, below what int8 — let alone PQ codes — can resolve,
+    * so the index's job is candidate GENERATION and the exact refine
+    * restores the final order). Works over any stored form
+    * ([[ivfTopKIndexed]] dispatches); the win is I/O: the candidate scan
+    * reads the 0.18×-bytes PQ index, and the exact pass touches
+    * queries × rerankR corpus rows instead of every probed vector.
+    *
+    * The candidate set is broadcast into ONE corpus scan (no corpus
+    * shuffle). At warehouse scale, lay the corpus out clustered by id so
+    * the id-join prunes row groups instead of reading every vector —
+    * same contract as any id-addressed fetch.
+    */
+  def ivfTopKReranked(spark: org.apache.spark.sql.SparkSession, path: String,
+                      queries: DataFrame, corpus: DataFrame, k: Int,
+                      nprobe: Int, rerankR: Int = 64,
+                      idCol: String = "vec_id", vecCol: String = "embedding",
+                      candidateFilter: Option[Column] = None,
+                      maxPrunedPaths: Int = MaxPrunedIndexPaths): DataFrame = {
+    require(rerankR >= k, s"rerankR $rerankR must be >= k $k")
+    val cand = ivfTopKIndexed(spark, path, queries, rerankR, nprobe,
+        idCol, vecCol, candidateFilter, maxPrunedPaths)
+      .select(col("q_id"), col("c_id"))
+    val dot = nativeDot(corpus)
+    val c = corpus.select(col(idCol).as("c_id"), col(vecCol).as("cv"))
+      .withColumn("cn", sqrt(dot(col("cv"), col("cv"))))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("qv"))
+      .withColumn("qn", sqrt(dot(col("qv"), col("qv"))))
+    val scored = c.join(broadcast(cand), Seq("c_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .withColumn("cos", cosine(dot(col("qv"), col("cv")), col("qn"), col("cn")))
+      .select(col("q_id"), col("c_id"), col("cos"))
+    rankTopK(scored, k)
+  }
+
   /** One Lloyd refinement step: assign every corpus vector to its nearest
     * (max-cosine) current centroid, then replace each nonempty cell's
     * centroid with the componentwise mean of its members. The assignment is

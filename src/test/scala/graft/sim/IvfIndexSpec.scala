@@ -318,6 +318,34 @@ class IvfIndexSpec extends SparkSpec {
     assert(a.count() == corpus.count() && a.columns.toSet == cols)
   }
 
+  test("two-tier rerank: quantized candidates + exact refine equal the float index top-k") {
+    val pP = java.nio.file.Files.createTempDirectory("ivfpqrr").toString
+    Similarity.buildIvfIndex(corpus, SimQueries.ClusterCentPred,
+      SimQueries.Dim, pP, storage = "pq",
+      pqM = SimQueries.PqM, pqK = SimQueries.PqK)
+    val q = corpus.filter(SimQueries.QueryPred)
+    // a rerank depth covering the probed candidate set makes the refine
+    // exact: identical rows (ids, cosines, ranks) to the float index —
+    // the 0.18x-bytes scan generates, the exact pass decides
+    val deep = Similarity.ivfTopKReranked(spark, pP, q, corpus,
+      SimQueries.K, SimQueries.NProbe, rerankR = corpus.count().toInt)
+      .collect().map(_.toSeq).toSet
+    val float = Similarity.ivfTopKIndexed(spark, path, q, SimQueries.K,
+      SimQueries.NProbe).collect().map(_.toSeq).toSet
+    assert(deep == float,
+      "deep rerank over the pq index must reproduce the float index exactly")
+    // at a bounded depth the refine still re-scores exactly (cosines are
+    // float-exact, not ADC approximations) and improves on raw ADC
+    val bounded = Similarity.ivfTopKReranked(spark, pP, q, corpus,
+      SimQueries.K, SimQueries.NProbe, SimQueries.RerankR)
+    val exactCos = bounded.join(
+        Similarity.bruteForceTopK(q, corpus, corpus.count().toInt)
+          .select(col("q_id"), col("c_id"), col("cos").as("bcos")),
+        Seq("q_id", "c_id"))
+      .filter(col("cos") =!= col("bcos")).count()
+    assert(exactCos == 0, s"$exactCos reranked cosines differ from exact scoring")
+  }
+
   test("streaming ingest: foreachBatch appends arriving vectors batch by batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
