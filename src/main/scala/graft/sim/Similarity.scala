@@ -548,9 +548,7 @@ object Similarity {
         // (sub order) plus the reconstruction norm `rn` — precomputable
         // exactly because subspaces are disjoint coordinates, so
         // |x̂|² = Σ_sub |codebook[sub][code]|²
-        val cbRaw = spark.read.parquet(s"$path/pq_codebooks")
-        val mw = cbRaw.agg(max(col("sub")).as("m"), max(size(col("cv"))).as("w")).head()
-        val (pqM, w) = (mw.getInt(0) + 1, mw.getInt(1))
+        val (cbRaw, pqM, w) = readPqCodebooks(spark, path)
         val cbn = broadcast(cbRaw.withColumn("cn2", dot(col("cv"), col("cv"))))
         val codes = subVecRows(assigned.select(col("c_id"), col("v")), "c_id", "v", pqM, w)
           .join(cbn, Seq("sub"))
@@ -725,9 +723,7 @@ object Similarity {
     // float centroids either way.
     val scored =
       if (assigned0.columns.contains("codes")) {
-        val cbRaw = spark.read.parquet(s"$path/pq_codebooks")
-        val mw = cbRaw.agg(max(col("sub")).as("m"), max(size(col("cv"))).as("w")).head()
-        val (pqM, w) = (mw.getInt(0) + 1, mw.getInt(1))
+        val (cbRaw, pqM, w) = readPqCodebooks(spark, path)
         val qtab = q.crossJoin(broadcast(cbRaw))
           .withColumn("t", dot(slice(col("v"), col("sub") * w + 1, lit(w)), col("cv")))
           .groupBy(col("q_id"))
@@ -888,6 +884,28 @@ object Similarity {
     */
   private val PqKeySpace = 1L << 20
 
+  /** Read a pq index's stored codebooks and derive (pqM, w) from them —
+    * with a NAMED failure when the store is missing or empty (an empty
+    * training corpus, a torn write, or a float/int8 index asked to encode
+    * pq), instead of an opaque NPE off a null aggregate.
+    */
+  private def readPqCodebooks(spark: org.apache.spark.sql.SparkSession,
+                              path: String): (DataFrame, Int, Int) = {
+    val cbRaw =
+      try spark.read.parquet(s"$path/pq_codebooks")
+      catch {
+        case e: org.apache.spark.sql.AnalysisException => throw new IllegalStateException(
+          s"$path holds no pq_codebooks — it was not built with storage=\"pq\" " +
+            "(or the codebook write was torn); rebuild with buildIvfIndex(storage = \"pq\")", e)
+      }
+    val mw = cbRaw.agg(max(col("sub")).as("m"), max(size(col("cv"))).as("w")).head()
+    if (mw.isNullAt(0))
+      throw new IllegalStateException(
+        s"$path/pq_codebooks is empty — the quantizer trained on zero rows " +
+          "(empty train corpus?); rebuild over a non-empty corpus")
+    (cbRaw, mw.getInt(0) + 1, mw.getInt(1))
+  }
+
   /** (pid, sub, sv) subvector rows of `df` — a map-only explode of each
     * vector into `pqM` w-wide slices (1-based `slice`, disjoint
     * coordinate ranges).
@@ -934,7 +952,8 @@ object Similarity {
                        seedSalt: String = "pq-seed"): DataFrame = {
     require(pqM >= 1 && dim % pqM == 0,
       s"dim $dim must split into pqM $pqM equal subspaces")
-    require(pqK >= 1, s"pqK must be >= 1, got $pqK")
+    require(pqK >= 1 && pqK < PqKeySpace,
+      s"pqK must be in [1, $PqKeySpace), got $pqK")
     val w = dim / pqM
     val subs = subVecRows(train, idCol, vecCol, pqM, w)
     val h = graft.ops.Sampling.hashUnit(col("pid"), seedSalt)

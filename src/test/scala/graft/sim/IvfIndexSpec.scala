@@ -318,6 +318,23 @@ class IvfIndexSpec extends SparkSpec {
     assert(a.count() == corpus.count() && a.columns.toSet == cols)
   }
 
+  test("pq edge cases fail by NAME: missing codebooks, empty-train codebooks") {
+    // a float index asked to score as pq (or a torn codebook write): the
+    // error names the store and the fix, not an AnalysisException path
+    val eNoCb = intercept[IllegalStateException] {
+      Similarity.appendToIvfIndex(corpus.limit(1), path, storage = Some("pq"))
+    }
+    assert(eNoCb.getMessage.contains("pq_codebooks"))
+    // an empty training corpus writes an empty codebook store: the build
+    // fails by name instead of an NPE off a null aggregate downstream
+    val pE = java.nio.file.Files.createTempDirectory("ivfpqempty").toString
+    val eEmpty = intercept[IllegalStateException] {
+      Similarity.buildIvfIndex(corpus.filter("vec_id < 0"),
+        SimQueries.ClusterCentPred, SimQueries.Dim, pE, storage = "pq")
+    }
+    assert(eEmpty.getMessage.contains("zero rows"))
+  }
+
   test("two-tier rerank: quantized candidates + exact refine equal the float index top-k") {
     val pP = java.nio.file.Files.createTempDirectory("ivfpqrr").toString
     Similarity.buildIvfIndex(corpus, SimQueries.ClusterCentPred,
