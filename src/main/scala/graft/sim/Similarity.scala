@@ -549,10 +549,16 @@ object Similarity {
         // exactly because subspaces are disjoint coordinates, so
         // |x̂|² = Σ_sub |codebook[sub][code]|²
         val (cbRaw, pqM, w) = readPqCodebooks(spark, path)
+        val l2 = nativeL2Sq(vecs)
         val cbn = broadcast(cbRaw.withColumn("cn2", dot(col("cv"), col("cv"))))
-        val codes = subVecRows(assigned.select(col("c_id"), col("v")), "c_id", "v", pqM, w)
+        // codes derive from the INPUT, not from `assigned` — the coarse
+        // crossJoin sweep must run once, not once per consumer of the
+        // assigned subtree (exchange reuse is an optimizer courtesy, not
+        // a contract); the extra input scan is a plain parquet re-read
+        val codes = subVecRows(vecs.select(col(idCol).as("c_id"),
+            col(vecCol).as("v")), "c_id", "v", pqM, w)
           .join(cbn, Seq("sub"))
-          .withColumn("d2", l2sq(col("sv"), col("cv")))
+          .withColumn("d2", l2(col("sv"), col("cv")))
           .groupBy(col("pid"), col("sub"))
           .agg(min_by(struct(col("cid"), col("cn2")), struct(col("d2"), col("cid"))).as("ch"))
           .groupBy(col("pid"))
@@ -921,13 +927,23 @@ object Similarity {
     * cross-engine-deterministic fold discipline as the dot product (the
     * oracle replays it verbatim), used for PQ codebook assignment where
     * subvector MAGNITUDE matters (a per-subspace cosine would quantize
-    * direction only and reconstruct the wrong lengths).
+    * direction only and reconstruct the wrong lengths). Session-less
+    * fallback; the build paths use the codegen'd
+    * [[graft.functions.L2Sq]] native expression (bit-identical —
+    * NativeExprSpec pins it), because training and encoding evaluate
+    * |corpus| × pqM × pqK of these folds per sweep.
     */
-  private def l2sq(a: Column, b: Column): Column =
+  def l2sqExact(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) =>
         (x.cast(DoubleType) - y.cast(DoubleType)) *
           (x.cast(DoubleType) - y.cast(DoubleType))),
       lit(0.0d), (acc, d) => acc + d)
+
+  /** Native squared-L2 bound to `df`'s session (registers, idempotent). */
+  private def nativeL2Sq(df: DataFrame): (Column, Column) => Column = {
+    graft.functions.L2Sq.register(df.sparkSession)
+    graft.functions.L2Sq(_, _)
+  }
 
   /** Train per-subspace PQ codebooks: split `dim` into `pqM` disjoint
     * subspaces of width `dim/pqM`, seed each subspace's codebook from
@@ -977,8 +993,9 @@ object Similarity {
     */
   private def refinePqCodebooks(subs: DataFrame, cb: DataFrame,
                                 w: Int, gridScale: Int): DataFrame = {
+    val l2 = nativeL2Sq(subs)
     val assigned = subs.join(broadcast(cb), Seq("sub"))
-      .withColumn("d2", l2sq(col("sv"), col("cv")))
+      .withColumn("d2", l2(col("sv"), col("cv")))
       .groupBy(col("pid"), col("sub"))
       .agg(first(col("sv")).as("sv"),
         min_by(col("cid"), struct(col("d2"), col("cid"))).as("cid"))

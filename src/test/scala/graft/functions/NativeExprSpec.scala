@@ -52,6 +52,28 @@ class NativeExprSpec extends SparkSpec {
     both.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
+  test("graft_l2sq is bit-identical to the aggregate/zip_with fold") {
+    L2Sq.register(spark)
+    val both = vecs.filter(col("v").isNotNull).as("a")
+      .crossJoin(vecs.filter(col("v").isNotNull).as("b"))
+      .select(
+        L2Sq(col("a.v"), col("b.v")).as("native"),
+        Similarity.l2sqExact(col("a.v"), col("b.v")).as("fold"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("graft_l2sq: null input yields null") {
+    L2Sq.register(spark)
+    val n = vecs.select(L2Sq(col("v"), col("v")).as("d"))
+      .filter(col("d").isNull).count()
+    assert(n == 1)
+  }
+
   test("graft_dot_int: null input yields null") {
     IntDotProduct.register(spark)
     val n = ivecs.select(IntDotProduct(col("v"), col("v")).as("d"))
