@@ -868,6 +868,22 @@ object Bench {
                 SimQueries.NProbe, rerankR)
               .select("q_id", "c_id")
               .join(truthS, Seq("q_id", "c_id"), "left_semi").count() / nTruthS)
+          // the DEPTH dimension of the ladder: SQ8's residual resolution
+          // (0.725 raw) means a shallow refine suffices — depth 32 vs the
+          // PQ index's 2048 (whose codes are candidate-blind here). Same
+          // refine code over the int8 index via the stored-form dispatch.
+          val rerankR8 = 32
+          val queryR8 = timed("sf10_s14r_rerank_query", n = 1) {
+            Similarity.ivfTopKReranked(spark, q8Base,
+              e.filter(SimQueries.QueryPred), e, SimQueries.K,
+              SimQueries.NProbe, rerankR8).count(); ()
+          }
+          val recallR8 = "sf10_s14r_recall" ->
+            (Similarity.ivfTopKReranked(spark, q8Base,
+                e.filter(SimQueries.QueryPred), e, SimQueries.K,
+                SimQueries.NProbe, rerankR8)
+              .select("q_id", "c_id")
+              .join(truthS, Seq("q_id", "c_id"), "left_semi").count() / nTruthS)
           truthS.unpersist()
           val apBase = new java.io.File("target/ivfappend_sf10_split").getAbsolutePath
           Similarity.buildIvfIndex(e.filter(SimQueries.InitPred),
@@ -884,7 +900,7 @@ object Bench {
             Similarity.compactIvfIndex(spark, apBase); ()
           }
           Seq(build, query, buildS, queryS, recallS,
-            buildQ, queryQ, recallQ, bytesQ,
+            buildQ, queryQ, recallQ, bytesQ, queryR8, recallR8,
             buildP, queryP, recallP, bytesP, queryR, recallR,
             append, compact)
         }
