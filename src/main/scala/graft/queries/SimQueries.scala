@@ -301,6 +301,46 @@ object SimQueries {
       .withColumn("rank", col("rank").cast("long"))
   }
 
+  /** s17 delete set: one planted cluster's residue — the locality a real
+    * delete has (a dropped near-dup cluster's vectors share cells), so
+    * reclaim rewrites ~1/KC of the cells, not the index.
+    */
+  val DeletePred = "vec_id % 9 = 4"
+
+  /** s17 — the DELETE lifecycle end-to-end: build over the even-id half,
+    * append the odd half, TOMBSTONE the `DeletePred` ids
+    * (O(tombstones) — no index file is touched), query (the anti-join
+    * masks deleted vectors immediately), COMPACT (tombstoned rows are
+    * physically reclaimed, the applied set retired), query again. Both
+    * read points must answer identically — the twin excludes the deleted
+    * ids as candidates and replays at both stages — so a delete that
+    * leaked a dropped vector at EITHER point (mask or reclaim) breaks the
+    * exact hash compare. This closes the dedup→index consistency gap:
+    * curation drop verdicts arrive after indexing, and
+    * [[graft.sim.Similarity.deleteCurationDropsFromIvfIndex]] is this
+    * path fed from a curation drop epoch.
+    */
+  def s17IvfDeleted(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val base = new java.io.File(
+      s"target/ivfdelete${dir.replaceAll("[^a-zA-Z0-9]", "_")}").getAbsolutePath
+    val e = clustered(s, dir)
+    Similarity.buildIvfIndex(e.filter(InitPred), ClusterCentPred, Dim, base)
+    Similarity.appendToIvfIndex(e.filter(s"NOT ($InitPred)"), base)
+    Similarity.deleteFromIvfIndex(s, base, e.filter(DeletePred).select("vec_id"))
+    def q(stage: String): DataFrame =
+      Similarity.ivfTopKIndexed(s, base, e.filter(QueryPred), K, NProbe)
+        .withColumn("rank", col("rank").cast("long"))
+        .withColumn("stage", lit(stage))
+    val tombstoned = q("tombstoned")
+    // materialize BEFORE compaction retires the tombstones this plan reads
+    import scala.jdk.CollectionConverters._
+    val pinned = s.createDataFrame(tombstoned.collect().toList.asJava,
+      tombstoned.schema)
+    Similarity.compactIvfIndex(s, base)
+    pinned.unionByName(q("reclaimed"))
+  }
+
   /** s11 — FILTERED vector search on the LSH path: the `label` metadata
     * rides the corpus side of the bucket index (`carry`) and the
     * predicate prunes candidates BEFORE bucketing/scoring — the
@@ -332,7 +372,8 @@ object SimQueries {
     "s13_ivf_compacted" -> (s13IvfCompacted _),
     "s14_ivf_q8_indexed" -> (s14IvfQ8Indexed _),
     "s15_ivf_pq_indexed" -> (s15IvfPqIndexed _),
-    "s16_ivf_pq_reranked" -> (s16IvfPqReranked _)
+    "s16_ivf_pq_reranked" -> (s16IvfPqReranked _),
+    "s17_ivf_deleted" -> (s17IvfDeleted _)
   )
 
   // ---- generated DuckDB twins ----------------------------------------
@@ -809,6 +850,13 @@ object SimQueries {
     // s16: the s15 chain cut to the ADC top-RerankR, re-scored with the
     // exact float cosine — the two-tier quantized-scan + exact-refine twin
     "s16_ivf_pq_reranked" -> ivfPqSqlRerank(Some(RerankR)),
+    // s17: the s10 build+append twin with the deleted ids excluded as
+    // candidates, replayed at BOTH read points (tombstone-masked and
+    // physically reclaimed answers must be identical)
+    "s17_ivf_deleted" ->
+      s"""SELECT q_id, c_id, cos, "rank", stage FROM (
+         |${ivfRefinedSqlWhere(s"NOT (v.$DeletePred)", InitPred)}
+         |) t CROSS JOIN (SELECT unnest(['tombstoned','reclaimed']) AS stage) st""".stripMargin,
     "s1_ann_topk" -> topKSql,
     "s3_lsh_topk" -> lshMultiSql,
     "s4_ivf_topk" -> ivfSql,

@@ -367,7 +367,9 @@ object Similarity {
 
   /** Build and PERSIST an IVF index: Lloyd-refined centroids plus every
     * corpus vector's cell assignment, written as parquet with the
-    * assignments PARTITIONED BY CELL. This is the build-once/query-many
+    * assignments PARTITIONED BY CELL (each cell's files live under a
+    * GENERATION subdirectory — see [[compactIvfIndex]] for why). This is
+    * the build-once/query-many
     * split every ANN service runs: build pays the same sweeps as
     * [[ivfTopKRefined]] exactly once; each later query set probes its
     * `nprobe` cells and — because cells are parquet partitions — the scan
@@ -413,6 +415,7 @@ object Similarity {
       s"trainFraction must be in (0, 1], got $trainFraction")
     require(Storages(storage),
       s"storage must be one of ${Storages.mkString("/")}, got $storage")
+    requireCarryNames(carry)
     val dot = nativeDot(corpus)
     val train =
       if (trainFraction >= 1.0) corpus
@@ -436,6 +439,27 @@ object Similarity {
 
   /** The stored candidate-payload forms a persisted index supports. */
   val Storages: Set[String] = Set("float32", "int8", "pq")
+
+  /** Column names the cell-partitioned layout reserves for its own payload,
+    * partitioning and query plumbing. `carry` metadata may not collide with
+    * them: the stored-form dispatch is by schema (a float32 index with a
+    * carry column named `codes` would silently take the PQ scoring branch
+    * at query time), and the query join aliases would shadow a carry named
+    * `q_id`/`cos` — so the collision fails at BUILD time, by name.
+    */
+  val ReservedIndexCols: Set[String] = Set(
+    "c_id", "v", "n", "cell", "g", "codes", "rn", "q8", "q8_scale", "qn",
+    "cid", "cv0", "cn0", "ccos", "q_id", "cos", "qv", "qa", "qan", "qtab",
+    "num", "crn", "rank")
+
+  private def requireCarryNames(carry: Seq[String]): Unit = {
+    val clash = carry.filter(ReservedIndexCols)
+    require(clash.isEmpty,
+      s"carry column(s) ${clash.mkString(", ")} collide with the index " +
+        s"layout's reserved payload/partition columns " +
+        s"(${ReservedIndexCols.toSeq.sorted.mkString(", ")}) — rename them " +
+        "before building/appending")
+  }
 
   /** Incrementally admit NEW vectors into a persisted [[buildIvfIndex]]
     * index: assign ONLY the delta against the STORED centroids (the same
@@ -461,6 +485,7 @@ object Similarity {
                        idCol: String = "vec_id", vecCol: String = "embedding",
                        carry: Seq[String] = Nil,
                        storage: Option[String] = None): Unit = {
+    requireCarryNames(carry)
     // the stored form follows the EXISTING index (an append can never
     // silently mix storage forms); the override only matters when there
     // is no assigned data yet to detect from
@@ -570,7 +595,26 @@ object Similarity {
               (a, s) => a + s.getField("cn2"))).as("rn"))
         assigned.drop("v", "n").join(codes, Seq("c_id"))
     }
-    stored
+    // stamp each row's GENERATION: new rows always land in their cell's
+    // LIVE generation dir (compaction bumps it — see [[compactIvfIndex]]);
+    // a build starts every cell at g=0, an append resolves the current
+    // summary so appended files join the generation readers resolve
+    val assignedRoot = s"$path/assigned"
+    val genStamped = mode match {
+      case SaveMode.Overwrite => stored.withColumn("g", lit(0L))
+      case _ =>
+        val (_, gens) = readGenSummary(
+          hadoopFs(spark, new org.apache.hadoop.fs.Path(assignedRoot)),
+          assignedRoot)
+        if (gens.isEmpty) stored.withColumn("g", lit(0L))
+        else {
+          val genDf = broadcast(
+            spark.createDataFrame(gens.toSeq).toDF("cell", "__g"))
+          stored.join(genDf, Seq("cell"), "left")
+            .withColumn("g", coalesce(col("__g"), lit(0L))).drop("__g")
+        }
+    }
+    genStamped
       // cluster by cell BEFORE the partitioned write: the groupBy output
       // is hashed on c_id, so without this every write task holds rows of
       // ~every cell and opens one parquet writer per cell — file count
@@ -579,75 +623,324 @@ object Similarity {
       // O(cells), independent of write parallelism — the shape a 1000-
       // executor build needs.
       .repartition(col("cell"))
-      .write.mode(mode).partitionBy("cell").parquet(s"$path/assigned")
+      .write.mode(mode).partitionBy("cell", "g").parquet(assignedRoot)
+  }
+
+  // ---- generation + tombstone bookkeeping of the persisted layout ------
+
+  private def hadoopFs(spark: org.apache.spark.sql.SparkSession,
+                       p: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.FileSystem =
+    p.getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** Newest committed generation summary under `assigned/_gens`:
+    * (version, cell → live generation). Cells absent from the map — never
+    * compacted — live at generation 0, so a fresh index needs no summary
+    * at all. Summary files are written whole to a dot-temp and RENAMED in,
+    * so the newest listed version is always complete; the `_` prefix keeps
+    * the dir invisible to Spark's partition discovery.
+    */
+  private def readGenSummary(fs: org.apache.hadoop.fs.FileSystem,
+                             assignedRoot: String): (Long, Map[Long, Long]) = {
+    val gens = new org.apache.hadoop.fs.Path(s"$assignedRoot/_gens")
+    if (!fs.exists(gens)) return (0L, Map.empty)
+    val vers = fs.listStatus(gens).map(_.getPath.getName)
+      .filter(_.matches("v\\d+")).map(_.stripPrefix("v").toLong)
+    if (vers.isEmpty) return (0L, Map.empty)
+    val ver = vers.max
+    val in = fs.open(new org.apache.hadoop.fs.Path(gens, s"v$ver"))
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    (ver, txt.split("\n").iterator.filter(_.nonEmpty).map { l =>
+      val Array(c, g) = l.split(" "); c.toLong -> g.toLong
+    }.toMap)
+  }
+
+  private def writeGenSummary(fs: org.apache.hadoop.fs.FileSystem,
+                              assignedRoot: String, ver: Long,
+                              m: Map[Long, Long]): Unit = {
+    val gens = new org.apache.hadoop.fs.Path(s"$assignedRoot/_gens")
+    fs.mkdirs(gens)
+    val tmp = new org.apache.hadoop.fs.Path(gens, s".v$ver.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(m.toSeq.sorted.map { case (c, g) => s"$c $g" }
+      .mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    fs.rename(tmp, new org.apache.hadoop.fs.Path(gens, s"v$ver"))
+  }
+
+  /** The cell ids present on disk (one root listing). */
+  private def cellsOnDisk(fs: org.apache.hadoop.fs.FileSystem,
+                          assignedRoot: String): Seq[Long] = {
+    val root = new org.apache.hadoop.fs.Path(assignedRoot)
+    if (!fs.exists(root)) return Nil
+    fs.listStatus(root).iterator
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+      .map(_.getPath.getName.stripPrefix("cell=").toLong).toSeq.sorted
+  }
+
+  /** The LIVE generation directories for `cells` (every on-disk cell when
+    * None), as explicit paths the scan is constructed over.
+    */
+  private def liveAssignedDirs(spark: org.apache.spark.sql.SparkSession,
+                               path: String,
+                               cells: Option[Seq[Long]]): Seq[String] = {
+    val assignedRoot = s"$path/assigned"
+    val fs = hadoopFs(spark, new org.apache.hadoop.fs.Path(assignedRoot))
+    val onDisk = cellsOnDisk(fs, assignedRoot)
+    val (_, gens) = readGenSummary(fs, assignedRoot)
+    val sel = cells.fold(onDisk)(cs => cs.filter(onDisk.toSet))
+    sel.map(c => s"$assignedRoot/cell=$c/g=${gens.getOrElse(c, 0L)}")
+  }
+
+  /** The LIVE rows of a persisted index — the one read path every consumer
+    * (query, compaction, parity checks) must use: resolves each cell's
+    * live generation from the newest summary and constructs the scan over
+    * exactly those generation directories. A raw recursive read of
+    * `path/assigned` is WRONG once any compaction has run: superseded
+    * generations are retained one compaction cycle for lagging readers
+    * (keep = 2) and a recursive read would double-count their rows.
+    * Tombstoned rows ([[deleteFromIvfIndex]]) are NOT filtered here — this
+    * is the physical row set; query paths anti-join the live tombstone
+    * epoch on top.
+    */
+  def readIvfAssigned(spark: org.apache.spark.sql.SparkSession, path: String,
+                      cells: Option[Seq[Long]] = None): DataFrame = {
+    val dirs = liveAssignedDirs(spark, path, cells)
+    require(dirs.nonEmpty, s"$path/assigned holds no cell directories")
+    spark.read.option("basePath", s"$path/assigned")
+      .parquet(dirs: _*)
+      .drop("g")
+      .withColumn("cell", col("cell").cast("long"))
+  }
+
+  /** Committed tombstone epoch ids under `path/tombstones`, ascending —
+    * the `_SUCCESS`-marker definition shared by readers, the delete
+    * writer and the epoch pruner (the CurationStream epoch discipline).
+    */
+  private def committedTombEpochs(fs: org.apache.hadoop.fs.FileSystem,
+                                  path: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    if (!fs.exists(p)) return Nil
+    fs.listStatus(p).map(_.getPath.getName)
+      .filter(_.startsWith("epoch="))
+      .filter(d => fs.exists(new org.apache.hadoop.fs.Path(p, s"$d/_SUCCESS")))
+      .map(_.stripPrefix("epoch=").toLong).sorted.toSeq
+  }
+
+  /** The live tombstone id set — the newest committed epoch, a
+    * single-column (`c_id`) frame — or None when the index has never had
+    * a delete. Each epoch is SELF-CONTAINED (the full current tombstone
+    * set, not a delta), so readers resolve exactly one epoch dir and
+    * retiring the set is writing an empty newer epoch — never deleting
+    * files a lagging reader may hold.
+    */
+  private def readTombstones(spark: org.apache.spark.sql.SparkSession,
+                             path: String): Option[DataFrame] = {
+    val fs = hadoopFs(spark, new org.apache.hadoop.fs.Path(path))
+    val epochs = committedTombEpochs(fs, path)
+    if (epochs.isEmpty) None
+    else Some(spark.read.parquet(s"$path/tombstones/epoch=${epochs.max}"))
+  }
+
+  private def pruneTombEpochs(spark: org.apache.spark.sql.SparkSession,
+                              path: String, keep: Int): Unit = {
+    val fs = hadoopFs(spark, new org.apache.hadoop.fs.Path(path))
+    committedTombEpochs(fs, path).dropRight(keep).foreach(id =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones/epoch=$id"), true))
+  }
+
+  /** DELETE vectors from a persisted index — the way OUT of the store
+    * that [[buildIvfIndex]]/[[appendToIvfIndex]] are the way into. Writes
+    * a new TOMBSTONE EPOCH (the previous live set plus `ids`, one tiny
+    * self-contained parquet — O(live tombstones), the index files are
+    * untouched): [[ivfTopKIndexed]]/[[ivfTopKReranked]] anti-join the
+    * live epoch on the cell-pruned read, so deleted vectors stop being
+    * retrievable IMMEDIATELY, and the next [[compactIvfIndex]] physically
+    * reclaims them (rewrites exactly the cells holding tombstoned rows,
+    * then retires the applied set as an empty newer epoch, keep = 2).
+    *
+    * This is the dedup-consistency path a 100 TB deployment hits daily:
+    * curation drop verdicts arrive AFTER embedding/indexing, and a corpus
+    * whose dropped documents remain retrievable from its ANN index is
+    * incoherent — see [[deleteCurationDropsFromIvfIndex]] for the
+    * one-call composition from a curation drop epoch. Reference tie-in:
+    * mitigation's remove side (`ryu/src/deployed_controller/
+    * Controller1.py:434-443`) — state must leave as cheaply as it
+    * arrived. Returns the new epoch id. Writer coordination: serialize
+    * deletes and compactions (single maintenance writer, the standard
+    * table-format contract); readers need no coordination.
+    */
+  def deleteFromIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                         path: String, ids: DataFrame,
+                         idCol: String = "vec_id"): Long = {
+    val add = ids.select(col(idCol).as("c_id")).distinct()
+    val full = readTombstones(spark, path)
+      .fold(add)(prev => prev.unionByName(add).distinct())
+    val fs = hadoopFs(spark, new org.apache.hadoop.fs.Path(path))
+    val next = committedTombEpochs(fs, path).lastOption.getOrElse(-1L) + 1L
+    // one file: the tombstone set is delete-volume sized, not corpus sized
+    full.coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$path/tombstones/epoch=$next")
+    pruneTombEpochs(spark, path, keep = 2)
+    next
+  }
+
+  /** Wire a curation COMPACTION EPOCH's dropped-id set
+    * ([[graft.streaming.CurationStream.startCompactionStage]]'s
+    * `epoch=<id>` artifact) into a persisted index as tombstones — the
+    * one-call composition closing the dedup→index consistency gap. Reads
+    * the newest committed curation epoch (same `_SUCCESS` rule as
+    * `compactedView`) and tombstones its ids; a no-op (returns None) when
+    * no epoch is committed yet.
+    */
+  def deleteCurationDropsFromIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                                      indexPath: String, epochDir: String,
+                                      dropIdCol: String = "doc_id"): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(epochDir)
+    val fs = hadoopFs(spark, p)
+    if (!fs.exists(p)) return None
+    val epochs = fs.listStatus(p).map(_.getPath.getName)
+      .filter(_.startsWith("epoch="))
+      .filter(d => fs.exists(new org.apache.hadoop.fs.Path(p, s"$d/_SUCCESS")))
+      .map(_.stripPrefix("epoch=").toLong)
+    if (epochs.isEmpty) return None
+    val drops = spark.read.parquet(s"$epochDir/epoch=${epochs.max}")
+    Some(deleteFromIvfIndex(spark, indexPath, drops, dropIdCol))
   }
 
   /** Compact the small files a persisted index accumulates under
-    * [[appendToIvfIndex]]/[[appendToIvfIndexStream]]: every append lands
-    * its delta as NEW files inside each touched cell's directory (that is
-    * what makes the append cheap and idempotent), so a daily-append
-    * deployment drifts toward many tiny files per cell — and at 100 TB
-    * the per-file open/footer cost starts to rival the row scan itself.
-    * Rewrites ONLY the cells holding more than `maxFilesPerCell` data
-    * files, one output file per rewritten cell (each cell's rows land in
-    * one task via the same repartition-by-cell the build uses);
-    * untouched cells' files are never read or replaced. Returns the
-    * compacted cell ids.
+    * [[appendToIvfIndex]]/[[appendToIvfIndexStream]] and physically
+    * reclaim tombstoned rows ([[deleteFromIvfIndex]]): every append lands
+    * its delta as NEW files inside each touched cell's live generation
+    * (that is what makes the append cheap and idempotent), so a
+    * daily-append deployment drifts toward many tiny files per cell — and
+    * at 100 TB the per-file open/footer cost starts to rival the row scan
+    * itself. Rewrites ONLY (a) the cells holding more than
+    * `maxFilesPerCell` data files and (b) the cells holding tombstoned
+    * rows, one output file per rewritten cell; untouched cells' files are
+    * never read or replaced. Returns the rewritten cell ids.
     *
-    * Staging: the rewritten cells are written under
-    * `assigned_compacting/` first, then swapped in with one
-    * delete+rename per cell — the layout a reader resolves is always
-    * complete per cell, and a crash mid-swap loses no data that is not
-    * already durable in the staging dir. Readers holding a plan over a
-    * cell DURING its swap can fail mid-scan (the pruneEpochs
-    * reader-race class): run compaction when the affected cells are
-    * quiescent, or retry the read — content is identical either way.
-    * Pure layout maintenance: row set, schema and query answers are
-    * unchanged (IvfIndexSpec pins parity, and `s13_ivf_compacted` pins
-    * the full build→append→compact→query lifecycle to the s10 twin).
+    * CONCURRENT READERS ARE SAFE — the round-11 "run compaction when the
+    * affected cells are quiescent" caveat is retired the way
+    * `CurationStream.pruneEpochs` retired its race, by generations
+    * instead of in-place swaps. Each cell's files live under a
+    * generation subdir (`cell=N/g=K`); readers resolve the live
+    * generation from the newest `_gens` summary. Compaction writes the
+    * rewritten cells to staging, renames each in as the NEW generation
+    * `g=K+1` (live files are never moved or deleted by the swap),
+    * publishes the summary, and only then prunes generations superseded
+    * TWICE (keep = 2) — so a reader that resolved its plan any time
+    * after the previous compaction keeps every file it holds through
+    * one full compaction cycle (IvfIndexSpec pins it with an
+    * interleaved reader). Crash safety follows from the same shape: the
+    * staging dir only ever holds COPIES, so a crashed run's leftovers
+    * are garbage (deleted on the next entry), and a renamed-but-never-
+    * published `g=K+1` dir is invisible to readers and replaced on
+    * re-run. WRITERS still serialize: one build/append/delete/compact
+    * at a time (the standard single-writer table-format contract);
+    * appends land in the live generation the summary advertises.
+    *
+    * Tombstone application order (the reader contract's other half):
+    * readers resolve tombstones BEFORE the generation summary, and this
+    * writer publishes the summary BEFORE retiring the applied tombstone
+    * set (as an empty newer epoch, keep = 2) — so every interleaving
+    * reads consistently: an old tombstone set masks old generations, and
+    * an empty one is only visible once the clean generations are too.
+    *
+    * Pure layout maintenance plus deletes: the surviving row set, schema
+    * and query answers are unchanged (IvfIndexSpec pins parity;
+    * `s13_ivf_compacted` pins build→append→compact→query to the s10
+    * twin, `s17_ivf_deleted` pins the delete lifecycle at both read
+    * points).
     */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                       maxFilesPerCell: Int = 1): Seq[Long] = {
     require(maxFilesPerCell >= 1, s"maxFilesPerCell >= 1, got $maxFilesPerCell")
     val assignedRoot = s"$path/assigned"
     val root = new org.apache.hadoop.fs.Path(assignedRoot)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val fs = hadoopFs(spark, root)
+    val staging = new org.apache.hadoop.fs.Path(s"$path/assigned_compacting")
+    // staging only ever holds copies (live generations are never moved),
+    // so a crashed run's leftover is garbage by construction
+    fs.delete(staging, true)
+    if (!fs.exists(root)) return Nil
+    val (ver, gens) = readGenSummary(fs, assignedRoot)
+    def gen(c: Long): Long = gens.getOrElse(c, 0L)
+    val onDisk = cellsOnDisk(fs, assignedRoot)
+    if (onDisk.isEmpty) return Nil
     def dataFiles(p: org.apache.hadoop.fs.Path): Int =
-      fs.listStatus(p).count { f =>
+      if (!fs.exists(p)) 0
+      else fs.listStatus(p).count { f =>
         val n = f.getPath.getName
         f.isFile && !n.startsWith("_") && !n.startsWith(".")
       }
-    val targets = fs.listStatus(root).iterator
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
-      .filter(s => dataFiles(s.getPath) > maxFilesPerCell)
-      .map(_.getPath.getName.stripPrefix("cell=").toLong)
-      .toSeq.sorted
-    if (targets.isEmpty) return Nil
-    val staging = new org.apache.hadoop.fs.Path(s"$path/assigned_compacting")
-    fs.delete(staging, true)
-    spark.read.option("basePath", assignedRoot)
-      .parquet(targets.map(c => s"$assignedRoot/cell=$c"): _*)
-      .withColumn("cell", col("cell").cast("long"))
-      .repartition(col("cell"))
-      .write.mode(SaveMode.Overwrite).partitionBy("cell")
-      .parquet(staging.toString)
-    targets.foreach { c =>
-      val src = new org.apache.hadoop.fs.Path(s"$staging/cell=$c")
-      val dst = new org.apache.hadoop.fs.Path(s"$assignedRoot/cell=$c")
-      fs.delete(dst, true)
-      // a cell whose every file held zero rows produces no staged dir;
-      // deleting it outright is identical (missing cell = empty cell to
-      // the pruned read)
-      if (fs.exists(src)) fs.rename(src, dst)
+    val fileTargets = onDisk.filter(c =>
+      dataFiles(new org.apache.hadoop.fs.Path(s"$assignedRoot/cell=$c/g=${gen(c)}")) >
+        maxFilesPerCell)
+    // only a NON-EMPTY live tombstone set drives work; the empty epoch a
+    // previous retirement wrote is already the retired state
+    val tombs = readTombstones(spark, path).filter(!_.isEmpty)
+    val tombTargets: Seq[Long] = tombs.fold(Seq.empty[Long]) { t =>
+      // one column-pruned pass over (c_id, cell) of the live layout: the
+      // tombstone store holds ids, not cells, so the dead rows' cells are
+      // looked up once here — maintenance-pass cost, never query cost
+      readIvfAssigned(spark, path).select(col("c_id"), col("cell"))
+        .join(t, Seq("c_id"))
+        .select(col("cell")).distinct()
+        .collect().map(_.getLong(0)).toSeq
     }
-    fs.delete(staging, true)
+    val targets = (fileTargets ++ tombTargets).distinct.sorted
+    if (targets.nonEmpty) {
+      val nextGen = targets.map(c => c -> (gen(c) + 1L)).toMap
+      val live = readIvfAssigned(spark, path, Some(targets))
+      val cleaned = tombs.fold(live)(t => live.join(t, Seq("c_id"), "left_anti"))
+      val genDf = broadcast(
+        spark.createDataFrame(nextGen.toSeq).toDF("cell", "__g"))
+      cleaned.join(genDf, Seq("cell"))
+        .withColumn("g", col("__g")).drop("__g")
+        .repartition(col("cell"))
+        .write.mode(SaveMode.Overwrite).partitionBy("cell", "g")
+        .parquet(staging.toString)
+      targets.foreach { c =>
+        val n = nextGen(c)
+        val src = new org.apache.hadoop.fs.Path(s"$staging/cell=$c/g=$n")
+        val dst = new org.apache.hadoop.fs.Path(s"$assignedRoot/cell=$c/g=$n")
+        // dst can pre-exist only from a crashed run that never published
+        // its summary — no reader can hold it, replacing it is safe
+        fs.delete(dst, true)
+        if (fs.exists(src)) fs.rename(src, dst)
+        // every surviving row tombstoned: the new live generation is EMPTY
+        else fs.mkdirs(dst)
+      }
+      writeGenSummary(fs, assignedRoot, ver + 1, gens ++ nextGen)
+      // prune generations superseded twice (keep = 2): g=K stays for
+      // lagging readers; anything at or below K-1 has now survived a full
+      // compaction cycle unreferenced
+      targets.foreach { c =>
+        val cd = new org.apache.hadoop.fs.Path(s"$assignedRoot/cell=$c")
+        fs.listStatus(cd).map(_.getPath)
+          .filter(_.getName.startsWith("g="))
+          .filter(_.getName.stripPrefix("g=").toLong <= nextGen(c) - 2)
+          .foreach(fs.delete(_, true))
+      }
+      fs.delete(staging, true)
+    }
+    // retire the applied tombstone set AFTER the summary is visible (the
+    // reader-ordering contract above): the retired state is an empty
+    // NEWER epoch — files a lagging reader resolved are never deleted
+    tombs.foreach { t =>
+      val next = committedTombEpochs(fs, path).lastOption.getOrElse(-1L) + 1L
+      t.limit(0).coalesce(1).write.mode(SaveMode.Overwrite)
+        .parquet(s"$path/tombstones/epoch=$next")
+      pruneTombEpochs(spark, path, keep = 2)
+    }
     targets
   }
 
-  /** Above this many distinct probed cells, [[ivfTopKIndexed]] falls back
-    * from explicit per-cell paths to a full-layout read (the path list
-    * itself, and the per-path existence probes, stop being cheaper than
-    * one recursive listing somewhere around here).
+  /** Above this many distinct probed cells, [[ivfTopKIndexed]] stops
+    * subsetting to the probed cells and reads every live cell directory —
+    * the probe set is no longer selective enough for a per-cell path list
+    * to beat the full layout.
     */
   val MaxPrunedIndexPaths = 4096
 
@@ -669,8 +962,15 @@ object Similarity {
     * probed posting lists is what a vector store does. Probed cells with
     * no stored vectors are dropped against ONE top-level directory
     * listing (they contribute zero candidates either way); query sets
-    * probing more than `maxPrunedPaths` distinct cells fall back to the
-    * full-layout read, where one recursive listing is the better trade.
+    * probing more than `maxPrunedPaths` distinct cells fall back to
+    * reading every live cell directory instead.
+    *
+    * The scan reads each probed cell's LIVE GENERATION (newest `_gens`
+    * summary — see [[compactIvfIndex]] for the reader-safe swap
+    * contract) and anti-joins the live TOMBSTONE epoch
+    * ([[deleteFromIvfIndex]]), so concurrent compaction never breaks a
+    * resolved plan and deleted vectors are unretrievable before any
+    * physical rewrite.
     */
   def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
                      queries: DataFrame, k: Int, nprobe: Int,
@@ -694,31 +994,49 @@ object Similarity {
     val probed = qCells.select(col("cell")).distinct()
       .collect().map(_.getLong(0)).sorted
     val assignedRoot = s"$path/assigned"
+    // tombstones BEFORE the generation summary — compactIvfIndex publishes
+    // the rewritten generations first and retires tombstones second, so
+    // this order keeps every interleaving consistent (an old tombstone
+    // set masks old generations; an empty one proves the clean
+    // generations are already visible)
+    val tombs = readTombstones(spark, path)
+    def emptyTopK: DataFrame = rankTopK(
+      queries.select(col(idCol).as("q_id"), col(idCol).as("c_id"),
+        lit(0.0d).as("cos")).limit(0), k)
     val prune = probed.nonEmpty && probed.length <= maxPrunedPaths
-    val selected: Array[Long] = if (!prune) probed else {
-      val root = new org.apache.hadoop.fs.Path(assignedRoot)
-      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-      val onDisk = fs.listStatus(root).iterator
-        .map(_.getPath.getName).filter(_.startsWith("cell="))
-        .map(_.stripPrefix("cell=").toLong).toSet
-      probed.filter(onDisk)
-    }
-    if (prune && selected.isEmpty)
-      // nothing stored under any probed cell: zero candidates, typed empty
-      return rankTopK(spark.range(0).select(col("id").as("q_id"),
-        col("id").as("c_id"), col("id").cast("double").as("cos")), k)
+    // live GENERATION dirs only: superseded generations stay on disk one
+    // compaction cycle for lagging readers, so the scan must be
+    // constructed over exactly the summary's live dirs, never a
+    // recursive listing (which would double-read retained generations)
+    val dirs = liveAssignedDirs(spark, path,
+      if (prune) Some(probed.toIndexedSeq) else None)
+    if (dirs.isEmpty)
+      // nothing stored under any probed cell: zero candidates, typed
+      // empty — schema derived from the caller's idCol type, so the
+      // empty and populated paths union/join identically (round-11
+      // ADVICE: the old spark.range form hardcoded LongType ids)
+      return emptyTopK
     val assignedRead =
-      if (prune)
-        spark.read.option("basePath", assignedRoot)
-          .parquet(selected.map(c => s"$assignedRoot/cell=$c").toIndexedSeq: _*)
-      else spark.read.parquet(assignedRoot)
+      try spark.read.option("basePath", assignedRoot).parquet(dirs: _*)
+      catch {
+        // every selected live generation dir is empty (all rows of the
+        // probed cells tombstoned + reclaimed): no files, no schema —
+        // semantically zero candidates
+        case _: org.apache.spark.sql.AnalysisException => return emptyTopK
+      }
     val assigned0 = assignedRead
+      .drop("g")
       .withColumn("cell", col("cell").cast("long")) // partition col inference
+    // deleted-but-not-yet-reclaimed rows: anti-join the live tombstone
+    // epoch (bounded by deletes since the last compaction — broadcast-
+    // class) so a delete is effective IMMEDIATELY, before any rewrite
+    val assignedLive = tombs.fold(assigned0)(t =>
+      assigned0.join(broadcast(t), Seq("c_id"), "left_anti"))
     // FILTERED search: the predicate lands on the already-cell-pruned
     // scan over `carry` metadata (parquet predicate pushdown composes
     // with the partition pruning) — candidates are filtered BEFORE
     // scoring, so top-k is over the qualifying vectors only
-    val assigned = candidateFilter.fold(assigned0)(assigned0.filter)
+    val assigned = candidateFilter.fold(assignedLive)(assignedLive.filter)
     // dispatch on the STORED schema: an `int8` index holds q8 + integer
     // norms instead of float vectors (s7 integer-only scoring, queries
     // quantized on the fly, per-vector scales cancel); a `pq` index holds

@@ -101,7 +101,7 @@ class IvfIndexSpec extends SparkSpec {
   // ---- incremental maintenance (appendToIvfIndex) --------------------
 
   private def assignedRows(p: String): Set[Seq[Any]] =
-    spark.read.parquet(s"$p/assigned")
+    Similarity.readIvfAssigned(spark, p)
       .select(col("c_id"), col("cell").cast("long"), col("v"), col("n"))
       .collect().map(_.toSeq.map {
         case a: scala.collection.Seq[_] => a.toList
@@ -199,7 +199,7 @@ class IvfIndexSpec extends SparkSpec {
     Similarity.appendToIvfIndex(delta, p)
     val before = fileSnapshot(p)
     val rowsBefore = assignedRows(p)
-    val countBefore = spark.read.parquet(s"$p/assigned").count()
+    val countBefore = Similarity.readIvfAssigned(spark, p).count()
     val q = corpus.filter(SimQueries.QueryPred)
     val answerBefore = Similarity.ivfTopKIndexed(spark, p, q, SimQueries.K,
       SimQueries.NProbe).collect().map(_.toSeq).toSet
@@ -208,14 +208,20 @@ class IvfIndexSpec extends SparkSpec {
     assert(targets.nonEmpty && targets.size < new java.io.File(s"$p/assigned")
       .listFiles().count(_.getName.startsWith("cell=")),
       "a small delta must not force a full-index rewrite")
-    // exact multiset preservation: same count, same row set
-    assert(spark.read.parquet(s"$p/assigned").count() == countBefore)
+    // exact multiset preservation: same count, same LIVE row set
+    assert(Similarity.readIvfAssigned(spark, p).count() == countBefore)
     assert(assignedRows(p) == rowsBefore)
     val after = fileSnapshot(p)
-    // every compacted cell holds exactly one data file now
     targets.foreach { c =>
-      val n = after.keys.count(_.contains(s"/cell=$c/"))
-      assert(n == 1, s"cell $c holds $n files after compaction")
+      // the new live generation holds exactly one data file
+      val live = after.keys.filter(_.contains(s"/cell=$c/g=1/"))
+      assert(live.size == 1, s"cell $c live gen holds ${live.size} files")
+      // the SUPERSEDED generation is retained (keep = 2): every pre-compact
+      // file survives byte-for-byte at its original path — the reader-race
+      // retirement (a plan resolved before the swap keeps its files)
+      val old = before.filter { case (f, _) => f.contains(s"/cell=$c/g=0/") }
+      assert(old.nonEmpty && old.forall { case (f, len) => after.get(f).contains(len) },
+        s"cell $c superseded generation must be retained one cycle")
     }
     // untouched cells' files survive byte-for-byte
     val untouched = before.filter { case (f, _) =>
@@ -228,6 +234,192 @@ class IvfIndexSpec extends SparkSpec {
       SimQueries.NProbe).collect().map(_.toSeq).toSet
     assert(answerAfter == answerBefore)
     assert(Similarity.compactIvfIndex(spark, p).isEmpty)
+  }
+
+  test("reader never breaks across a concurrent compaction (generation swap + keep=2)") {
+    val init = corpus.filter(SimQueries.InitPred)
+    val rest = corpus.filter(s"NOT (${SimQueries.InitPred})")
+    val p = java.nio.file.Files.createTempDirectory("ivfgenrace").toString
+    Similarity.buildIvfIndex(init, SimQueries.ClusterCentPred, SimQueries.Dim, p)
+    Similarity.appendToIvfIndex(rest, p)
+    val q = corpus.filter(SimQueries.QueryPred)
+    val expected = Similarity.ivfTopKIndexed(spark, p, q, SimQueries.K,
+      SimQueries.NProbe).collect().map(_.toSeq).toSet
+    // a reader resolves its plan (file list pinned at resolution time)...
+    val lagging = Similarity.ivfTopKIndexed(spark, p, q, SimQueries.K,
+      SimQueries.NProbe)
+    lagging.queryExecution.executedPlan // force resolution before the swap
+    val preFiles = lagging.inputFiles.filter(_.contains("/assigned/"))
+    assert(preFiles.forall(_.contains("/g=0/")))
+    // ...compaction swaps in generation 1 UNDER the resolved plan...
+    val targets1 = Similarity.compactIvfIndex(spark, p)
+    assert(targets1.nonEmpty)
+    // ...and the lagging reader still answers, correctly: its g=0 files
+    // were superseded, not deleted (the old delete+rename swap failed here)
+    assert(preFiles.forall(f => new java.io.File(
+      new java.net.URI(f).getPath).exists()), "superseded files must survive one cycle")
+    assert(lagging.collect().map(_.toSeq).toSet == expected)
+    // a fresh reader resolves generation 1 and agrees
+    val fresh = Similarity.ivfTopKIndexed(spark, p, q, SimQueries.K, SimQueries.NProbe)
+    assert(fresh.inputFiles.filter(_.contains("/assigned/"))
+      .forall(f => !f.contains("/g=0/")), "fresh reads must resolve the live generation")
+    assert(fresh.collect().map(_.toSeq).toSet == expected)
+    // one more append (fresh ids, so no row duplicates) + compaction:
+    // generation 2 lands, generation 0 — now superseded twice — is
+    // pruned; the keep-2 window matches CurationStream.pruneEpochs'
+    // contract exactly
+    Similarity.appendToIvfIndex(corpus.filter("vec_id < 6")
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")), p)
+    val targets2 = Similarity.compactIvfIndex(spark, p)
+    assert(targets2.nonEmpty)
+    targets2.foreach { c =>
+      val gens = new java.io.File(s"$p/assigned/cell=$c").listFiles()
+        .map(_.getName).filter(_.startsWith("g=")).sorted.toSeq
+      assert(!gens.contains("g=0"), s"cell $c must prune the twice-superseded g=0")
+      assert(gens.contains("g=1") && gens.contains("g=2"),
+        s"cell $c must retain the newest two generations, got $gens")
+    }
+  }
+
+  test("compaction crash leftovers are garbage, never the only copy (staging + stale next-gen)") {
+    val init = corpus.filter(SimQueries.InitPred)
+    val p = java.nio.file.Files.createTempDirectory("ivfgencrash").toString
+    Similarity.buildIvfIndex(init, SimQueries.ClusterCentPred, SimQueries.Dim, p)
+    Similarity.appendToIvfIndex(corpus.filter(s"NOT (${SimQueries.InitPred})"), p)
+    val q = corpus.filter(SimQueries.QueryPred)
+    val expected = Similarity.ivfTopKIndexed(spark, p, q, SimQueries.K,
+      SimQueries.NProbe).collect().map(_.toSeq).toSet
+    // simulate a crashed previous run: a stale staging dir AND a stale
+    // renamed-but-never-published next-generation dir for one cell
+    val cells = new java.io.File(s"$p/assigned").listFiles()
+      .filter(_.getName.startsWith("cell=")).map(_.getName)
+    val staleCell = cells.head
+    assert(new java.io.File(s"$p/assigned_compacting/junk").mkdirs())
+    val staleGen = new java.io.File(s"$p/assigned/$staleCell/g=1")
+    assert(staleGen.mkdirs())
+    java.nio.file.Files.write(staleGen.toPath.resolve("stale.parquet"),
+      Array[Byte](0, 1, 2)) // unreadable junk a crashed rename could leave
+    // recovery is just running compaction again: staging holds only
+    // copies (deleted on entry) and an unpublished next-gen dir is
+    // replaced — the round-11 ADVICE data-loss window cannot occur
+    val targets = Similarity.compactIvfIndex(spark, p)
+    assert(targets.nonEmpty)
+    assert(!new java.io.File(s"$p/assigned_compacting").exists())
+    val after = Similarity.ivfTopKIndexed(spark, p, q, SimQueries.K,
+      SimQueries.NProbe).collect().map(_.toSeq).toSet
+    assert(after == expected)
+  }
+
+  test("carry columns colliding with reserved layout names fail at build time, by name") {
+    val lab = graft.io.Tables.embeddings(spark, dir).select(col("vec_id"), col("label"))
+    val c = corpus.join(lab, "vec_id").withColumnRenamed("label", "codes")
+    val p = java.nio.file.Files.createTempDirectory("ivfreserved").toString
+    val e = intercept[IllegalArgumentException] {
+      Similarity.buildIvfIndex(c, SimQueries.ClusterCentPred, SimQueries.Dim, p,
+        carry = Seq("codes"))
+    }
+    assert(e.getMessage.contains("codes") && e.getMessage.contains("reserved"))
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.appendToIvfIndex(c, path, carry = Seq("g"))
+    }
+    assert(e2.getMessage.contains("reserved"))
+  }
+
+  test("empty result keeps the caller's id type (no hardcoded long schema)") {
+    // centroids exist, nothing assigned, STRING ids: the empty frame must
+    // carry string q_id/c_id so downstream unions with populated results
+    // resolve (round-11 ADVICE: the spark.range early return was long-typed)
+    val p2 = java.nio.file.Files.createTempDirectory("ivfemptystr").toString
+    spark.read.parquet(s"$path/centroids").write.parquet(s"$p2/centroids")
+    assert(new java.io.File(s"$p2/assigned").mkdirs())
+    val qs = corpus.filter(SimQueries.QueryPred)
+      .select(concat(lit("id-"), col("vec_id")).as("vec_id"), col("embedding"))
+    val out = Similarity.ivfTopKIndexed(spark, p2, qs, SimQueries.K, SimQueries.NProbe)
+    assert(out.schema("q_id").dataType == org.apache.spark.sql.types.StringType)
+    assert(out.schema("c_id").dataType == org.apache.spark.sql.types.StringType)
+    assert(out.count() == 0)
+  }
+
+  // ---- delete lifecycle (tombstones → anti-join → reclaim) -------------
+
+  private val DeleteSpecPred = "vec_id % 9 = 4"
+
+  test("delete: tombstones mask immediately, compaction reclaims, answers pinned throughout") {
+    val init = corpus.filter(SimQueries.InitPred)
+    val rest = corpus.filter(s"NOT (${SimQueries.InitPred})")
+    val p = java.nio.file.Files.createTempDirectory("ivfdelete").toString
+    Similarity.buildIvfIndex(init, SimQueries.ClusterCentPred, SimQueries.Dim, p)
+    Similarity.appendToIvfIndex(rest, p)
+    val q = corpus.filter(SimQueries.QueryPred)
+    val dIds = corpus.filter(DeleteSpecPred).select("vec_id")
+    val dSet = dIds.collect().map(_.getLong(0)).toSet
+    // reference: the same index queried with the deleted ids excluded as
+    // candidates (tombstones must equal a candidate-side exclusion)
+    val expected = Similarity.ivfTopKIndexed(spark, p, q, SimQueries.K,
+        SimQueries.NProbe,
+        candidateFilter = Some(!col("c_id").isInCollection(dSet)))
+      .collect().map(_.toSeq).toSet
+    val filesBefore = fileSnapshot(p)
+    Similarity.deleteFromIvfIndex(spark, p, dIds)
+    // O(tombstones): the delete wrote only tombstone files — the
+    // cell-partitioned index itself is byte-identical
+    assert(fileSnapshot(p) == filesBefore,
+      "delete must not rewrite any index file")
+    // masked immediately (anti-join on the pruned read)
+    val masked = Similarity.ivfTopKIndexed(spark, p, q, SimQueries.K,
+      SimQueries.NProbe)
+    assert(masked.collect().map(_.toSeq).toSet == expected)
+    // the rerank path honors the same tombstones
+    val reranked = Similarity.ivfTopKReranked(spark, p, q, corpus,
+      SimQueries.K, SimQueries.NProbe, rerankR = corpus.count().toInt)
+    assert(!reranked.select("c_id").collect().map(_.getLong(0)).exists(dSet))
+    // a second delete UNIONS into the live set
+    Similarity.deleteFromIvfIndex(spark, p,
+      corpus.filter("vec_id = 11").select("vec_id"))
+    val d2 = Similarity.ivfTopKIndexed(spark, p, q, SimQueries.K, SimQueries.NProbe)
+      .select("c_id").collect().map(_.getLong(0)).toSet
+    assert(!d2.exists(dSet) && !d2.contains(11L), "deletes must accumulate")
+    // RECLAIM: compaction rewrites exactly the cells holding tombstoned
+    // rows, drops them physically, and retires the applied set
+    val preReclaim = Similarity.ivfTopKIndexed(spark, p, q, SimQueries.K,
+      SimQueries.NProbe).collect().map(_.toSeq).toSet
+    val targets = Similarity.compactIvfIndex(spark, p)
+    assert(targets.nonEmpty)
+    val live = Similarity.readIvfAssigned(spark, p)
+      .select("c_id").collect().map(_.getLong(0)).toSet
+    assert(!live.exists(dSet) && !live.contains(11L),
+      "reclaim must physically drop tombstoned rows")
+    assert(live.nonEmpty)
+    // answers identical at both read points (tombstoned == reclaimed)
+    assert(Similarity.ivfTopKIndexed(spark, p, q, SimQueries.K, SimQueries.NProbe)
+      .collect().map(_.toSeq).toSet == preReclaim)
+    // the applied tombstone set is retired: a fresh epoch exists and is empty
+    val tombEpochs = new java.io.File(s"$p/tombstones").listFiles()
+      .map(_.getName).filter(_.startsWith("epoch=")).map(_.stripPrefix("epoch=").toLong)
+    assert(spark.read.parquet(
+      s"$p/tombstones/epoch=${tombEpochs.max}").count() == 0,
+      "applied tombstones must retire as an empty newest epoch")
+    // and a further compaction has nothing left to do
+    assert(Similarity.compactIvfIndex(spark, p).isEmpty)
+  }
+
+  test("curation drop epochs compose into index deletes in one call") {
+    val p = java.nio.file.Files.createTempDirectory("ivfcuradel").toString
+    Similarity.buildIvfIndex(corpus, SimQueries.ClusterCentPred, SimQueries.Dim, p)
+    // a CurationStream-shaped drop-epoch artifact: epoch=3 committed
+    val epochDir = java.nio.file.Files.createTempDirectory("curaepochs").toString
+    corpus.filter("vec_id % 11 = 5").select(col("vec_id").as("doc_id"))
+      .write.parquet(s"$epochDir/epoch=3")
+    assert(Similarity.deleteCurationDropsFromIvfIndex(spark, p, epochDir)
+      .contains(0L))
+    val q = corpus.filter(SimQueries.QueryPred)
+    val got = Similarity.ivfTopKIndexed(spark, p, q, SimQueries.K, SimQueries.NProbe)
+      .select("c_id").collect().map(_.getLong(0))
+    assert(got.nonEmpty && !got.exists(_ % 11 == 5),
+      "curation-dropped ids must be unretrievable from the index")
+    // no committed epoch yet → explicit no-op, not an error
+    val none = java.nio.file.Files.createTempDirectory("curaempty").toString
+    assert(Similarity.deleteCurationDropsFromIvfIndex(spark, p, none).isEmpty)
   }
 
   test("int8 storage: quantized payload, float assignment, integer scoring, auto-detected append") {
