@@ -18,7 +18,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * Semantics are IDENTICAL to the fold it replaces (and to DuckDB's
   * `list_reduce` of `(a[k]-b[k])²`): per element, the difference is
   * taken in double, squared, and accumulated left-to-right — so PQ code
-  * assignment stays bit-deterministic cross-engine.
+  * assignment stays bit-deterministic cross-engine. That identity
+  * includes the degenerate inputs (round-11 ADVICE): `zip_with` null-pads
+  * the shorter array and a null element poisons the fold, so
+  * length-mismatched arrays and null elements return NULL here too —
+  * not a silent min-length accumulation.
   */
 case class L2SqExpr(left: Expression, right: Expression) extends BinaryExpression {
 
@@ -30,13 +34,17 @@ case class L2SqExpr(left: Expression, right: Expression) extends BinaryExpressio
       s"graft_l2sq expects two array<float> arguments, got ${left.dataType} / ${right.dataType}")
   }
 
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null // zip_with null-pads → null fold
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null // null element poisons
       val d = x.getFloat(i).toDouble - y.getFloat(i).toDouble
       acc += d * d
       i += 1
@@ -51,13 +59,18 @@ case class L2SqExpr(left: Expression, right: Expression) extends BinaryExpressio
       val acc = ctx.freshName("acc")
       val d = ctx.freshName("d")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $d = (double) $a.getFloat($i) - (double) $b.getFloat($i);
-         |  $acc += $d * $d;
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    double $d = (double) $a.getFloat($i) - (double) $b.getFloat($i);
+         |    $acc += $d * $d;
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

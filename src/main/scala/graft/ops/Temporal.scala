@@ -161,11 +161,16 @@ object Temporal {
     * interval), which no join strategy can make linear — the reason
     * the century scale tier probes the keyed z3 but not keyless z2.
     * When `densityGuard` is on (default) the keyless form estimates its
-    * match count first ([[keylessDensityDiagnosis]], two small
-    * aggregate jobs) and prints the named diagnosis — pointing at the
-    * keyed variant — instead of letting a dense call discover the
-    * cliff as an executor OOM three stages later. Set it false for
-    * repeated calls on inputs already known sparse.
+    * match count first ([[keylessDensityDiagnosis]]) and prints the
+    * named diagnosis — pointing at the keyed variant — instead of
+    * letting a dense call discover the cliff as an executor OOM three
+    * stages later. COST: the guard runs two EAGER aggregate jobs at
+    * call time — `rangeJoin` is then no longer pure plan construction,
+    * and on UNCACHED inputs each job recomputes the full upstream
+    * lineage (a silent ~2× upstream tax when the inputs are expensive
+    * derivations rather than table scans). Cache the inputs first, or
+    * pass `densityGuard = false`, for repeated keyless calls or
+    * expensive lineage already known sparse.
     */
   def rangeJoin(points: DataFrame, ptTs: String, intervals: DataFrame,
                 startCol: String, endCol: String, binWidth: Long,

@@ -74,6 +74,33 @@ class NativeExprSpec extends SparkSpec {
     assert(n == 1)
   }
 
+  test("graft_l2sq degenerate inputs match the fold: length mismatch and null elements → null") {
+    L2Sq.register(spark)
+    // zip_with null-pads the shorter array, so the fold returns null on a
+    // length mismatch; a null ELEMENT poisons the fold the same way — the
+    // native kernel must agree, not silently fold over min(len)
+    // (round-11 ADVICE). Both eval modes covered: the repartitioned frame
+    // runs the codegen path, the literal select the interpreted one.
+    val ragged = Seq(
+      (Array(1.0f, 2.0f), Array(1.0f, 2.0f, 3.0f)),
+      (Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f))
+    ).toDF("a", "b")
+    // a true null element needs an explicit cast-through-expr frame
+    val withNullElem = spark.sql(
+      "SELECT array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT)) AS a, " +
+        "array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)) AS b")
+    Seq(ragged, withNullElem).foreach { df =>
+      val out = df.repartition(2)
+        .select(L2Sq(col("a"), col("b")).as("native"),
+          Similarity.l2sqExact(col("a"), col("b")).as("fold"))
+        .collect()
+      out.foreach { r =>
+        assert(r.isNullAt(0), s"native must be null, got ${r.get(0)}")
+        assert(r.isNullAt(1), "fold twin must agree (null)")
+      }
+    }
+  }
+
   test("graft_dot_int: null input yields null") {
     IntDotProduct.register(spark)
     val n = ivecs.select(IntDotProduct(col("v"), col("v")).as("d"))
