@@ -769,6 +769,16 @@ object Similarity {
     * arrived. Returns the new epoch id. Writer coordination: serialize
     * deletes and compactions (single maintenance writer, the standard
     * table-format contract); readers need no coordination.
+    *
+    * Semantics note (pinned by IvfLifecycleProps): a tombstone masks the
+    * ID, not a row version. Appending a row under an id whose tombstone
+    * is LIVE leaves the new row masked — and reclaimed at the next
+    * compaction; after the compaction retires the applied set, the id is
+    * insertable again (a delete is not a forever-ban). A pipeline that
+    * re-embeds dropped-then-revised documents must therefore append the
+    * revision AFTER the compaction that applies the drop, or version its
+    * id space — the same id-reuse discipline every tombstone-based store
+    * asks for.
     */
   def deleteFromIvfIndex(spark: org.apache.spark.sql.SparkSession,
                          path: String, ids: DataFrame,
@@ -884,10 +894,16 @@ object Similarity {
       // one column-pruned pass over (c_id, cell) of the live layout: the
       // tombstone store holds ids, not cells, so the dead rows' cells are
       // looked up once here — maintenance-pass cost, never query cost
-      readIvfAssigned(spark, path).select(col("c_id"), col("cell"))
+      try readIvfAssigned(spark, path).select(col("c_id"), col("cell"))
         .join(t, Seq("c_id"))
         .select(col("cell")).distinct()
         .collect().map(_.getLong(0)).toSeq
+      catch {
+        // a fully-reclaimed index (every live generation empty, so no
+        // file to infer a schema from) holds no rows — no cell can hold
+        // a tombstoned row; the retirement below still applies the set
+        case _: org.apache.spark.sql.AnalysisException => Seq.empty[Long]
+      }
     }
     val targets = (fileTargets ++ tombTargets).distinct.sorted
     if (targets.nonEmpty) {

@@ -270,15 +270,27 @@ class IvfIndexSpec extends SparkSpec {
     // contract exactly
     Similarity.appendToIvfIndex(corpus.filter("vec_id < 6")
       .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")), p)
+    // the appended rows landed in the LIVE generation (summary-resolved),
+    // not the superseded g=0 — a reader finds them before any compaction
+    val appended = Similarity.readIvfAssigned(spark, p)
+      .filter(col("c_id") >= 100000L).count()
+    assert(appended == 6, s"post-compaction append must be live, found $appended")
     val targets2 = Similarity.compactIvfIndex(spark, p)
     assert(targets2.nonEmpty)
-    targets2.foreach { c =>
+    val reachedG2 = targets2.filter { c =>
+      new java.io.File(s"$p/assigned/cell=$c/g=2").exists()
+    }
+    assert(reachedG2.nonEmpty, "some twice-compacted cell must exist")
+    reachedG2.foreach { c =>
       val gens = new java.io.File(s"$p/assigned/cell=$c").listFiles()
         .map(_.getName).filter(_.startsWith("g=")).sorted.toSeq
-      assert(!gens.contains("g=0"), s"cell $c must prune the twice-superseded g=0")
-      assert(gens.contains("g=1") && gens.contains("g=2"),
-        s"cell $c must retain the newest two generations, got $gens")
+      assert(gens == Seq("g=1", "g=2"),
+        s"cell $c must retain exactly the newest two generations " +
+          s"(g=0 superseded twice is pruned), got $gens")
     }
+    // and the appended rows survive the second compaction cycle
+    assert(Similarity.readIvfAssigned(spark, p)
+      .filter(col("c_id") >= 100000L).count() == 6)
   }
 
   test("compaction crash leftovers are garbage, never the only copy (staging + stale next-gen)") {
@@ -401,6 +413,29 @@ class IvfIndexSpec extends SparkSpec {
       "applied tombstones must retire as an empty newest epoch")
     // and a further compaction has nothing left to do
     assert(Similarity.compactIvfIndex(spark, p).isEmpty)
+  }
+
+  test("delete composes with quantized storage: tombstones mask and reclaim on a pq index") {
+    val p = java.nio.file.Files.createTempDirectory("ivfdelpq").toString
+    Similarity.buildIvfIndex(corpus, SimQueries.ClusterCentPred,
+      SimQueries.Dim, p, storage = "pq",
+      pqM = SimQueries.PqM, pqK = SimQueries.PqK)
+    val q = corpus.filter(SimQueries.QueryPred)
+    val dIds = corpus.filter(DeleteSpecPred).select("vec_id")
+    val dSet = dIds.collect().map(_.getLong(0)).toSet
+    Similarity.deleteFromIvfIndex(spark, p, dIds)
+    // the anti-join composes BEFORE the ADC dispatch: masked immediately
+    val masked = Similarity.ivfTopKIndexed(spark, p, q, SimQueries.K,
+      SimQueries.NProbe).select("c_id").collect().map(_.getLong(0))
+    assert(masked.nonEmpty && !masked.exists(dSet))
+    // reclaim keeps the quantized payload schema and drops the rows
+    Similarity.compactIvfIndex(spark, p)
+    val live = Similarity.readIvfAssigned(spark, p)
+    assert(live.columns.toSet.intersect(Set("codes", "rn")) == Set("codes", "rn"))
+    assert(!live.select("c_id").collect().map(_.getLong(0)).exists(dSet))
+    val after = Similarity.ivfTopKIndexed(spark, p, q, SimQueries.K,
+      SimQueries.NProbe).select("c_id").collect().map(_.getLong(0))
+    assert(after.nonEmpty && !after.exists(dSet))
   }
 
   test("curation drop epochs compose into index deletes in one call") {
