@@ -1021,6 +1021,23 @@ object Bench {
                 candidateFilter = Some(filterCol))
               .select("q_id", "c_id")
               .join(truthF, Seq("q_id", "c_id"), "left_semi").count() / nTruthF)
+          // the selective-filter remedy, measured: a highly selective
+          // predicate (0.004 here — replica-disjoint labels) thins
+          // qualifying vectors per probed cell, so recall is bought back
+          // by WIDENING the probe set — the nprobe×4 row quantifies the
+          // recall-vs-cells-read trade a deployment tunes per filter
+          val queryFWide = timed("sf10_s9_query_p16", n = 1) {
+            Similarity.ivfTopKIndexed(spark, fBase,
+              ef.filter(SimQueries.QueryPred), SimQueries.K,
+              SimQueries.NProbe * 4, candidateFilter = Some(filterCol))
+              .count(); ()
+          }
+          val recallFWide = "sf10_s9_recall_p16" ->
+            (Similarity.ivfTopKIndexed(spark, fBase,
+                ef.filter(SimQueries.QueryPred), SimQueries.K,
+                SimQueries.NProbe * 4, candidateFilter = Some(filterCol))
+              .select("q_id", "c_id")
+              .join(truthF, Seq("q_id", "c_id"), "left_semi").count() / nTruthF)
           truthF.unpersist()
           // round-12 (verdict #5): the STREAMING index append at the
           // century tier — the shape a live embedding pipeline runs. The
@@ -1064,7 +1081,7 @@ object Bench {
             buildQ, queryQ, recallQ, bytesQ, queryR8, recallR8,
             buildP, queryP, recallP, bytesP, queryR, recallR,
             append, compact, del, delQ, reclaim, reclaimRow,
-            buildF, queryF, selRow, recallF) ++ streamRows
+            buildF, queryF, selRow, recallF, queryFWide, recallFWide) ++ streamRows
         }
         // epoch BPE past fixture pair-exhaustion: the sf0.1 corpus runs
         // dry at ~90 merges, so the "32k merges ≈ 32k/b rounds" claim
