@@ -373,6 +373,22 @@ object Bench {
             fsm.listStatus(p).map(st =>
               if (st.isDirectory) walk(st.getPath) else 1L).sum
           walk(root); ()
+        },
+        // round-12, added the same round its need was measured: between
+        // two same-tree century runs the index-maintenance rows moved
+        // ~1.5× while cpu, shuffle AND fsmeta stayed flat — the one path
+        // they exercise that no calib covered was bulk WRITE volume
+        // (hundreds of MB of parquet against whatever writeback debt the
+        // preceding suite built). Fixed work: 4 M rows × four longs
+        // (~130 MB) to ONE parquet dir — no partitioning; the many-dirs
+        // axis belongs to calib_fsmeta, keeping the two separable.
+        timed(prefix + "calib_write") {
+          spark.range(0, 4000000L, 1, 32)
+            .select(F.col("id"), F.xxhash64(F.col("id")).as("h1"),
+              F.xxhash64(F.col("id"), F.lit(1)).as("h2"),
+              F.xxhash64(F.col("id"), F.lit(2)).as("h3"))
+            .write.mode("overwrite")
+            .parquet(new java.io.File("target/calib_write").getAbsolutePath); ()
         })
     }
     val calib = calibRows("")

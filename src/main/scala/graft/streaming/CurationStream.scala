@@ -338,11 +338,24 @@ object CurationStream {
     * the next compaction — k = 1 re-exposes the reader race
     * [[pruneEpochs]]'s default exists to blunt.
     */
+  /** Optional LIVE consistency hook (`annIndexPath`): after each epoch
+    * commits, its dropped-id set is tombstoned into the given persisted
+    * ANN index ([[graft.sim.Similarity.deleteCurationDropsFromIvfIndex]])
+    * — so a document the closure drops stops being RETRIEVABLE from the
+    * vector index within the same compaction interval that dropped it
+    * from the corpus, with no external scheduler. Idempotent under epoch
+    * replay (tombstone epochs are self-contained unions), O(flagged
+    * docs) per epoch, physically reclaimed whenever the index's own
+    * compaction next runs. The index's single-maintenance-writer
+    * contract is the caller's to keep: don't run a concurrent
+    * append/compact of the SAME index inside the epoch commit window.
+    */
   def startCompactionStage(spark: SparkSession, stage1Dir: String,
                            stage2Dir: String, outDir: String,
                            checkpointDir: String, every: Int = 1,
                            fullSnapshot: Boolean = false,
-                           retainEpochs: Option[Int] = None): StreamingQuery = {
+                           retainEpochs: Option[Int] = None,
+                           annIndexPath: Option[String] = None): StreamingQuery = {
     require(every >= 1, "compaction period must be >= 1 batch")
     retainEpochs.foreach(k => require(k >= 1,
       "must retain at least the newest committed epoch"))
@@ -377,6 +390,12 @@ object CurationStream {
           // pruneEpochs' own invariant (committed-older-only, torn dirs
           // untouched) makes this safe against concurrent readers
           retainEpochs.foreach(k => pruneEpochs(spark, outDir, k))
+          // opt-in LIVE index consistency: tombstone this epoch's drops
+          // into the ANN index (after the epoch is committed and pruned,
+          // so the read side of the composition always sees a complete
+          // drop set)
+          annIndexPath.foreach(p =>
+            graft.sim.Similarity.deleteCurationDropsFromIvfIndex(spark, p, outDir))
         }
       }
       .start()

@@ -245,6 +245,60 @@ class CurationStreamSpec extends SparkSpec {
     }
   }
 
+  test("live index wiring: each compaction epoch tombstones the ANN index (annIndexPath)") {
+    import org.apache.spark.sql.functions.col
+    import graft.sim.{PlantedClusters, Similarity}
+    // the same bridge fixture as the convergence test: b (doc 5) bridges
+    // a and c into one closure component, so the closure drops BOTH 3
+    // and 5 (the greedy gate keeps 3) — with annIndexPath wired, those
+    // drops must stop being RETRIEVABLE from the vector index within the
+    // same compaction interval, no external scheduler
+    val aTxt = (1 to 15).map(i => s"alpha$i").mkString(" ")
+    val cTxt = (1 to 15).map(i => s"gamma$i").mkString(" ")
+    val docs = Seq(
+      CurationDoc(1L, "en", aTxt.length.toLong, aTxt),
+      CurationDoc(3L, "en", cTxt.length.toLong, cTxt),
+      CurationDoc(5L, "en", (aTxt + " " + cTxt).length.toLong, aTxt + " " + cTxt))
+    // the docs' embeddings, indexed BEFORE curation verdicts exist —
+    // exactly the arrival order a real pipeline has
+    val idx = Files.createTempDirectory("curaidx").toString
+    val vecs = docs.map(_.doc_id).toDF("doc_id")
+      .select(col("doc_id"), PlantedClusters.vecCol(col("doc_id")).as("embedding"))
+    Similarity.buildIvfIndex(vecs, "doc_id % 2 = 1", 64, idx, idCol = "doc_id")
+    val root = Files.createTempDirectory("curaidxchain").toString
+    val (out1, out2, out3) = (s"$root/out1", s"$root/out2", s"$root/out3")
+    val in = MemoryStream[CurationDoc](spark)
+    val q1 = CurationStream.startQualityExactStage(in.toDS().toDF(), 0.0, out1, s"$root/cp1")
+    val q2 = CurationStream.startNearDupStage(spark, out1, out2, s"$root/cp2",
+      k = 3, numPerms = 16, bands = 16, threshold = 0.3)
+    val q3 = CurationStream.startCompactionStage(spark, out1, out2, out3, s"$root/cp3",
+      annIndexPath = Some(idx))
+    try {
+      docs.foreach { d =>
+        in.addData(d)
+        q1.processAllAvailable(); q2.processAllAvailable(); q3.processAllAvailable()
+      }
+      def retrievable: Set[Long] = Similarity.ivfTopKIndexed(spark, idx,
+          Seq(999L).toDF("doc_id").select(col("doc_id"),
+            PlantedClusters.vecCol(col("doc_id")).as("embedding")),
+          k = 10, nprobe = 4, idCol = "doc_id")
+        .select("c_id").as[Long].collect().toSet
+      // the dropped docs are masked without anyone calling delete
+      // explicitly — only the closure keeper remains retrievable
+      assert(retrievable == Set(1L),
+        s"index must stop retrieving the closure's drops, got $retrievable")
+      assert(new java.io.File(s"$idx/tombstones").exists())
+      // and the index's own compaction physically reclaims them
+      Similarity.compactIvfIndex(spark, idx)
+      assert(Similarity.readIvfAssigned(spark, idx)
+        .select("c_id").as[Long].collect().toSet == Set(1L))
+      assert(retrievable == Set(1L))
+    } finally {
+      q1.stop(); q2.stop(); q3.stop()
+      spark.streams.active.foreach(_.stop())
+    }
+  }
+
   test("pruneEpochs: committed-older-only, newest kept, torn dirs untouched") {
     val root = Files.createTempDirectory("prune").toString
     val epochDir = s"$root/epochs"
