@@ -448,9 +448,9 @@ object Similarity {
     * `q_id`/`cos` — so the collision fails at BUILD time, by name.
     */
   val ReservedIndexCols: Set[String] = Set(
-    "c_id", "v", "n", "cell", "g", "codes", "rn", "q8", "q8_scale", "qn",
-    "cid", "cv0", "cn0", "ccos", "q_id", "cos", "qv", "qa", "qan", "qtab",
-    "num", "crn", "rank")
+    "c_id", "v", "n", "cell", "g", "__g", "codes", "rn", "q8", "q8_scale",
+    "qn", "cid", "cv0", "cn0", "ccos", "q_id", "cos", "qv", "qa", "qan",
+    "qtab", "num", "crn", "rank")
 
   private def requireCarryNames(carry: Seq[String]): Unit = {
     val clash = carry.filter(ReservedIndexCols)
@@ -846,9 +846,15 @@ object Similarity {
     * staging dir only ever holds COPIES, so a crashed run's leftovers
     * are garbage (deleted on the next entry), and a renamed-but-never-
     * published `g=K+1` dir is invisible to readers and replaced on
-    * re-run. WRITERS still serialize: one build/append/delete/compact
-    * at a time (the standard single-writer table-format contract);
-    * appends land in the live generation the summary advertises.
+    * re-run. The COMMIT POINT is the summary publish, not the dir
+    * renames — readers never resolve a generation the summary does not
+    * advertise — so the design carries to object stores where rename is
+    * copy-not-atomic: the renames just have to COMPLETE before the
+    * summary lands, and the summary file itself appears atomically
+    * (written whole, then renamed/PUT). WRITERS still serialize: one
+    * build/append/delete/compact at a time (the standard single-writer
+    * table-format contract); appends land in the live generation the
+    * summary advertises.
     *
     * Tombstone application order (the reader contract's other half):
     * readers resolve tombstones BEFORE the generation summary, and this
