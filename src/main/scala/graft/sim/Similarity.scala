@@ -433,12 +433,83 @@ object Similarity {
       trainPqCodebooks(train, dim, pqM, pqK, refineIters, gridScale,
         idCol, vecCol, pqSeedSalt)
         .write.mode("overwrite").parquet(s"$path/pq_codebooks")
+    // a REBUILD at the same path (the drift-rebuild lifecycle
+    // appendToIvfIndex anticipates) must not inherit the previous
+    // index's tombstones: `tombstones/` lives beside `assigned/`, so the
+    // Overwrite above clears the rows but would leave a live non-empty
+    // epoch silently masking ids legitimately present in the NEW corpus
+    // until some compaction retired it. A rebuild starts life
+    // delete-free, like a fresh build.
+    locally {
+      val fs = hadoopFs(corpus.sparkSession, new org.apache.hadoop.fs.Path(path))
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
+      // the applied-curation watermark is per-INDEX-LIFE too: the new
+      // corpus has had nothing applied to it yet
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/_meta"), true)
+    }
+    // record the stored form durably BEFORE any data lands: appends
+    // dispatch on this manifest, never on data files deletes can empty
+    writeStorageManifest(corpus.sparkSession, path, storage)
     assignIntoIndex(corpus, path, SaveMode.Overwrite, idCol, vecCol, carry,
       storage = storage)
   }
 
   /** The stored candidate-payload forms a persisted index supports. */
   val Storages: Set[String] = Set("float32", "int8", "pq")
+
+  /** Persist the index's stored form as a durable one-line manifest
+    * (`path/_meta/storage`, written whole to a dot-temp then renamed —
+    * the `_gens` publish pattern, object-store friendly). The manifest —
+    * not the data files — is what [[appendToIvfIndex]] dispatches on:
+    * schema inference from `assigned/` breaks the moment every live
+    * generation of a quantized index is EMPTY (all rows tombstoned and
+    * reclaimed, a state the delete lifecycle makes reachable), and a
+    * fallback-to-float32 append would silently corrupt the schema-based
+    * scoring dispatch of a pq/int8 index.
+    */
+  private def writeStorageManifest(spark: org.apache.spark.sql.SparkSession,
+                                   path: String, storage: String): Unit =
+    writeMetaFile(spark, path, "storage", storage)
+
+  /** The stored form recorded at build time — None for a pre-manifest
+    * index (legacy layouts fall back to schema inference).
+    */
+  private[sim] def readStorageManifest(
+      spark: org.apache.spark.sql.SparkSession, path: String): Option[String] =
+    readMetaFile(spark, path, "storage").map { s =>
+      require(Storages(s),
+        s"$path/_meta/storage holds '$s', not one of ${Storages.mkString("/")}")
+      s
+    }
+
+  /** Whole-file-then-rename publish of a tiny `path/_meta/<name>` record
+    * (the `_gens` pattern: the file appears atomically or not at all).
+    */
+  private def writeMetaFile(spark: org.apache.spark.sql.SparkSession,
+                            path: String, name: String, content: String): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(s"$path/_meta")
+    val fs = hadoopFs(spark, dir)
+    fs.mkdirs(dir)
+    val tmp = new org.apache.hadoop.fs.Path(dir, s".$name.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+    val dst = new org.apache.hadoop.fs.Path(dir, name)
+    fs.delete(dst, false)
+    fs.rename(tmp, dst)
+  }
+
+  private def readMetaFile(spark: org.apache.spark.sql.SparkSession,
+                           path: String, name: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_meta/$name")
+    val fs = hadoopFs(spark, p)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+      Some(s)
+    }
+  }
 
   /** Column names the cell-partitioned layout reserves for its own payload,
     * partitioning and query plumbing. `carry` metadata may not collide with
@@ -484,28 +555,36 @@ object Similarity {
   def appendToIvfIndex(delta: DataFrame, path: String,
                        idCol: String = "vec_id", vecCol: String = "embedding",
                        carry: Seq[String] = Nil,
-                       storage: Option[String] = None): Unit = {
+                       storage: Option[String] = None,
+                       cachedCentroids: Option[DataFrame] = None): Unit = {
     requireCarryNames(carry)
     // the stored form follows the EXISTING index (an append can never
-    // silently mix storage forms); the override only matters when there
-    // is no assigned data yet to detect from
+    // silently mix storage forms): the build-time manifest is the
+    // authority — unlike the data files, it survives a fully-reclaimed
+    // index (every live generation emptied by deletes), where schema
+    // inference would fall back to float32 and silently corrupt a
+    // quantized index's scoring dispatch. Schema inference remains only
+    // as the pre-manifest legacy path; the explicit override only
+    // matters when neither exists yet.
     val stored = storage match {
       case Some(s) =>
         require(Storages(s),
           s"storage must be one of ${Storages.mkString("/")}, got $s")
         s
       case None =>
-        try {
-          val cols = delta.sparkSession.read.parquet(s"$path/assigned").columns
-          if (cols.contains("codes")) "pq"
-          else if (cols.contains("q8")) "int8"
-          else "float32"
-        } catch {
-          case _: org.apache.spark.sql.AnalysisException => "float32"
+        readStorageManifest(delta.sparkSession, path).getOrElse {
+          try {
+            val cols = delta.sparkSession.read.parquet(s"$path/assigned").columns
+            if (cols.contains("codes")) "pq"
+            else if (cols.contains("q8")) "int8"
+            else "float32"
+          } catch {
+            case _: org.apache.spark.sql.AnalysisException => "float32"
+          }
         }
     }
     assignIntoIndex(delta, path, SaveMode.Append, idCol, vecCol, carry,
-      storage = stored)
+      storage = stored, centroids = cachedCentroids)
   }
 
   /** Streaming form of [[appendToIvfIndex]]: every micro-batch of
@@ -515,19 +594,48 @@ object Similarity {
     * (IvfIndexSpec pins it); exactly-once lands on the caller's
     * checkpoint + the idempotent cell layout (replayed batches re-append —
     * at-least-once, as the alert log's sink contract).
+    *
+    * Per-batch floor amortization (round-13): the centroids are
+    * IMMUTABLE for the stream's lifetime — compaction never moves them,
+    * and a rebuild is excluded by the single-writer contract while the
+    * stream runs — so they are cached ONCE here and every micro-batch
+    * broadcasts from memory instead of re-scanning the centroid parquet,
+    * and the stored-form manifest is resolved once instead of per batch.
+    * The cache is released when the query terminates (listener below).
+    * What remains of the floor is the partitioned write itself (a delta
+    * spanning ~every cell dir pays O(cells) file creates per trigger) —
+    * micro-batch SIZE is the knob for that part, priced by the
+    * `sf10_s10_stream_*` rows at two trigger sizes.
     */
   def appendToIvfIndexStream(vectors: DataFrame, path: String,
                              checkpoint: String,
                              idCol: String = "vec_id", vecCol: String = "embedding",
                              carry: Seq[String] = Nil)
-      : org.apache.spark.sql.streaming.StreamingQuery =
-    vectors.writeStream
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = vectors.sparkSession
+    val cents = spark.read.parquet(s"$path/centroids").cache()
+    cents.count() // materialize before the first trigger
+    val stored = readStorageManifest(spark, path)
+    val q = vectors.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        appendToIvfIndex(batch, path, idCol, vecCol, carry)
+        appendToIvfIndex(batch, path, idCol, vecCol, carry,
+          storage = stored, cachedCentroids = Some(cents))
       }
       .start()
+    val qid = q.id
+    spark.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
+        if (e.id == qid) { cents.unpersist(); spark.streams.removeListener(this) }
+    })
+    q
+  }
 
   /** The shared assignment sweep: score `vecs` against the index's stored
     * centroids (broadcast), pick each vector's argmax cell, write into the
@@ -540,12 +648,16 @@ object Similarity {
   private def assignIntoIndex(vecs: DataFrame, path: String, mode: SaveMode,
                               idCol: String, vecCol: String,
                               carry: Seq[String],
-                              storage: String = "float32"): Unit = {
+                              storage: String = "float32",
+                              centroids: Option[DataFrame] = None): Unit = {
     val spark = vecs.sparkSession
     val dot = nativeDot(vecs)
     // read (don't recompute) the centroids: build reuses its just-written
-    // refinement, append sees exactly what the build stored
-    val centsR = broadcast(spark.read.parquet(s"$path/centroids")
+    // refinement, append sees exactly what the build stored. A caller
+    // holding the stream-lifetime cache passes it in so each micro-batch
+    // broadcasts from memory instead of re-scanning the parquet store
+    val centsR = broadcast(centroids
+      .getOrElse(spark.read.parquet(s"$path/centroids"))
       .withColumn("cn0", sqrt(dot(col("cv0"), col("cv0")))))
     // `carry` = metadata columns stored alongside each vector — what
     // makes FILTERED search answerable from the index alone
@@ -735,12 +847,52 @@ object Similarity {
     * files a lagging reader may hold.
     */
   private def readTombstones(spark: org.apache.spark.sql.SparkSession,
-                             path: String): Option[DataFrame] = {
+                             path: String): Option[DataFrame] =
+    readTombstonesSized(spark, path).map(_._1)
+
+  /** The live tombstone epoch plus its on-disk parquet bytes — the size
+    * the query-path broadcast decision is made on (one listing of the
+    * epoch dir; no Spark job, and the set was written by
+    * [[deleteFromIvfIndex]] as one coalesced file so the listing is a
+    * handful of statuses).
+    */
+  private def readTombstonesSized(spark: org.apache.spark.sql.SparkSession,
+                                  path: String): Option[(DataFrame, Long)] = {
     val fs = hadoopFs(spark, new org.apache.hadoop.fs.Path(path))
     val epochs = committedTombEpochs(fs, path)
     if (epochs.isEmpty) None
-    else Some(spark.read.parquet(s"$path/tombstones/epoch=${epochs.max}"))
+    else {
+      val dir = s"$path/tombstones/epoch=${epochs.max}"
+      val bytes = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+        .filter(_.isFile).filterNot(_.getPath.getName.startsWith("_"))
+        .map(_.getLen).sum
+      Some((spark.read.parquet(dir), bytes))
+    }
   }
+
+  /** Above this many on-disk bytes, the live tombstone set stops being
+    * broadcast into the query path's anti-join and joins plain
+    * (shuffle-eligible). The contract bounds the live set by deletes
+    * since the last compaction, but nothing ENFORCES it — a mass
+    * re-curation with no intervening compaction grows the epoch
+    * unboundedly, and an explicit `broadcast()` hint strips Spark's own
+    * auto-size protection, so the failure mode at 100 TB would be a
+    * driver/executor OOM inside a QUERY (never acceptable; a slow query
+    * is). 64 MiB of raw parquet ids is far beyond any sane
+    * delete-between-compactions volume yet comfortably inside driver
+    * broadcast class — above it the query degrades gracefully to a
+    * shuffled anti-join and the operator keeps answering while the
+    * operator's fix (run [[compactIvfIndex]]) is one call away.
+    * Session conf `graft.index.tombstoneBroadcastMaxBytes` moves the
+    * threshold (and lets the spec pin the fallback plan shape without
+    * materializing 64 MiB of ids).
+    */
+  val TombstoneBroadcastMaxBytes: Long = 64L << 20
+
+  private def tombstoneBroadcastMax(
+      spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.getOption("graft.index.tombstoneBroadcastMaxBytes")
+      .map(_.toLong).getOrElse(TombstoneBroadcastMaxBytes)
 
   private def pruneTombEpochs(spark: org.apache.spark.sql.SparkSession,
                               path: String, keep: Int): Unit = {
@@ -766,7 +918,10 @@ object Similarity {
     * one-call composition from a curation drop epoch. Reference tie-in:
     * mitigation's remove side (`ryu/src/deployed_controller/
     * Controller1.py:434-443`) — state must leave as cheaply as it
-    * arrived. Returns the new epoch id. Writer coordination: serialize
+    * arrived. Returns the epoch id covering the request — a newly
+    * written one, or the existing live epoch when every requested id is
+    * already tombstoned (the no-op skip; see the hygiene note in the
+    * body). Writer coordination: serialize
     * deletes and compactions (single maintenance writer, the standard
     * table-format contract); readers need no coordination.
     *
@@ -784,10 +939,26 @@ object Similarity {
                          path: String, ids: DataFrame,
                          idCol: String = "vec_id"): Long = {
     val add = ids.select(col(idCol).as("c_id")).distinct()
-    val full = readTombstones(spark, path)
-      .fold(add)(prev => prev.unionByName(add).distinct())
+    val prev = readTombstones(spark, path)
     val fs = hadoopFs(spark, new org.apache.hadoop.fs.Path(path))
-    val next = committedTombEpochs(fs, path).lastOption.getOrElse(-1L) + 1L
+    val cur = committedTombEpochs(fs, path).lastOption
+    // WRITE-AMPLIFICATION HYGIENE: each epoch is self-contained
+    // (previous ∪ new), so a high-frequency caller re-submitting
+    // already-live ids — the per-epoch curation hook replaying its drop
+    // set is the common case — would rewrite the full set for nothing.
+    // When `ids ∖ live = ∅` the live epoch already IS the requested
+    // state: skip the write and return its id. Cadence contract for
+    // frequent deleters: self-contained epochs cost O(live set) per
+    // WRITE, so compaction (which retires the applied set) should run at
+    // least once per O(tens) of delete calls — see
+    // [[deleteCurationDropsFromIvfIndex]] for the hook's own delta
+    // discipline, which keeps the live set delta-sized between
+    // compactions.
+    val isNoOp = cur.isDefined &&
+      prev.fold(false)(p => add.join(p, Seq("c_id"), "left_anti").isEmpty)
+    if (isNoOp) return cur.get
+    val full = prev.fold(add)(p => p.unionByName(add).distinct())
+    val next = cur.getOrElse(-1L) + 1L
     // one file: the tombstone set is delete-volume sized, not corpus sized
     full.coalesce(1).write.mode(SaveMode.Overwrite)
       .parquet(s"$path/tombstones/epoch=$next")
@@ -800,8 +971,28 @@ object Similarity {
     * `epoch=<id>` artifact) into a persisted index as tombstones — the
     * one-call composition closing the dedup→index consistency gap. Reads
     * the newest committed curation epoch (same `_SUCCESS` rule as
-    * `compactedView`) and tombstones its ids; a no-op (returns None) when
-    * no epoch is committed yet.
+    * `compactedView`); a no-op (returns None) when no epoch is committed
+    * yet, or when the newest epoch was already applied to this index.
+    *
+    * DELTA DISCIPLINE (the convergence contract): curation epochs are
+    * CUMULATIVE — each holds the full historical drop set — while the
+    * index's live tombstone epoch must stay bounded by deletes since the
+    * index's last compaction (it is anti-joined, preferably broadcast,
+    * into every query). Naively tombstoning each epoch's full set would
+    * re-add ids the index's compaction already reclaimed and retired, so
+    * the live set would grow to O(all drops ever) and never converge.
+    * Instead this call (a) skips entirely when the newest curation epoch
+    * id is at or below the `_meta/curation_applied` watermark the
+    * previous application recorded (the per-trigger replay fast path —
+    * no scan at all); (b) otherwise applies only the NEW drops: the set
+    * difference against the last-applied epoch's artifact when it is
+    * still on disk (drop-set-sized, no index scan), falling back — when
+    * retention pruned that artifact — to the ids still PHYSICALLY
+    * present in the index (one column-pruned id scan; reclaimed drops
+    * are absent by definition). Either way the live tombstone set stays
+    * delta-sized between index compactions. Crash between the tombstone
+    * write and the watermark publish replays as (b) whose residual is
+    * already live — [[deleteFromIvfIndex]]'s no-op skip absorbs it.
     */
   def deleteCurationDropsFromIvfIndex(spark: org.apache.spark.sql.SparkSession,
                                       indexPath: String, epochDir: String,
@@ -814,8 +1005,37 @@ object Similarity {
       .filter(d => fs.exists(new org.apache.hadoop.fs.Path(p, s"$d/_SUCCESS")))
       .map(_.stripPrefix("epoch=").toLong)
     if (epochs.isEmpty) return None
-    val drops = spark.read.parquet(s"$epochDir/epoch=${epochs.max}")
-    Some(deleteFromIvfIndex(spark, indexPath, drops, dropIdCol))
+    val newest = epochs.max
+    val applied = readMetaFile(spark, indexPath, "curation_applied").map(_.toLong)
+    if (applied.exists(_ >= newest)) return None
+    val drops = spark.read.parquet(s"$epochDir/epoch=$newest")
+      .select(col(dropIdCol)).distinct()
+    val priorDir = applied.map(a => s"$epochDir/epoch=$a")
+      .filter(d => fs.exists(new org.apache.hadoop.fs.Path(s"$d/_SUCCESS")))
+    val delta = priorDir match {
+      case Some(d) =>
+        // cheap path: cumulative epochs make "new since last applied" a
+        // plain set difference of two drop-set-sized artifacts
+        drops.join(spark.read.parquet(d).select(col(dropIdCol)).distinct(),
+          Seq(dropIdCol), "left_anti")
+      case None =>
+        // retention pruned the applied artifact (or nothing was ever
+        // applied): keep only drops still physically present — an id the
+        // index's compaction reclaimed cannot need masking again
+        try drops.join(
+            readIvfAssigned(spark, indexPath)
+              .select(col("c_id").as(dropIdCol)).distinct(),
+            Seq(dropIdCol), "left_semi")
+        catch {
+          // a fully-reclaimed index holds no rows — nothing to mask
+          case _: org.apache.spark.sql.AnalysisException => drops.limit(0)
+        }
+    }
+    val r = deleteFromIvfIndex(spark, indexPath, delta, dropIdCol)
+    // watermark AFTER the tombstone state covers `newest` — the crash
+    // window replays idempotently (see scaladoc)
+    writeMetaFile(spark, indexPath, "curation_applied", newest.toString)
+    Some(r)
   }
 
   /** Compact the small files a persisted index accumulates under
@@ -993,35 +1213,82 @@ object Similarity {
     * ([[deleteFromIvfIndex]]), so concurrent compaction never breaks a
     * resolved plan and deleted vectors are unretrievable before any
     * physical rewrite.
+    *
+    * `probeWidenTarget = Some(m)` turns on selectivity-aware probe
+    * widening for FILTERED search: the qualifying density is estimated
+    * over the base probe set and `nprobe` is widened until the expected
+    * qualifying candidates per query reach `m × k` (see the inline
+    * note) — the automatic form of the measured nprobe×4 remedy for
+    * high-selectivity filters.
     */
   def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
                      queries: DataFrame, k: Int, nprobe: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding",
                      candidateFilter: Option[Column] = None,
-                     maxPrunedPaths: Int = MaxPrunedIndexPaths): DataFrame = {
+                     maxPrunedPaths: Int = MaxPrunedIndexPaths,
+                     probeWidenTarget: Option[Int] = None): DataFrame = {
     val dot = nativeDot(queries)
     val cents = broadcast(spark.read.parquet(s"$path/centroids")
       .withColumn("cn0", sqrt(dot(col("cv0"), col("cv0")))))
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("v"))
       .withColumn("n", sqrt(dot(col("v"), col("v"))))
     val wq = Window.partitionBy(col("q_id")).orderBy(col("ccos").desc, col("cid").asc)
-    val qCells = q.crossJoin(cents)
-      .withColumn("ccos", cosine(dot(col("v"), col("cv0")), col("n"), col("cn0")))
-      .withColumn("crn", row_number().over(wq))
-      .filter(col("crn") <= nprobe)
-      .select(col("q_id"), col("cid").as("cell"))
-    // resolve the probed cells eagerly; intersect with the cells that
-    // actually exist on disk (an empty cell has no directory — reading
-    // it would fail, skipping it is semantically identical)
-    val probed = qCells.select(col("cell")).distinct()
-      .collect().map(_.getLong(0)).sorted
+    // the probe resolution, parameterized so the filtered path can widen
+    // it: per-query top-p cells plus the eagerly-collected distinct cell
+    // set the pruned scan is constructed over (intersected downstream
+    // with the cells that actually exist on disk — an empty cell has no
+    // directory; reading it would fail, skipping it is semantically
+    // identical)
+    def probeAt(p: Int): (DataFrame, Array[Long]) = {
+      val qc = q.crossJoin(cents)
+        .withColumn("ccos", cosine(dot(col("v"), col("cv0")), col("n"), col("cn0")))
+        .withColumn("crn", row_number().over(wq))
+        .filter(col("crn") <= p)
+        .select(col("q_id"), col("cid").as("cell"))
+      (qc, qc.select(col("cell")).distinct().collect().map(_.getLong(0)).sorted)
+    }
+    val (qCells0, probed0) = probeAt(nprobe)
     val assignedRoot = s"$path/assigned"
+    // SELECTIVITY-AWARE PROBE WIDENING (opt-in): a highly selective
+    // candidateFilter thins qualifying vectors per probed cell — at
+    // 0.004 selectivity the century tier measured recall 0.75 at the
+    // base nprobe and 1.0 at 4× — so instead of leaving the widening to
+    // operator folklore, estimate the qualifying density over the BASE
+    // probe set (one filter-pushed, column-pruned count over cells the
+    // query reads anyway) and widen until the EXPECTED qualifying
+    // candidates per query reach `probeWidenTarget × k`. Capped by the
+    // cells on disk; a probe set past `maxPrunedPaths` falls back to the
+    // full-layout read below, which is the widest read there is.
+    val effNprobe = (candidateFilter, probeWidenTarget) match {
+      case (Some(f), Some(m)) if probed0.nonEmpty =>
+        require(m >= 1, s"probeWidenTarget must be >= 1, got $m")
+        val dirs0 = liveAssignedDirs(spark, path, Some(probed0.toIndexedSeq))
+        val qual: Double =
+          if (dirs0.isEmpty) 0.0
+          else try {
+            spark.read.option("basePath", assignedRoot).parquet(dirs0: _*)
+              .filter(f).count().toDouble
+          } catch { // every probed live generation empty: nothing qualifies
+            case _: org.apache.spark.sql.AnalysisException => 0.0
+          }
+        val cap = cellsOnDisk(
+          hadoopFs(spark, new org.apache.hadoop.fs.Path(assignedRoot)),
+          assignedRoot).length.max(nprobe)
+        if (qual <= 0) cap // only a full sweep can honor the filter
+        else {
+          val perCellQual = qual / probed0.length
+          math.ceil(m.toDouble * k / perCellQual).toInt.max(nprobe).min(cap)
+        }
+      case _ => nprobe
+    }
+    val (qCells, probed) =
+      if (effNprobe > nprobe) probeAt(effNprobe) else (qCells0, probed0)
     // tombstones BEFORE the generation summary — compactIvfIndex publishes
     // the rewritten generations first and retires tombstones second, so
     // this order keeps every interleaving consistent (an old tombstone
     // set masks old generations; an empty one proves the clean
     // generations are already visible)
-    val tombs = readTombstones(spark, path)
+    val tombsSized = readTombstonesSized(spark, path)
     def emptyTopK: DataFrame = rankTopK(
       queries.select(col(idCol).as("q_id"), col(idCol).as("c_id"),
         lit(0.0d).as("cos")).limit(0), k)
@@ -1050,10 +1317,18 @@ object Similarity {
       .drop("g")
       .withColumn("cell", col("cell").cast("long")) // partition col inference
     // deleted-but-not-yet-reclaimed rows: anti-join the live tombstone
-    // epoch (bounded by deletes since the last compaction — broadcast-
-    // class) so a delete is effective IMMEDIATELY, before any rewrite
-    val assignedLive = tombs.fold(assigned0)(t =>
-      assigned0.join(broadcast(t), Seq("c_id"), "left_anti"))
+    // epoch so a delete is effective IMMEDIATELY, before any rewrite.
+    // Broadcast only while the set is broadcast-class by MEASURED size
+    // ([[TombstoneBroadcastMaxBytes]]) — the contract bounds it by
+    // deletes since the last compaction, but an unguarded broadcast()
+    // hint would turn a contract violation into a query-time OOM; the
+    // plain anti-join keeps the query correct (and merely slower) until
+    // the next compaction retires the set
+    val assignedLive = tombsSized.fold(assigned0) { case (t, bytes) =>
+      if (bytes <= tombstoneBroadcastMax(spark))
+        assigned0.join(broadcast(t), Seq("c_id"), "left_anti")
+      else assigned0.join(t, Seq("c_id"), "left_anti")
+    }
     // FILTERED search: the predicate lands on the already-cell-pruned
     // scan over `carry` metadata (parquet predicate pushdown composes
     // with the partition pruning) — candidates are filtered BEFORE
@@ -1130,10 +1405,11 @@ object Similarity {
                       nprobe: Int, rerankR: Int = 64,
                       idCol: String = "vec_id", vecCol: String = "embedding",
                       candidateFilter: Option[Column] = None,
-                      maxPrunedPaths: Int = MaxPrunedIndexPaths): DataFrame = {
+                      maxPrunedPaths: Int = MaxPrunedIndexPaths,
+                      probeWidenTarget: Option[Int] = None): DataFrame = {
     require(rerankR >= k, s"rerankR $rerankR must be >= k $k")
     val cand = ivfTopKIndexed(spark, path, queries, rerankR, nprobe,
-        idCol, vecCol, candidateFilter, maxPrunedPaths)
+        idCol, vecCol, candidateFilter, maxPrunedPaths, probeWidenTarget)
       .select(col("q_id"), col("c_id"))
     val dot = nativeDot(corpus)
     val c = corpus.select(col(idCol).as("c_id"), col(vecCol).as("cv"))

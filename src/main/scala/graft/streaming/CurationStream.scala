@@ -344,11 +344,18 @@ object CurationStream {
     * — so a document the closure drops stops being RETRIEVABLE from the
     * vector index within the same compaction interval that dropped it
     * from the corpus, with no external scheduler. Idempotent under epoch
-    * replay (tombstone epochs are self-contained unions), O(flagged
-    * docs) per epoch, physically reclaimed whenever the index's own
-    * compaction next runs. The index's single-maintenance-writer
-    * contract is the caller's to keep: don't run a concurrent
-    * append/compact of the SAME index inside the epoch commit window.
+    * replay (the index records a `curation_applied` watermark, and an
+    * already-applied epoch is a pure no-op), and DELTA-disciplined:
+    * although each curation epoch artifact is cumulative, only the drops
+    * new since the last applied epoch are tombstoned — so the index's
+    * live tombstone set stays bounded by deletes since ITS last
+    * compaction (the broadcast-class contract its query anti-join
+    * depends on) instead of growing to O(all drops ever) as retired sets
+    * get re-added. O(flagged docs) per epoch, physically reclaimed
+    * whenever the index's own compaction next runs. The index's
+    * single-maintenance-writer contract is the caller's to keep: don't
+    * run a concurrent append/compact of the SAME index inside the epoch
+    * commit window.
     */
   def startCompactionStage(spark: SparkSession, stage1Dir: String,
                            stage2Dir: String, outDir: String,

@@ -26,10 +26,14 @@ import org.scalacheck.Prop.forAll
   *  - after every op, the index's visible id set equals the model's
   *    `present − liveTombs` (deletes mask IMMEDIATELY, before any
   *    rewrite; compaction changes answers never);
-  *  - a lagging plan resolved mid-sequence either answers EXACTLY its
-  *    resolve-time model or fails loud — never a silently partial or
-  *    resurrected answer (keep = 2 guarantees success through one full
-  *    compaction cycle; beyond that, loud failure is the contract);
+  *  - a lagging plan resolved mid-sequence answers EXACTLY its
+  *    resolve-time model for as long as at most ONE compaction has run
+  *    since it resolved — that is the keep = 2 guarantee, and inside
+  *    that window an exception is a FAILURE of this property (round-12
+  *    ADVICE: tolerating any Throwable unconditionally would let a
+  *    regression that breaks lagging readers after a single compaction
+  *    pass); beyond one full cycle, exact-or-loud is the contract —
+  *    never a silently partial or resurrected answer;
   *  - after a final compaction, the PHYSICAL row set equals the model
   *    too (tombstoned rows reclaimed, nothing else lost).
   *
@@ -91,6 +95,9 @@ object IvfLifecycleProps extends Properties("graft.ivf.lifecycle") {
       def modelVisible: Set[Long] = present -- liveTombs
       // (resolved plan, its resolve-time expected set)
       var lagging: Option[(org.apache.spark.sql.DataFrame, Set[Long])] = None
+      // compactions that ran since the lagging plan resolved — the
+      // keep = 2 contract promises exact answers through ONE full cycle
+      var compactsSinceResolve = 0
       var ok = true
       ops.foreach { op =>
         op match {
@@ -115,19 +122,24 @@ object IvfLifecycleProps extends Properties("graft.ivf.lifecycle") {
             // reclaim + retire: tombstoned rows leave, the set retires
             present --= liveTombs
             liveTombs = Set.empty
+            compactsSinceResolve += 1
           case ResolveLagging =>
             val df = Similarity.ivfTopKIndexed(spark, path,
               vectors(Seq(999999L)), k = 1000, nprobe = NProbe)
             df.inputFiles // force file-list resolution NOW
             lagging = Some((df, modelVisible))
+            compactsSinceResolve = 0
         }
         ok = ok && visible(path) == modelVisible
       }
-      // the lagging reader: exact as of resolve time, or loud — never
-      // silently partial/resurrected
+      // the lagging reader, collected under whatever elapsed since its
+      // resolve: INSIDE the keep = 2 window (at most one compaction) the
+      // answer must be exact and an exception is a property failure;
+      // past one full cycle, exact-or-loud — never silently partial or
+      // resurrected
       val laggingOk = lagging.forall { case (df, expected) =>
         try df.select("c_id").collect().map(_.getLong(0)).toSet == expected
-        catch { case _: Throwable => true } // loud failure is in-contract
+        catch { case _: Throwable => compactsSinceResolve > 1 }
       }
       // final reclaim: physical rows == model (unless nothing is left —
       // an all-deleted index reads as typed-empty, checked via visible)

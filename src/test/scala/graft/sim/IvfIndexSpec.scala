@@ -619,6 +619,220 @@ class IvfIndexSpec extends SparkSpec {
       "streamed appends must produce the batch index row-for-row")
   }
 
+  // ---- round-13 lifecycle guards (rebuild, manifest, broadcast, delta) --
+
+  test("rebuild over a deleted index starts delete-free: no inherited tombstones") {
+    val p = java.nio.file.Files.createTempDirectory("ivfrebuild").toString
+    Similarity.buildIvfIndex(corpus, SimQueries.ClusterCentPred, SimQueries.Dim, p)
+    val dIds = corpus.filter(DeleteSpecPred).select("vec_id")
+    val dSet = dIds.collect().map(_.getLong(0)).toSet
+    Similarity.deleteFromIvfIndex(spark, p, dIds)
+    val q = corpus.filter(SimQueries.QueryPred)
+    def retrieved(): Set[Long] =
+      Similarity.ivfTopKIndexed(spark, p, q, SimQueries.K, SimQueries.NProbe)
+        .select("c_id").collect().map(_.getLong(0)).toSet
+    assert(!retrieved().exists(dSet), "pre-rebuild: deletes mask")
+    // the drift-rebuild lifecycle: rebuild at the SAME path over a corpus
+    // that legitimately contains the previously-deleted ids — the stale
+    // tombstone epoch (which lives OUTSIDE assigned/) must not survive to
+    // silently mask them
+    Similarity.buildIvfIndex(corpus, SimQueries.ClusterCentPred, SimQueries.Dim, p)
+    val after = retrieved()
+    assert(after.nonEmpty && dSet.exists(after),
+      "rebuild must not inherit the previous index's tombstones")
+    assert(!new java.io.File(s"$p/tombstones").exists(),
+      "rebuild clears the tombstone store")
+  }
+
+  test("append dispatches on the durable storage manifest, which survives a fully-reclaimed index") {
+    val init = corpus.filter(SimQueries.InitPred)
+    val rest = corpus.filter(s"NOT (${SimQueries.InitPred})")
+    val p = java.nio.file.Files.createTempDirectory("ivfmanifest").toString
+    Similarity.buildIvfIndex(init, SimQueries.ClusterCentPred,
+      SimQueries.Dim, p, storage = "int8")
+    assert(Similarity.readStorageManifest(spark, p).contains("int8"))
+    // delete everything and reclaim: every LIVE generation is now empty.
+    // keep = 2 still retains the superseded file-bearing generation one
+    // cycle, so finish the job the way a later prune/GC does — drop the
+    // remaining data files, leaving only empty generation dirs. The raw
+    // recursive read then has nothing to infer a schema from: exactly
+    // the state where the old data-file dispatch silently fell back to
+    // float32 and corrupted a quantized index on the next append
+    Similarity.deleteFromIvfIndex(spark, p, init.select("vec_id"))
+    Similarity.compactIvfIndex(spark, p)
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    walk(new java.io.File(s"$p/assigned"))
+      .filter(f => f.getName.endsWith(".parquet") || f.getName == "_SUCCESS")
+      .foreach(f => assert(f.delete()))
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.read.parquet(s"$p/assigned").columns
+    }
+    assert(e.getMessage.toLowerCase.contains("schema"),
+      s"precondition: the reclaimed layout must defeat schema inference, got $e")
+    // the append must still land QUANTIZED rows — the manifest, not the
+    // (empty) data files, is the dispatch authority
+    Similarity.appendToIvfIndex(rest, p)
+    val cols = Similarity.readIvfAssigned(spark, p).columns.toSet
+    assert(Set("q8", "q8_scale", "qn").subsetOf(cols) && !cols.contains("v"),
+      s"append onto a fully-reclaimed int8 index must stay int8, got $cols")
+    // and the quantized query path works end to end on the appended rows
+    val got = Similarity.ivfTopKIndexed(spark, p,
+        rest.limit(2), SimQueries.K, SimQueries.NProbe)
+      .select("c_id").collect().map(_.getLong(0))
+    assert(got.nonEmpty)
+  }
+
+  test("an over-threshold live tombstone set degrades to an unforced anti-join, answers unchanged") {
+    val p = java.nio.file.Files.createTempDirectory("ivftombbig").toString
+    Similarity.buildIvfIndex(corpus, SimQueries.ClusterCentPred, SimQueries.Dim, p)
+    Similarity.deleteFromIvfIndex(spark, p,
+      corpus.filter(DeleteSpecPred).select("vec_id"))
+    val q = corpus.filter(SimQueries.QueryPred)
+    def anti(plan: String): Seq[String] =
+      plan.linesIterator.filter(_.contains("LeftAnti")).toSeq
+    // default: broadcast-class set rides the explicit broadcast fast path
+    val fast = Similarity.ivfTopKIndexed(spark, p, q, SimQueries.K, SimQueries.NProbe)
+    val expected = fast.collect().map(_.toSeq).toSet
+    assert(anti(fast.queryExecution.executedPlan.toString)
+      .exists(_.contains("Broadcast")), "broadcast-class sets stay broadcast")
+    // over threshold (forced low) + Spark's own auto-broadcast disabled:
+    // the guard must NOT force a broadcast — the join plans shuffled, and
+    // at real scale Spark's size-guarded planner makes this exact call
+    withConf("graft.index.tombstoneBroadcastMaxBytes" -> "1",
+             "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val slow = Similarity.ivfTopKIndexed(spark, p, q, SimQueries.K, SimQueries.NProbe)
+      assert(slow.collect().map(_.toSeq).toSet == expected,
+        "the fallback path must answer identically")
+      slow.count()
+      val lines = anti(slow.queryExecution.executedPlan.toString)
+      assert(lines.nonEmpty && lines.forall(!_.contains("Broadcast")),
+        s"an over-threshold tombstone set must not be forced into a broadcast:\n${lines.mkString("\n")}")
+    }
+  }
+
+  private def withConf(kvs: (String, String)*)(body: => Unit): Unit = {
+    val old = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("re-deleting already-live ids skips the epoch write and returns the covering epoch") {
+    val p = java.nio.file.Files.createTempDirectory("ivfnoopdel").toString
+    Similarity.buildIvfIndex(corpus, SimQueries.ClusterCentPred, SimQueries.Dim, p)
+    def epochs(): Set[Long] = new java.io.File(s"$p/tombstones").listFiles()
+      .map(_.getName).filter(_.startsWith("epoch="))
+      .map(_.stripPrefix("epoch=").toLong).toSet
+    val e1 = Similarity.deleteFromIvfIndex(spark, p,
+      corpus.filter("vec_id % 7 = 1").select("vec_id"))
+    val before = epochs()
+    // replay/no-op: a subset of the live set must not rewrite the epoch
+    // (the per-epoch curation hook is exactly this high-frequency caller)
+    val e2 = Similarity.deleteFromIvfIndex(spark, p,
+      corpus.filter("vec_id % 14 = 1").select("vec_id"))
+    assert(e2 == e1 && epochs() == before,
+      "an already-covered delete must be a no-op, not a full-set rewrite")
+    // any genuinely new id still writes
+    val e3 = Similarity.deleteFromIvfIndex(spark, p,
+      corpus.filter("vec_id % 7 = 2").select("vec_id"))
+    assert(e3 == e1 + 1 && epochs().contains(e3))
+  }
+
+  test("curation hook applies only the drop DELTA: retired drops are never re-tombstoned") {
+    val p = java.nio.file.Files.createTempDirectory("ivfcuradelta").toString
+    Similarity.buildIvfIndex(corpus, SimQueries.ClusterCentPred, SimQueries.Dim, p)
+    val epochDir = java.nio.file.Files.createTempDirectory("curadelta").toString
+    def drops(pred: String) =
+      corpus.filter(pred).select(col("vec_id").as("doc_id"))
+    def ids(pred: String): Set[Long] =
+      drops(pred).collect().map(_.getLong(0)).toSet
+    def liveTombs(): Set[Long] = {
+      val t = new java.io.File(s"$p/tombstones").listFiles()
+        .map(_.getName).filter(_.startsWith("epoch="))
+        .map(_.stripPrefix("epoch=").toLong).max
+      spark.read.parquet(s"$p/tombstones/epoch=$t")
+        .collect().map(_.getLong(0)).toSet
+    }
+    // epoch 0: first drop wave applied, then physically reclaimed+retired
+    drops("vec_id % 11 = 5").write.parquet(s"$epochDir/epoch=0")
+    assert(Similarity.deleteCurationDropsFromIvfIndex(spark, p, epochDir).isDefined)
+    assert(liveTombs() == ids("vec_id % 11 = 5"))
+    Similarity.compactIvfIndex(spark, p)
+    assert(liveTombs().isEmpty, "compaction retires the applied set")
+    // epoch 1 is CUMULATIVE (old ∪ new): only the new drops may land — the
+    // round-12 bug re-tombstoned the full history every epoch, growing the
+    // live set to O(all drops ever) and breaking its broadcast contract
+    drops("vec_id % 11 = 5 OR vec_id % 11 = 6").write.parquet(s"$epochDir/epoch=1")
+    assert(Similarity.deleteCurationDropsFromIvfIndex(spark, p, epochDir).isDefined)
+    assert(liveTombs() == ids("vec_id % 11 = 6"),
+      s"only the delta may be live, got ${liveTombs().size} ids")
+    // replay of an already-applied epoch: watermark no-op, nothing written
+    val before = liveTombs()
+    assert(Similarity.deleteCurationDropsFromIvfIndex(spark, p, epochDir).isEmpty)
+    assert(liveTombs() == before)
+    // retention pruned the last-applied artifact: the fallback diffs
+    // against ids still PHYSICALLY present — reclaimed drops (11%5) stay
+    // out, unreclaimed-but-tombstoned ones (11%6) are absorbed by the
+    // delete's own no-op union, new ones (11%7) land
+    drops("vec_id % 11 = 5 OR vec_id % 11 = 6 OR vec_id % 11 = 7")
+      .write.parquet(s"$epochDir/epoch=2")
+    graft.streaming.CurationStream.pruneEpochs(spark, epochDir, keep = 1)
+    assert(!new java.io.File(s"$epochDir/epoch=1").exists(),
+      "precondition: the last-applied artifact is pruned")
+    assert(Similarity.deleteCurationDropsFromIvfIndex(spark, p, epochDir).isDefined)
+    assert(liveTombs() == ids("vec_id % 11 = 6 OR vec_id % 11 = 7"),
+      "fallback delta = drops still physically present, never reclaimed history")
+  }
+
+  test("selectivity-aware probe widening reaches recall >= 0.9 with no manual nprobe override") {
+    val lab = graft.io.Tables.embeddings(spark, dir).select(col("vec_id"), col("label"))
+    val c = corpus.join(lab, "vec_id")
+    val p = java.nio.file.Files.createTempDirectory("ivfautowiden").toString
+    Similarity.buildIvfIndex(c, SimQueries.ClusterCentPred, SimQueries.Dim, p,
+      carry = Seq("label"))
+    // the hard regime: the RAREST label — a highly selective predicate
+    // thins qualifying vectors per probed cell (the sf10 century tier
+    // measured recall 0.75 at 0.004 selectivity before widening)
+    val rare = lab.groupBy("label").count()
+      .orderBy(col("count"), col("label")).first().get(0)
+    val pred = col("label") === lit(rare)
+    val q = c.filter(SimQueries.QueryPred)
+    val truth = Similarity.bruteForceTopK(q, c.filter(pred), SimQueries.K)
+      .select("q_id", "c_id")
+    val nTruth = truth.count().toDouble
+    assert(nTruth > 0, "fixture must hold rare-label rows")
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double =
+      df.select("q_id", "c_id").join(truth, Seq("q_id", "c_id"), "left_semi")
+        .count() / nTruth
+    // a deliberately narrow base probe under-fills the qualifying set
+    val base = Similarity.ivfTopKIndexed(spark, p, q, SimQueries.K, nprobe = 1,
+      candidateFilter = Some(pred))
+    // AUTO: same narrow nprobe, widening on — the engine estimates the
+    // qualifying density over the base probe set and widens itself
+    val auto = Similarity.ivfTopKIndexed(spark, p, q, SimQueries.K, nprobe = 1,
+      candidateFilter = Some(pred), probeWidenTarget = Some(4))
+    def cellsListed(df: org.apache.spark.sql.DataFrame): Int =
+      df.inputFiles.filter(_.contains("/assigned/"))
+        .map(_.split("/assigned/")(1).split("/")(0)).distinct.length
+    assert(cellsListed(auto) > cellsListed(base),
+      "the auto path must actually widen the probed-cell scan")
+    val (rBase, rAuto) = (recallOf(base), recallOf(auto))
+    assert(rAuto >= 0.9, s"auto-widened recall $rAuto < 0.9 (base was $rBase)")
+    assert(rAuto >= rBase, "widening must never lose recall")
+    // every returned candidate still satisfies the predicate, and top-k
+    // semantics are unchanged in form
+    assert(auto.join(lab.withColumnRenamed("vec_id", "c_id"), "c_id")
+      .collect().forall(_.getAs[Any]("label") == rare))
+    // an unfiltered query ignores the knob entirely (no estimate pass)
+    val plain = Similarity.ivfTopKIndexed(spark, p, q, SimQueries.K,
+      SimQueries.NProbe, probeWidenTarget = Some(4))
+    val ref = Similarity.ivfTopKIndexed(spark, p, q, SimQueries.K, SimQueries.NProbe)
+    assert(plain.collect().map(_.toSeq).toSet == ref.collect().map(_.toSeq).toSet)
+  }
+
   test("query path has no assignment sweep") {
     val q = corpus.filter(SimQueries.QueryPred)
     val plan = Similarity.ivfTopKIndexed(spark, path, q, SimQueries.K,
