@@ -66,6 +66,18 @@ import org.apache.spark.sql.SparkSession
   * `SPARK_GRAFT_NO_HEAP_PIN=1` disables re-exec entirely — the stamp
   * then records `heap_pinned:false` and adjudicates itself.
   *
+  * Round-13 hardening (sustained-leg gate): BENCH_r12's flagship
+  * `detect_poll` rows were inflated 2.25×/3.8× by a 1.48-core ambient
+  * that sailed UNDER the suite-wide cores/8 gate — `contended` stayed
+  * empty and the artifact published a max above the 2 s budget as if
+  * clean. Sustained legs are latency DISTRIBUTIONS with no min-of-N
+  * defense, so they now gate at [[SustainedAmbientGate]] (~0.5 foreign
+  * cores): each leg waits for the tight gate, runs against a fresh
+  * query, and if the run's own foreign-cpu window still read above the
+  * gate it rebuilds and reruns ONCE ([[rerunOnceIfContaminated]]); only
+  * a still-contaminated second run lands in `contended`, and every leg
+  * stamps `<label>_reran`.
+  *
   * Failures are recorded per query in the emitted JSON (never swallowed as
   * a fake fast time).
   */
@@ -141,7 +153,12 @@ object Bench {
     "ann_auto_recall_clustered" -> 0.9,
     "sf10_s8s_recall" -> 0.999,
     "sf10_s14r_recall" -> 0.999,
-    "sf10_s16_recall" -> 0.999)
+    "sf10_s16_recall" -> 0.999,
+    // round-13: the AUTO-widened filtered search must at least match the
+    // manual remedy's floor — 0.9 at 0.004 selectivity (the raw
+    // sf10_s9_recall 0.75 finding stays ungated: it documents the hard
+    // regime the automation exists to fix)
+    "sf10_s9_auto_recall" -> 0.9)
 
   /** Floor violations present in `results`. Rows absent because a tier is
     * disabled are not violations; a row recorded as the -1.0 failure
@@ -152,6 +169,42 @@ object Bench {
     val m = results.toMap
     RecallFloors.flatMap { case (k, floor) =>
       m.get(k).filter(_ < floor - 1e-9).map(v => f"$k=$v%.4f<$floor%.3f")
+    }
+  }
+
+  /** Ambient-foreign-core gate for SUSTAINED latency-distribution legs
+    * (the per-poll mean/max rows) — an order tighter than the suite-wide
+    * cores/8 launch gate. Round-12 lesson: a 1.48-core ambient inflated
+    * `detect_poll` mean/max 2.25×/3.8× while sailing under the 4.0-core
+    * gate with `contended` empty, publishing a max above the reference's
+    * 2 s trigger budget (thesis §6.2.3 Table 4) as if clean. Sustained
+    * legs have no min-of-N defense — every poll of the single pass lands
+    * in the distribution — so ~0.5 foreign cores is already fatal to the
+    * row and the gate says so.
+    */
+  private[graft] val SustainedAmbientGate = 0.5
+
+  /** Run a sustained leg once; when the foreign load measured OVER the
+    * run (the `ambKey` row the leg stamps) exceeds `gate`, rerun it once
+    * and keep the second reading. One rerun is the whole policy: a box
+    * busy across both passes is genuinely contended and the final rows
+    * must carry the `contended` flag rather than burn the wait budget.
+    * Returns (rows of the kept run, reran, still-contaminated) — pure
+    * over the injected `run` thunk so BenchGateSpec can drive it with
+    * synthetic ambient readings.
+    */
+  private[graft] def rerunOnceIfContaminated(
+      gate: Double, ambKey: String,
+      run: () => Seq[(String, Double)],
+      onRerun: Double => Unit = _ => ())
+      : (Seq[(String, Double)], Boolean, Boolean) = {
+    val r1 = run()
+    val amb1 = r1.toMap.getOrElse(ambKey, 0.0)
+    if (amb1 <= gate) (r1, false, false)
+    else {
+      onRerun(amb1)
+      val r2 = run()
+      (r2, true, r2.toMap.getOrElse(ambKey, 0.0) > gate)
     }
   }
 
@@ -243,11 +296,11 @@ object Bench {
     // pointless wait) against the one shared budget. Each probe is a
     // fresh 5 s /proc window, so recovery is detected in seconds instead
     // of waiting out the kernel's 1-minute EMA.
-    def awaitIdle(tag: String): Unit = if (!loadOverride) {
+    def awaitIdle(tag: String, gate: Double = loadGate): Unit = if (!loadOverride) {
       var amb = proc.ambientNow(5000L)
-      while (amb > loadGate && loadWaited < waitBudgetSec) {
+      while (amb > gate && loadWaited < waitBudgetSec) {
         System.err.println(
-          f"bench[$tag]: foreign load $amb%.2f cores > gate $loadGate%.2f " +
+          f"bench[$tag]: foreign load $amb%.2f cores > gate $gate%.2f " +
             f"(loadavg ${loadavg1m()}%.2f) — " +
             s"waiting (${loadWaited}s/${waitBudgetSec}s; " +
             "SPARK_GRAFT_LOAD_OVERRIDE=1 to run contended)")
@@ -579,14 +632,41 @@ object Bench {
         wq.processAllAvailable()
         wq.stop()
       }
-      val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
-        graft.model.FlowStat](spark)
-      val q = DetectionStream.alerts(stream.toDS()).writeStream
-        .format("noop").outputMode("update").start()
-      pollLoop(label, nPolls, q, { i =>
+      sustainedLeg(label, nPolls, () => {
+        val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
+          graft.model.FlowStat](spark)
+        val q = DetectionStream.alerts(stream.toDS()).writeStream
+          .format("noop").outputMode("update").start()
         // row generation stays OUTSIDE the timed window
-        stream.addData(if (i == 0) first else mkPoll(i))
+        (q, (i: Int) => stream.addData(if (i == 0) first else mkPoll(i)))
       })
+    }
+
+    /** The sustained-leg gate + rerun policy around [[pollLoop]]: wait
+      * for the TIGHT ambient gate (distribution legs, ~0.5 core — see
+      * [[SustainedAmbientGate]]), run the leg over a FRESH query from
+      * `mk` (fresh state store, same plan), and when the run's own
+      * foreign-cpu window still read above the gate, rebuild and rerun
+      * ONCE — the round-12 detect_poll contamination sailed under the
+      * suite-wide 4.0-core gate, so mere flagging is not enough for the
+      * flagship budget row. A still-contaminated second run lands in
+      * `contended`; `<label>_reran` stamps the policy's action either way.
+      */
+    def sustainedLeg(label: String, nPolls: Int,
+                     mk: () => (org.apache.spark.sql.streaming.StreamingQuery,
+                                Int => Unit)): Seq[(String, Double)] = {
+      def once(): Seq[(String, Double)] = {
+        awaitIdle(label, SustainedAmbientGate)
+        val (q, addPoll) = mk()
+        pollLoop(label, nPolls, q, addPoll)
+      }
+      val (rows, reran, dirty) = rerunOnceIfContaminated(
+        SustainedAmbientGate, s"${label}_ambient", () => once(),
+        a => System.err.println(
+          f"bench[$label]: sustained run measured foreign load $a%.2f cores " +
+            f"> sustained gate $SustainedAmbientGate%.2f — auto-rerunning once"))
+      if (dirty) { contended += s"${label}_mean"; contended += s"${label}_max" }
+      rows :+ (s"${label}_reran" -> (if (reran) 1.0 else 0.0))
     }
 
     /** The timed sustained-poll core: one trigger per poll through a live
@@ -611,12 +691,12 @@ object Bench {
         System.err.println(s"$label polls: " +
           perPoll.map(t => f"$t%.2f").mkString(" "))
       // per-run load snapshot: sustained rows are single-pass latency
-      // distributions (not min-of-N-able), so an ambient-load-inflated run
-      // must self-identify in the JSON instead of silently reading as slow
-      // — via measured foreign CPU over the run (raw loadavg alone reads
-      // the suite's own tail as contention), plus the provider in force
+      // distributions (not min-of-N-able), so the foreign CPU measured
+      // over exactly this run's window is stamped beside the numbers —
+      // [[sustainedLeg]] reads it back to decide the rerun and the
+      // `contended` flag against the TIGHT gate (raw loadavg alone reads
+      // the suite's own tail as contention)
       val amb = proc.othersCores(runCpu0, proc.snap())
-      if (amb > loadGate) { contended += s"${label}_mean"; contended += s"${label}_max" }
       providerStamps += label -> spark.conf
         .getOption("spark.sql.streaming.stateStore.providerClass")
         .map(_.split('.').last).getOrElse("HDFSBackedStateStoreProvider")
@@ -642,7 +722,8 @@ object Bench {
     def stateKeys(p: Fixtures.ScenarioParams): Long =
       p.nBenignFlows.toLong + p.nBots
     DetectionStream.selectStateStore(spark, stateKeys(refParams))
-    awaitIdle("sustained-polls")
+    // no outer awaitIdle: sustainedLeg gates each run at the TIGHT
+    // sustained gate itself (which subsumes the suite-wide one)
     val sustained = sustainedPolls("detect_poll", sc.flows)
 
     // detection scale probe (10× flows, 10× bots): a 75 000-benign-flow /
@@ -668,7 +749,6 @@ object Bench {
         // ≤ 2.4 s max in both. detect_75k_poll is therefore the engine's
         // real large-state path; the in-heap run is kept for contrast.
         DetectionStream.selectStateStore(spark, stateKeys(params10))
-        awaitIdle("75k-polls")
         val polls10 = sustainedPolls("detect_75k_poll", sc10.flows)
         spark.conf.set("spark.sql.streaming.stateStore.providerClass",
           "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
@@ -726,14 +806,14 @@ object Bench {
           params750.indices.map(d => (d, poll))
         // keyed-state cardinality summed across domains → RocksDB
         DetectionStream.selectStateStore(spark, params750.map(stateKeys).sum)
-        awaitIdle("750k-polls")
         locally { // warm: plan/codegen/state-store init on a throwaway query
           val (wms, wq) = markerFed()
           wms.addData(markers(0)); wq.processAllAvailable(); wq.stop()
         }
-        val (ms, q) = markerFed()
-        val rows = pollLoop("detect_750k_poll", params750.head.nPolls, q,
-          i => ms.addData(markers(i)))
+        val rows = sustainedLeg("detect_750k_poll", params750.head.nPolls, () => {
+          val (ms, q) = markerFed()
+          (q, (i: Int) => ms.addData(markers(i)))
+        })
         DetectionStream.selectStateStore(spark, stateKeys(refParams))
         rows
       } catch { case e: Throwable =>
@@ -1054,6 +1134,25 @@ object Bench {
                 SimQueries.NProbe * 4, candidateFilter = Some(filterCol))
               .select("q_id", "c_id")
               .join(truthF, Seq("q_id", "c_id"), "left_semi").count() / nTruthF)
+          // round-13 (verdict #3): the widening AUTOMATED — same base
+          // nprobe, probeWidenTarget on; the engine estimates qualifying
+          // density over the base probe set and widens itself. The row
+          // pays the estimate (one filter-pushed count over the base
+          // cells) + the widened read; its recall is GATED at 0.9
+          // (RecallFloors) so the automation can never silently regress
+          // below what the manual remedy bought.
+          val queryAuto = timed("sf10_s9_query_auto", n = 1) {
+            Similarity.ivfTopKIndexed(spark, fBase,
+              ef.filter(SimQueries.QueryPred), SimQueries.K, SimQueries.NProbe,
+              candidateFilter = Some(filterCol),
+              probeWidenTarget = Some(4)).count(); ()
+          }
+          val recallAuto = "sf10_s9_auto_recall" ->
+            (Similarity.ivfTopKIndexed(spark, fBase,
+                ef.filter(SimQueries.QueryPred), SimQueries.K, SimQueries.NProbe,
+                candidateFilter = Some(filterCol), probeWidenTarget = Some(4))
+              .select("q_id", "c_id")
+              .join(truthF, Seq("q_id", "c_id"), "left_semi").count() / nTruthF)
           truthF.unpersist()
           // round-12 (verdict #5): the STREAMING index append at the
           // century tier — the shape a live embedding pipeline runs. The
@@ -1074,30 +1173,56 @@ object Bench {
             trainFraction = 0.1)
           e.filter(s"NOT (${SimQueries.InitPred})").repartition(8)
             .write.parquet(sFeed)
-          val streamRows: Seq[(String, Double)] = try {
+          // round-13 (verdict #4): the per-batch floor is measured at TWO
+          // trigger sizes with the centroid cache in place — the floor's
+          // batch-size-independent part (what the cache didn't remove,
+          // i.e. the O(cells) partitioned write) falls out of the pair:
+          // floor ≈ (8 × mean@1 − 2 × mean@4) / 6.
+          def streamLeg(suffix: String, filesPerTrigger: Int,
+                        base: String, ckpt: String): Seq[(String, Double)] = {
             val feedSchema = spark.read.parquet(sFeed).schema
             val sq = Similarity.appendToIvfIndexStream(
               spark.readStream.schema(feedSchema)
-                .option("maxFilesPerTrigger", "1").parquet(sFeed),
-              sBase, sCkpt)
+                .option("maxFilesPerTrigger", filesPerTrigger.toString)
+                .parquet(sFeed),
+              base, ckpt)
             try sq.processAllAvailable() finally sq.stop()
             val perBatch = sq.recentProgress.toSeq
               .filter(_.numInputRows > 0)
               .map(_.durationMs.get("triggerExecution").toDouble / 1000.0)
             if (perBatch.isEmpty)
               throw new IllegalStateException("no data-carrying micro-batches ran")
-            Seq("sf10_s10_stream_mean" -> perBatch.sum / perBatch.size,
-                "sf10_s10_stream_max" -> perBatch.max,
-                "sf10_s10_stream_batches" -> perBatch.size.toDouble)
+            Seq(s"sf10_s10_stream${suffix}_mean" -> perBatch.sum / perBatch.size,
+                s"sf10_s10_stream${suffix}_max" -> perBatch.max,
+                s"sf10_s10_stream${suffix}_batches" -> perBatch.size.toDouble)
+          }
+          val streamRows: Seq[(String, Double)] = try {
+            streamLeg("", 1, sBase, sCkpt)
           } catch { case ex: Throwable =>
             errors += "sf10_s10_stream" -> ex.toString.takeWhile(_ != '\n').take(200)
+            Nil
+          }
+          val streamRows4: Seq[(String, Double)] = try {
+            val sBase4 = new java.io.File("target/ivfappend_sf10_stream4").getAbsolutePath
+            val sCkpt4 = new java.io.File("target/ivfstream_ckpt4_sf10").getAbsolutePath
+            Seq(sBase4, sCkpt4).foreach { d =>
+              val pth = new org.apache.hadoop.fs.Path(d)
+              pth.getFileSystem(spark.sessionState.newHadoopConf()).delete(pth, true)
+            }
+            Similarity.buildIvfIndex(e.filter(SimQueries.InitPred),
+              SimQueries.ClusterCentPred, SimQueries.Dim, sBase4,
+              trainFraction = 0.1)
+            streamLeg("4", 4, sBase4, sCkpt4)
+          } catch { case ex: Throwable =>
+            errors += "sf10_s10_stream4" -> ex.toString.takeWhile(_ != '\n').take(200)
             Nil
           }
           Seq(build, query, buildS, queryS, recallS,
             buildQ, queryQ, recallQ, bytesQ, queryR8, recallR8,
             buildP, queryP, recallP, bytesP, queryR, recallR,
             append, compact, del, delQ, reclaim, reclaimRow,
-            buildF, queryF, selRow, recallF, queryFWide, recallFWide) ++ streamRows
+            buildF, queryF, selRow, recallF, queryFWide, recallFWide,
+            queryAuto, recallAuto) ++ streamRows ++ streamRows4
         }
         // epoch BPE past fixture pair-exhaustion: the sf0.1 corpus runs
         // dry at ~90 merges, so the "32k merges ≈ 32k/b rounds" claim

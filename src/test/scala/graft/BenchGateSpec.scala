@@ -38,4 +38,53 @@ class BenchGateSpec extends AnyFunSuite {
       "sf10_s15_recall" -> 0.03)
     assert(Bench.recallViolations(trades).isEmpty)
   }
+
+  // ---- sustained-leg ambient gate + auto-rerun (round-13 verdict #1):
+  // BENCH_r12's detect_poll rows were inflated 2.25x/3.8x by a 1.48-core
+  // ambient that sailed under the 4.0-core suite gate with `contended`
+  // empty. The policy is driven here with synthetic ambient readings.
+
+  private def leg(amb: Double, mean: Double) =
+    Seq("x_mean" -> mean, "x_max" -> mean * 2, "x_ambient" -> amb)
+
+  test("a clean sustained run is kept as-is: no rerun, no flag") {
+    var runs = 0
+    val (rows, reran, dirty) = Bench.rerunOnceIfContaminated(
+      Bench.SustainedAmbientGate, "x_ambient",
+      () => { runs += 1; leg(amb = 0.1, mean = 0.9) })
+    assert(runs == 1 && !reran && !dirty)
+    assert(rows.toMap.apply("x_mean") == 0.9)
+  }
+
+  test("the r12 contamination shape (1.48 ambient cores) triggers exactly one rerun") {
+    // 1.48 cores sailed under the old 4.0-core gate; the sustained gate
+    // must catch it, rerun once, and keep the clean second reading
+    assert(1.48 > Bench.SustainedAmbientGate && 1.48 < 4.0)
+    var runs = 0
+    var rerunSeen = -1.0
+    val readings = Seq(leg(amb = 1.48, mean = 1.78), leg(amb = 0.0, mean = 0.88))
+    val (rows, reran, dirty) = Bench.rerunOnceIfContaminated(
+      Bench.SustainedAmbientGate, "x_ambient",
+      () => { val r = readings(runs); runs += 1; r },
+      onRerun = rerunSeen = _)
+    assert(runs == 2 && reran && !dirty)
+    assert(rerunSeen == 1.48, "the rerun hook must see the dirty reading")
+    assert(rows.toMap.apply("x_mean") == 0.88, "the SECOND (clean) run is what gets stamped")
+  }
+
+  test("a box contended across both passes keeps the flag (never a third run)") {
+    var runs = 0
+    val (rows, reran, dirty) = Bench.rerunOnceIfContaminated(
+      Bench.SustainedAmbientGate, "x_ambient",
+      () => { runs += 1; leg(amb = 2.0, mean = 3.0) })
+    assert(runs == 2 && reran && dirty,
+      "still-contaminated after one rerun must surface as contended")
+    assert(rows.toMap.apply("x_ambient") == 2.0)
+  }
+
+  test("the sustained gate is an order tighter than the suite-wide cores/8 gate") {
+    // 32-core host → suite gate 4.0; a ~0.5-core ambient must gate here
+    assert(Bench.SustainedAmbientGate <= 0.5 + 1e-9)
+    assert(Bench.SustainedAmbientGate > 0.0)
+  }
 }
