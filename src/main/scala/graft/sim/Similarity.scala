@@ -595,33 +595,65 @@ object Similarity {
     * checkpoint + the idempotent cell layout (replayed batches re-append —
     * at-least-once, as the alert log's sink contract).
     *
-    * Per-batch floor amortization (round-13): the centroids are
-    * IMMUTABLE for the stream's lifetime — compaction never moves them,
-    * and a rebuild is excluded by the single-writer contract while the
-    * stream runs — so they are cached ONCE here and every micro-batch
-    * broadcasts from memory instead of re-scanning the centroid parquet,
-    * and the stored-form manifest is resolved once instead of per batch.
-    * The cache is released when the query terminates (listener below).
-    * What remains of the floor is the partitioned write itself (a delta
-    * spanning ~every cell dir pays O(cells) file creates per trigger) —
-    * micro-batch SIZE is the knob for that part, priced by the
-    * `sf10_s10_stream_*` rows at two trigger sizes.
+    * Per-batch floor amortization (round-13): the centroids (and a pq
+    * index's codebooks) are IMMUTABLE for the stream's lifetime —
+    * compaction never moves them, and a rebuild is excluded by the
+    * single-writer contract while the stream runs — so they are cached
+    * ONCE here and every micro-batch broadcasts from memory instead of
+    * re-scanning the stored parquet, and the stored-form manifest is
+    * resolved once instead of per batch. Caches are released when the
+    * query terminates (listener below). What remains of the floor is the
+    * partitioned write itself — and the century pair
+    * (`sf10_s10_stream_*` at 1 vs 4 files/trigger) measured that it is
+    * NOT constant: successive appends commit into cell dirs holding
+    * progressively more small files, so per-trigger cost grows with
+    * accumulated appends. Hence `compactEvery = Some(n)`: the stream —
+    * which IS the index's single maintenance writer — runs
+    * [[compactIvfIndex]] after every n-th committed batch, bounding
+    * per-cell live files at the source with the reader-safe generation
+    * swap (concurrent queries never break). Idempotent under batch
+    * replay: a replayed append re-lands its rows and the re-run
+    * compaction converges to the same one-file-per-cell state.
     */
   def appendToIvfIndexStream(vectors: DataFrame, path: String,
                              checkpoint: String,
                              idCol: String = "vec_id", vecCol: String = "embedding",
-                             carry: Seq[String] = Nil)
+                             carry: Seq[String] = Nil,
+                             compactEvery: Option[Int] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    compactEvery.foreach(n => require(n >= 1,
+      s"compactEvery must be >= 1 batch, got $n"))
+    requireCarryNames(carry)
     val spark = vectors.sparkSession
     val cents = spark.read.parquet(s"$path/centroids").cache()
     cents.count() // materialize before the first trigger
-    val stored = readStorageManifest(spark, path)
+    // resolve the stored form ONCE (manifest; legacy pre-manifest
+    // layouts fall back to schema inference exactly as appendToIvfIndex)
+    val storedForm = readStorageManifest(spark, path).getOrElse {
+      try {
+        val cols = spark.read.parquet(s"$path/assigned").columns
+        if (cols.contains("codes")) "pq"
+        else if (cols.contains("q8")) "int8"
+        else "float32"
+      } catch {
+        case _: org.apache.spark.sql.AnalysisException => "float32"
+      }
+    }
+    val cachedCb = if (storedForm == "pq") {
+      val (raw, pqM, w) = readPqCodebooks(spark, path)
+      val c = raw.cache(); c.count()
+      Some((c, pqM, w))
+    } else None
     val q = vectors.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        appendToIvfIndex(batch, path, idCol, vecCol, carry,
-          storage = stored, cachedCentroids = Some(cents))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        assignIntoIndex(batch, path, SaveMode.Append, idCol, vecCol, carry,
+          storage = storedForm, centroids = Some(cents),
+          pqCodebooks = cachedCb)
+        compactEvery.foreach { n =>
+          if ((batchId + 1) % n == 0) compactIvfIndex(spark, path)
+        }
       }
       .start()
     val qid = q.id
@@ -632,7 +664,11 @@ object Similarity {
           e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
       override def onQueryTerminated(
           e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
-        if (e.id == qid) { cents.unpersist(); spark.streams.removeListener(this) }
+        if (e.id == qid) {
+          cents.unpersist()
+          cachedCb.foreach(_._1.unpersist())
+          spark.streams.removeListener(this)
+        }
     })
     q
   }
@@ -649,7 +685,9 @@ object Similarity {
                               idCol: String, vecCol: String,
                               carry: Seq[String],
                               storage: String = "float32",
-                              centroids: Option[DataFrame] = None): Unit = {
+                              centroids: Option[DataFrame] = None,
+                              pqCodebooks: Option[(DataFrame, Int, Int)] = None)
+      : Unit = {
     val spark = vecs.sparkSession
     val dot = nativeDot(vecs)
     // read (don't recompute) the centroids: build reuses its just-written
@@ -685,7 +723,8 @@ object Similarity {
         // (sub order) plus the reconstruction norm `rn` — precomputable
         // exactly because subspaces are disjoint coordinates, so
         // |x̂|² = Σ_sub |codebook[sub][code]|²
-        val (cbRaw, pqM, w) = readPqCodebooks(spark, path)
+        val (cbRaw, pqM, w) =
+          pqCodebooks.getOrElse(readPqCodebooks(spark, path))
         val l2 = nativeL2Sq(vecs)
         val cbn = broadcast(cbRaw.withColumn("cn2", dot(col("cv"), col("cv"))))
         // codes derive from the INPUT, not from `assigned` — the coarse

@@ -833,6 +833,87 @@ class IvfIndexSpec extends SparkSpec {
     assert(plain.collect().map(_.toSeq).toSet == ref.collect().map(_.toSeq).toSet)
   }
 
+  test("streaming ingest with compactEvery bounds per-cell files inline; answers and rows unchanged") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val init = corpus.filter(SimQueries.InitPred)
+    val restRows = corpus.filter(s"NOT (${SimQueries.InitPred})")
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[scala.collection.Seq[Float]]("embedding").toArray))
+    val p = java.nio.file.Files.createTempDirectory("ivfstreamcomp").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ivfstreamcompck").toString
+    Similarity.buildIvfIndex(init, SimQueries.ClusterCentPred, SimQueries.Dim, p)
+    val in = MemoryStream[(Long, Array[Float])](spark)
+    // the stream IS the single maintenance writer: it compacts its own
+    // small files every 2nd committed batch (the knob the century
+    // trigger-size pair showed matters — per-trigger cost grows with
+    // accumulated appends)
+    val q = Similarity.appendToIvfIndexStream(
+      in.toDS().toDF("vec_id", "embedding"), p, ckpt, compactEvery = Some(2))
+    try {
+      // exactly 4 batches (ceil split), so the cadence ends on a
+      // compacting batch and the final state is the bounded one
+      restRows.grouped(((restRows.length + 3) / 4).max(1)).foreach { b =>
+        in.addData(b.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // inline compaction left nothing to do: no cell over the file
+    // threshold, no tombstones — a fresh maintenance pass is a no-op
+    assert(Similarity.compactIvfIndex(spark, p).isEmpty,
+      "compactEvery must leave every cell at its compacted file count")
+    // rows and answers survived the interleaved compactions
+    val pRef = java.nio.file.Files.createTempDirectory("ivfstreamcompref").toString
+    spark.read.parquet(s"$p/centroids").write.parquet(s"$pRef/centroids")
+    Similarity.appendToIvfIndex(corpus, pRef)
+    assert(assignedRows(p) == assignedRows(pRef),
+      "inline compaction must preserve the streamed index row-for-row")
+    val qy = corpus.filter(SimQueries.QueryPred)
+    val got = Similarity.ivfTopKIndexed(spark, p, qy, SimQueries.K, SimQueries.NProbe)
+      .collect().map(_.toSeq).toSet
+    val ref = Similarity.ivfTopKIndexed(spark, pRef, qy, SimQueries.K, SimQueries.NProbe)
+      .collect().map(_.toSeq).toSet
+    assert(got == ref)
+  }
+
+  test("streaming ingest onto a pq index uses the cached codebooks: batch-identical rows") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val init = corpus.filter(SimQueries.InitPred)
+    val restRows = corpus.filter(s"NOT (${SimQueries.InitPred})")
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[scala.collection.Seq[Float]]("embedding").toArray))
+    val p = java.nio.file.Files.createTempDirectory("ivfstreampq").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ivfstreampqck").toString
+    Similarity.buildIvfIndex(init, SimQueries.ClusterCentPred, SimQueries.Dim, p,
+      storage = "pq", pqM = SimQueries.PqM, pqK = SimQueries.PqK)
+    val in = MemoryStream[(Long, Array[Float])](spark)
+    val q = Similarity.appendToIvfIndexStream(
+      in.toDS().toDF("vec_id", "embedding"), p, ckpt)
+    try {
+      val (b1, b2) = restRows.splitAt(restRows.length / 2)
+      in.addData(b1.toIndexedSeq: _*); q.processAllAvailable()
+      in.addData(b2.toIndexedSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    // the streamed pq index equals batch build+append of the same rows
+    // (the cached codebooks are the STORED ones, never retrained)
+    val pRef = java.nio.file.Files.createTempDirectory("ivfstreampqref").toString
+    Similarity.buildIvfIndex(init, SimQueries.ClusterCentPred, SimQueries.Dim, pRef,
+      storage = "pq", pqM = SimQueries.PqM, pqK = SimQueries.PqK)
+    Similarity.appendToIvfIndex(corpus.filter(s"NOT (${SimQueries.InitPred})"), pRef)
+    def pqRows(pp: String): Set[Seq[Any]] =
+      Similarity.readIvfAssigned(spark, pp)
+        .select(col("c_id"), col("cell"), col("codes"), col("rn"))
+        .collect().map(_.toSeq.map {
+          case a: scala.collection.Seq[_] => a.toList
+          case x => x
+        }).toSet
+    assert(pqRows(p) == pqRows(pRef),
+      "streamed pq appends must encode against the stored codebooks batch-identically")
+  }
+
   test("query path has no assignment sweep") {
     val q = corpus.filter(SimQueries.QueryPred)
     val plan = Similarity.ivfTopKIndexed(spark, path, q, SimQueries.K,
