@@ -356,6 +356,33 @@ object SimQueries {
       .withColumn("rank", col("rank").cast("long"))
   }
 
+  /** s18 — AUTO-WIDENED filtered search: the round-13 selectivity-aware
+    * probe widening as an oracle row, not just a spec. A selective
+    * predicate (`label = 7`, ~0.1 selectivity) thins qualifying vectors
+    * per probed cell, so [[graft.sim.Similarity.ivfTopKIndexed]] with
+    * `probeWidenTarget` estimates the qualifying density over the BASE
+    * probe set and widens nprobe until expected qualifying candidates
+    * reach target × k. The twin replays the ESTIMATE itself — the same
+    * count over the base-probed cells, the same
+    * ceil(target·k / perCellQual) clamped to [nprobe, cells-on-disk] —
+    * and probes at the widened width, so a drift in the widening
+    * arithmetic (not just the final ranking) breaks the hash.
+    */
+  val AutoWidenPred = "label = 7"
+  val AutoWidenTarget = 4
+
+  def s18IvfAutoWiden(s: SparkSession, dir: String): DataFrame = {
+    val base = new java.io.File(
+      s"target/ivfindexaw${dir.replaceAll("[^a-zA-Z0-9]", "_")}").getAbsolutePath
+    val lab = Tables.embeddings(s, dir).select(col("vec_id"), col("label"))
+    val e = clustered(s, dir).join(lab, "vec_id")
+    Similarity.buildIvfIndex(e, ClusterCentPred, Dim, base, carry = Seq("label"))
+    Similarity.ivfTopKIndexed(s, base, e.filter(QueryPred), K, NProbe,
+        candidateFilter = Some(org.apache.spark.sql.functions.expr(AutoWidenPred)),
+        probeWidenTarget = Some(AutoWidenTarget))
+      .withColumn("rank", col("rank").cast("long"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_ann_topk" -> (s1AnnTopK _),
     "s2_cosine_pairs_blocked" -> (s2CosinePairsBlocked _),
@@ -373,7 +400,8 @@ object SimQueries {
     "s14_ivf_q8_indexed" -> (s14IvfQ8Indexed _),
     "s15_ivf_pq_indexed" -> (s15IvfPqIndexed _),
     "s16_ivf_pq_reranked" -> (s16IvfPqReranked _),
-    "s17_ivf_deleted" -> (s17IvfDeleted _)
+    "s17_ivf_deleted" -> (s17IvfDeleted _),
+    "s18_ivf_autowiden" -> (s18IvfAutoWiden _)
   )
 
   // ---- generated DuckDB twins ----------------------------------------
@@ -637,6 +665,61 @@ object SimQueries {
        |SELECT q_id, c_id, cos, "rank" FROM ranked WHERE "rank" <= $K""".stripMargin
   }
 
+  /** Twin of `s18_ivf_autowiden`: the shared coarse-quantizer prefix,
+    * then the round-13 WIDENING ESTIMATE replayed in SQL — `qual` is the
+    * qualifying-row count over the base-probed cells (exactly the
+    * filter-pushed count the Spark side runs over the cells it reads
+    * anyway), `np` the distinct base-probed cells, `cap` the cells on
+    * disk floored at nprobe, and the effective probe width is
+    * `ceil(target·k / (qual/np))` clamped to [nprobe, cap] (full sweep
+    * when nothing qualifies) — the exact expression shape of
+    * ivfTopKIndexed's estimate, so FP rounding at the ceil boundary
+    * matches. Scoring/ranking then proceed as the s9 filtered twin but
+    * over the WIDENED probe window.
+    */
+  private def ivfAutoWidenSql: String = {
+    s"""${ivfPrefixSql("TRUE")}, cassignm AS MATERIALIZED (
+       |  SELECT vec_id, cell FROM cassign
+       |), probed0 AS (
+       |  SELECT DISTINCT cell FROM qprobe
+       |), wstats AS (
+       |  SELECT
+       |    (SELECT count(*) FROM v
+       |       JOIN cassignm a ON a.vec_id = v.vec_id
+       |       JOIN probed0 p ON p.cell = a.cell
+       |       WHERE v.$AutoWidenPred) AS qual,
+       |    (SELECT count(*) FROM probed0) AS np,
+       |    greatest((SELECT count(DISTINCT cell) FROM cassignm), $NProbe) AS cap
+       |), weff AS (
+       |  SELECT CASE WHEN qual <= 0 THEN cap
+       |    ELSE least(greatest(
+       |      CAST(ceil(($AutoWidenTarget * $K)::DOUBLE
+       |        / (qual::DOUBLE / np::DOUBLE)) AS BIGINT), $NProbe), cap)
+       |    END AS eff
+       |  FROM wstats
+       |), qprobew AS (
+       |  SELECT q_id, cid AS cell FROM (
+       |    SELECT q.q_id, c.cid,
+       |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+       |        ${dotSql("q.qv", "c.cv")} / (q.qn * c.cn) DESC, c.cid ASC) AS rn
+       |    FROM q CROSS JOIN cn c)
+       |  WHERE rn <= (SELECT eff FROM weff)
+       |), scored AS (
+       |  SELECT q.q_id, v.vec_id AS c_id,
+       |    ${dotSql("q.qv", "v.embedding")} / (q.qn * v.n) AS cos
+       |  FROM v
+       |  JOIN cassignm a ON a.vec_id = v.vec_id
+       |  JOIN qprobew p ON p.cell = a.cell
+       |  JOIN q ON q.q_id = p.q_id
+       |  WHERE q.q_id <> v.vec_id AND v.$AutoWidenPred
+       |), ranked AS (
+       |  SELECT q_id, c_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS BIGINT) AS "rank"
+       |  FROM scored
+       |)
+       |SELECT q_id, c_id, cos, "rank" FROM ranked WHERE "rank" <= $K""".stripMargin
+  }
+
   /** Width-parametrized [[dotSql]] (PQ subvectors are `Dim/PqM` wide). */
   private def dotSqlW(a: String, b: String, w: Int): String =
     s"""list_reduce(list_transform(range(1, ${w + 1}),
@@ -857,6 +940,11 @@ object SimQueries {
       s"""SELECT q_id, c_id, cos, "rank", stage FROM (
          |${ivfRefinedSqlWhere(s"NOT (v.$DeletePred)", InitPred)}
          |) t CROSS JOIN (SELECT unnest(['tombstoned','reclaimed']) AS stage) st""".stripMargin,
+    // s18: the s9 filtered twin with the WIDENING ARITHMETIC replayed —
+    // the qualifying count over the base-probed cells, the same
+    // ceil(target*k / perCellQual) clamped to [nprobe, cells-on-disk],
+    // then the probe window at the widened width
+    "s18_ivf_autowiden" -> ivfAutoWidenSql,
     "s1_ann_topk" -> topKSql,
     "s3_lsh_topk" -> lshMultiSql,
     "s4_ivf_topk" -> ivfSql,
