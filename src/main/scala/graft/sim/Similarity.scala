@@ -1032,6 +1032,13 @@ object Similarity {
     * delta-sized between index compactions. Crash between the tombstone
     * write and the watermark publish replays as (b) whose residual is
     * already live — [[deleteFromIvfIndex]]'s no-op skip absorbs it.
+    *
+    * Id discipline (the composition's half of [[deleteFromIvfIndex]]'s
+    * id-reuse note): a drop is applied ONCE — re-appending a dropped
+    * document's embedding under the same id later is retrievable again
+    * (the watermark never re-applies old drops). A pipeline that revises
+    * dropped documents must version its id space or re-drop through a
+    * new curation epoch — the same discipline the delete API documents.
     */
   def deleteCurationDropsFromIvfIndex(spark: org.apache.spark.sql.SparkSession,
                                       indexPath: String, epochDir: String,

@@ -352,20 +352,32 @@ object CurationStream {
     * compaction (the broadcast-class contract its query anti-join
     * depends on) instead of growing to O(all drops ever) as retired sets
     * get re-added. O(flagged docs) per epoch, physically reclaimed
-    * whenever the index's own compaction next runs. The index's
-    * single-maintenance-writer contract is the caller's to keep: don't
-    * run a concurrent append/compact of the SAME index inside the epoch
-    * commit window.
+    * whenever the index's own compaction next runs —
+    * `annCompactEvery = Some(k)` schedules exactly that with no external
+    * scheduler: every k-th curation epoch this query (the index's single
+    * maintenance writer) runs the reader-safe
+    * [[graft.sim.Similarity.compactIvfIndex]], reclaiming the
+    * accumulated tombstones and retiring the applied set — which is what
+    * keeps the live tombstone epoch broadcast-class between reclaims.
+    * The single-maintenance-writer contract is otherwise the caller's to
+    * keep: don't run a concurrent append/compact of the SAME index
+    * inside the epoch commit window.
     */
   def startCompactionStage(spark: SparkSession, stage1Dir: String,
                            stage2Dir: String, outDir: String,
                            checkpointDir: String, every: Int = 1,
                            fullSnapshot: Boolean = false,
                            retainEpochs: Option[Int] = None,
-                           annIndexPath: Option[String] = None): StreamingQuery = {
+                           annIndexPath: Option[String] = None,
+                           annCompactEvery: Option[Int] = None): StreamingQuery = {
     require(every >= 1, "compaction period must be >= 1 batch")
     retainEpochs.foreach(k => require(k >= 1,
       "must retain at least the newest committed epoch"))
+    annCompactEvery.foreach { k =>
+      require(k >= 1, "ANN compaction cadence must be >= 1 epoch")
+      require(annIndexPath.isDefined,
+        "annCompactEvery needs annIndexPath — there is no index to compact")
+    }
     spark.readStream
       .schema(org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("dup_id",
@@ -403,6 +415,20 @@ object CurationStream {
           // drop set)
           annIndexPath.foreach(p =>
             graft.sim.Similarity.deleteCurationDropsFromIvfIndex(spark, p, outDir))
+          // opt-in index MAINTENANCE cadence, completing the loop with no
+          // external scheduler: every annCompactEvery-th curation epoch,
+          // physically reclaim the tombstones the hook accumulated (and
+          // retire the applied set — the contract that keeps the live
+          // tombstone epoch broadcast-class between reclaims). This query
+          // is the index's single maintenance writer, so the serialize-
+          // writers contract holds by construction; readers are safe
+          // across the generation swap. Idempotent under batch replay.
+          annIndexPath.foreach { p =>
+            annCompactEvery.foreach { k =>
+              if ((batchId / every + 1) % k == 0)
+                graft.sim.Similarity.compactIvfIndex(spark, p)
+            }
+          }
         }
       }
       .start()

@@ -299,6 +299,61 @@ class CurationStreamSpec extends SparkSpec {
     }
   }
 
+  test("live index wiring with annCompactEvery: the hook reclaims its own tombstones inline") {
+    import org.apache.spark.sql.functions.col
+    import graft.sim.{PlantedClusters, Similarity}
+    // same bridge fixture as above, but the hook now also OWNS the index
+    // maintenance: every epoch (annCompactEvery = 1) it physically
+    // reclaims what it tombstoned and retires the applied set — the full
+    // drop → mask → reclaim loop with no external scheduler and no
+    // manual compactIvfIndex call anywhere
+    val aTxt = (1 to 15).map(i => s"alpha$i").mkString(" ")
+    val cTxt = (1 to 15).map(i => s"gamma$i").mkString(" ")
+    val docs = Seq(
+      CurationDoc(1L, "en", aTxt.length.toLong, aTxt),
+      CurationDoc(3L, "en", cTxt.length.toLong, cTxt),
+      CurationDoc(5L, "en", (aTxt + " " + cTxt).length.toLong, aTxt + " " + cTxt))
+    val idx = Files.createTempDirectory("curaidxc").toString
+    val vecs = docs.map(_.doc_id).toDF("doc_id")
+      .select(col("doc_id"), PlantedClusters.vecCol(col("doc_id")).as("embedding"))
+    Similarity.buildIvfIndex(vecs, "doc_id % 2 = 1", 64, idx, idCol = "doc_id")
+    val root = Files.createTempDirectory("curaidxcec").toString
+    val (out1, out2, out3) = (s"$root/out1", s"$root/out2", s"$root/out3")
+    val in = MemoryStream[CurationDoc](spark)
+    val q1 = CurationStream.startQualityExactStage(in.toDS().toDF(), 0.0, out1, s"$root/cp1")
+    val q2 = CurationStream.startNearDupStage(spark, out1, out2, s"$root/cp2",
+      k = 3, numPerms = 16, bands = 16, threshold = 0.3)
+    val q3 = CurationStream.startCompactionStage(spark, out1, out2, out3, s"$root/cp3",
+      annIndexPath = Some(idx), annCompactEvery = Some(1))
+    try {
+      docs.foreach { d =>
+        in.addData(d)
+        q1.processAllAvailable(); q2.processAllAvailable(); q3.processAllAvailable()
+      }
+      // PHYSICALLY reclaimed by the hook's own cadence — not just masked
+      assert(Similarity.readIvfAssigned(spark, idx)
+        .select("c_id").as[Long].collect().toSet == Set(1L),
+        "the inline cadence must physically reclaim the dropped rows")
+      // and the applied set is retired: the live tombstone epoch is empty,
+      // so the query-path anti-join stays broadcast-class by construction
+      val tombEpochs = new java.io.File(s"$idx/tombstones").listFiles()
+        .map(_.getName).filter(_.startsWith("epoch="))
+        .map(_.stripPrefix("epoch=").toLong)
+      assert(spark.read.parquet(s"$idx/tombstones/epoch=${tombEpochs.max}")
+        .count() == 0, "the hook must retire the sets it applied")
+      // answers agree with the mask-only path: only the keeper remains
+      val got = Similarity.ivfTopKIndexed(spark, idx,
+          Seq(999L).toDF("doc_id").select(col("doc_id"),
+            PlantedClusters.vecCol(col("doc_id")).as("embedding")),
+          k = 10, nprobe = 4, idCol = "doc_id")
+        .select("c_id").as[Long].collect().toSet
+      assert(got == Set(1L))
+    } finally {
+      q1.stop(); q2.stop(); q3.stop()
+      spark.streams.active.foreach(_.stop())
+    }
+  }
+
   test("pruneEpochs: committed-older-only, newest kept, torn dirs untouched") {
     val root = Files.createTempDirectory("prune").toString
     val epochDir = s"$root/epochs"
