@@ -856,7 +856,11 @@ object Bench {
             // round-7 curation ops: gram-cardinality (t8/t9) and the
             // two-phase rank (g4) are linear by design — the probe holds
             // them to it
-            "t8_repetition", "t9_decontam", "g4_shuffle_order").map { name =>
+            "t8_repetition", "t9_decontam", "g4_shuffle_order",
+            // retrieval (round 13): h1 = tokenize + postings build + the
+            // query-term-pruned scorer (linear in corpus tokens); h3 adds
+            // the persisted term-bucketed index build + bucket-pruned read
+            "h1_bm25_topk", "h3_bm25_indexed").map { name =>
           timed("sf1_" + name, n = 2) {
             SparkEntry.queries(name)(spark, sf1Dir).count(); ()
           }
@@ -1234,6 +1238,27 @@ object Bench {
         // genuinely disjoint WORD vocabulary with ~100× the pair
         // inventory. meanBatch AT DEPTH is the number that either backs
         // or breaks the extrapolation.
+        // round-13: lexical retrieval at the century tier. The replica
+        // suffixes (`~r`) are invisible to the letter-run tokenizer, so
+        // sf10 is the DENSE-postings stress: same 31-term vocabulary,
+        // 100× the posting rows per term — a query term's bucket read is
+        // 100× the sf0.1 one, and linear wall time is the pass condition.
+        // Split like the IVF rows: BUILD once (the one-shuffle inverted
+        // index), QUERY repeatedly (bucket-pruned read + scorer).
+        val retrievalRows: Seq[(String, Double)] = {
+          import graft.text.Lexical
+          import graft.queries.RetrievalQueries
+          val pBase = new java.io.File("target/postidx_sf10").getAbsolutePath
+          val d10 = graft.io.Tables.documents(spark, sf10Dir)
+          val hBuild = timed("sf10_h3_build", n = 1) {
+            Lexical.buildPostingsIndex(d10, pBase)
+          }
+          val hQuery = timed("sf10_h3_query", n = 1) {
+            Lexical.bm25TopKIndexed(spark, pBase,
+              RetrievalQueries.Queries, RetrievalQueries.K).count(); ()
+          }
+          Seq(hBuild, hQuery)
+        }
         var epoch512 = graft.text.BpeTrain.BatchStats(0, 0)
         val bpe512 = timed("sf10_t7_bpe_512_epoch", n = 1) {
           import org.apache.spark.sql.functions.{col => c, translate}
@@ -1243,7 +1268,7 @@ object Bench {
                 .as("text")),
             512, batch = 64)._2; ()
         }
-        d7row +: d7sweeps +: (rows ++ ivfRows ++ Seq(u1sweeps, bpe512,
+        d7row +: d7sweeps +: (rows ++ ivfRows ++ retrievalRows ++ Seq(u1sweeps, bpe512,
           "sf10_t7_bpe_512_epoch_rounds" -> epoch512.rounds.toDouble,
           "sf10_t7_bpe_512_epoch_merges" -> epoch512.merges.toDouble,
           "sf10_t7_bpe_512_epoch_meanbatch" -> epoch512.meanBatch,

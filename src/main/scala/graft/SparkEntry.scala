@@ -35,7 +35,8 @@ object SparkEntry {
       (qq.SampleQueries.queries, qq.SampleQueries.oracle),
       (qq.PackingQueries.queries, qq.PackingQueries.oracle),
       (qq.ProfileQueries.queries, qq.ProfileQueries.oracle),
-      (qq.PipelineQueries.queries, qq.PipelineQueries.oracle)
+      (qq.PipelineQueries.queries, qq.PipelineQueries.oracle),
+      (qq.RetrievalQueries.queries, qq.RetrievalQueries.oracle)
     )
 
   /** One per implemented operator from SURVEY.md §2. */

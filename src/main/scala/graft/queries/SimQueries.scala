@@ -411,7 +411,7 @@ object SimQueries {
     * order — the lambda twin of Similarity.dotExact. list_reduce seeds with
     * the first element; Spark seeds with 0.0 + first, which is exact.
     */
-  private def dotSql(a: String, b: String): String =
+  private[queries] def dotSql(a: String, b: String): String =
     s"""list_reduce(list_transform(range(1, ${Dim + 1}),
        |    k -> $a[k]::DOUBLE * $b[k]::DOUBLE),
        |    (acc, x) -> acc + x)""".stripMargin
