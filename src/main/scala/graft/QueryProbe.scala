@@ -26,10 +26,20 @@ object QueryProbe {
     for (t <- 1 to trials) {
       val cpu0 = proc.snap()
       val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).count()
+      val df = fn(spark, sfDir)
+      val n = df.count()
       val dt = (System.nanoTime() - t0) / 1e9
       val amb = proc.othersCores(cpu0, proc.snap())
       println(f"$name trial $t: $n rows in $dt%.2f s (foreign load $amb%.2f cores)")
+      // post-execution physical plan (AQE final stages + ReusedExchange
+      // visible) — the .explain a plan-shape investigation actually
+      // needs. count() plans its OWN tree, so execute this df's plan
+      // first or the printout stays isFinalPlan=false
+      if (sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1") && t == 1) {
+        val qe = df.queryExecution
+        qe.executedPlan.execute().count() // drive THIS plan to completion
+        println(qe.executedPlan.toString)
+      }
       spark.catalog.clearCache()
     }
     spark.stop()

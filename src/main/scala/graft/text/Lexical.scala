@@ -55,25 +55,42 @@ object Lexical {
   def letterTokens(text: Column): Column =
     filter(split(lower(text), "[^a-z]+"), t => t =!= lit(""))
 
+  /** (doc_id, term, tf) term frequencies — the corpus scan + tokenize +
+    * ONE (doc, term) aggregate every other relation derives from. Keep
+    * derivations structurally identical over this (same function call):
+    * AQE's exchange reuse then materializes the corpus-scan stage ONCE
+    * per query however many relations reference it (verified in the h1
+    * final plan — see PLANS.md).
+    */
+  def termFreqs(docs: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(letterTokens(col(textCol))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
   /** (id, term, tf, dl) posting rows from raw documents: term frequency
     * per (doc, term) plus the document's token length on every row (dl is
     * carried ON the posting so the scorer never joins a doc-length table —
-    * at index scale that join would re-shuffle the postings by doc).
-    * Two aggregates: (doc, term) for tf, then a window-free second
-    * aggregate per doc for dl, joined back doc-local (both sides exit the
-    * first shuffle partitioned compatibly).
+    * at index scale that join would re-shuffle the postings by doc). dl
+    * arrives by a doc-partitioned window sum over the tf aggregate — one
+    * exchange, no self-join.
     */
   def postings(docs: DataFrame, idCol: String = "doc_id",
-               textCol: String = "text"): DataFrame = {
-    val toks = docs.select(col(idCol).as("doc_id"),
-      explode(letterTokens(col(textCol))).as("term"))
-    val tf = toks.groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-    tf.join(dl, "doc_id")
-  }
+               textCol: String = "text"): DataFrame =
+    withDocLen(termFreqs(docs, idCol, textCol))
 
-  /** (term, df) document frequencies from [[postings]] output. */
+  private def withDocLen(tf: DataFrame): DataFrame =
+    tf.withColumn("dl",
+      sum(col("tf")).over(Window.partitionBy(col("doc_id"))))
+
+  /** (term, df) document frequencies from [[termFreqs]]/[[postings]] rows.
+    * A standalone corpus statistic (profiling, idf tables); the SCORER
+    * does not use it — it derives df in place from the query terms'
+    * posting rows (see [[bm25TopKFrom]]), because a separate df lineage
+    * costs a second corpus scan that Catalyst's aggregate fusion keeps
+    * making structurally un-reusable.
+    */
   def termDf(post: DataFrame): DataFrame =
     post.groupBy(col("term")).agg(count(lit(1)).as("df"))
 
@@ -81,6 +98,15 @@ object Lexical {
   def totals(post: DataFrame): DataFrame =
     post.groupBy(col("doc_id")).agg(first(col("dl")).as("dl"))
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("s_len"))
+
+  /** [[totals]] computed directly from [[termFreqs]] rows — same one-row
+    * result, but its plan shares the tf subtree with the other
+    * derivations (exchange reuse), where [[totals]] over [[postings]]
+    * would drag the window in.
+    */
+  private def totalsFromTf(tf: DataFrame): DataFrame =
+    tf.agg(count_distinct(col("doc_id")).as("n_docs"),
+      sum(col("tf")).as("s_len"))
 
   /** Per-term BM25 partial score in 1e-9 fixed point, as exact integer
     * arithmetic + one correctly-rounded division. With k1 = 6/5, b = 3/4,
@@ -117,15 +143,26 @@ object Lexical {
   def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int,
                idCol: String = "doc_id", textCol: String = "text",
                excludeSelf: Boolean = false): DataFrame = {
-    val post = postings(docs, idCol, textCol)
-    bm25TopKFrom(post, termDf(post), totals(post), queries, k, excludeSelf)
+    val tf = termFreqs(docs, idCol, textCol)
+    bm25TopKFrom(withDocLen(tf), totalsFromTf(tf), queries, k, excludeSelf)
   }
 
-  /** Scorer over prepared posting/df/totals relations — shared by the
+  /** Scorer over prepared posting/totals relations — shared by the
     * in-memory path above and the persisted-index path
     * ([[bm25TopKIndexed]]), so both execute the identical scoring plan.
+    *
+    * df is derived IN PLACE: a term's document frequency equals its
+    * posting-row count, and the query-term join keeps every posting row
+    * of each (q_id, term), so a window count over (q_id, term) IS df —
+    * no separate df relation, which would cost a second corpus scan (a
+    * standalone df lineage's aggregate keeps getting fused by Catalyst
+    * into a shape AQE exchange reuse cannot match; deriving df from rows
+    * the scorer already reads makes the question moot). With this, h1's
+    * whole plan materializes the corpus scan ONCE: the postings and
+    * totals lineages share the (doc, term) aggregate's exchange
+    * verbatim and AQE reuses it (asserted in RetrievalSpec).
     */
-  private[graft] def bm25TopKFrom(post: DataFrame, dfRel: DataFrame,
+  private[graft] def bm25TopKFrom(post: DataFrame,
                                   tot: DataFrame, queries: DataFrame, k: Int,
                                   excludeSelf: Boolean): DataFrame = {
     val qt = queries
@@ -133,7 +170,8 @@ object Lexical {
       .distinct()
     val scoredTerms = post
       .join(broadcast(qt), "term")
-      .join(broadcast(dfRel.join(broadcast(qt.select("term").distinct()), "term")), "term")
+      .withColumn("df",
+        count(lit(1)).over(Window.partitionBy(col("q_id"), col("term"))))
       .crossJoin(broadcast(tot))
       .withColumn("e9", bm25TermE9(col("tf"), col("df"), col("dl"),
         col("n_docs"), col("s_len")))
@@ -181,20 +219,21 @@ object Lexical {
 
   /** Persist the inverted index: posting rows (term, doc_id, tf, dl)
     * hash-partitioned by `tb = pmod(xxhash64(term), nBuckets)` so a query
-    * reads ONLY its terms' bucket directories; `df/` (vocabulary-sized)
-    * and `totals/` (one row) beside them, each as ADDITIVE epochs. Layout:
+    * reads ONLY its terms' bucket directories; 1-row `totals/` beside
+    * them as ADDITIVE epochs. Layout:
     *
     *   path/post/tb=<bucket>/...parquet
-    *   path/df/epoch=<k>/...     path/totals/epoch=<k>/...
+    *   path/totals/epoch=<k>/...parquet
     *
-    * df and corpus totals are pure sums, so an APPEND never rewrites
-    * them — it adds an epoch and readers aggregate across epochs (both
-    * relations are vocabulary/1-row sized, so the reader-side sum is
-    * free). The write repartitions by bucket first so file count is
-    * O(buckets), independent of write parallelism (the IVF
-    * assignIntoIndex lesson). Build at an existing path starts clean
-    * (full overwrite — the IVF rebuild lesson: stale sidecars must not
-    * survive a rebuild).
+    * Corpus totals are pure sums, so an APPEND never rewrites them — it
+    * adds an epoch and readers sum across epochs (1-row relations, the
+    * aggregate is free). Per-term df needs no sidecar at all: the query
+    * reads every posting row of its terms anyway, and df IS the
+    * term's posting-row count (see [[bm25TopKFrom]]). The write
+    * repartitions by bucket first so file count is O(buckets),
+    * independent of write parallelism (the IVF assignIntoIndex lesson).
+    * Build at an existing path starts clean (full overwrite — the IVF
+    * rebuild lesson: stale sidecars must not survive a rebuild).
     */
   def buildPostingsIndex(docs: DataFrame, path: String,
                          nBuckets: Int = DefaultTermBuckets,
@@ -228,9 +267,9 @@ object Lexical {
     val spark = docs.sparkSession
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dfDir = new org.apache.hadoop.fs.Path(s"$path/df")
-    require(fs.exists(dfDir), s"no postings index at $path — build first")
-    val next = fs.listStatus(dfDir).map(_.getPath.getName)
+    val totDir = new org.apache.hadoop.fs.Path(s"$path/totals")
+    require(fs.exists(totDir), s"no postings index at $path — build first")
+    val next = fs.listStatus(totDir).map(_.getPath.getName)
       .filter(_.startsWith("epoch=")).map(_.stripPrefix("epoch=").toLong)
       .foldLeft(-1L)(math.max) + 1L
     writeEpoch(postings(docs, idCol, textCol), path, nBuckets, next)
@@ -243,8 +282,6 @@ object Lexical {
     bucketed.repartition(col("tb"))
       .write.mode(SaveMode.Append).partitionBy("tb")
       .parquet(s"$path/post")
-    termDf(post).coalesce(1).write.mode(SaveMode.Overwrite)
-      .parquet(s"$path/df/epoch=$epoch")
     totals(post).coalesce(1).write.mode(SaveMode.Overwrite)
       .parquet(s"$path/totals/epoch=$epoch")
   }
@@ -252,10 +289,12 @@ object Lexical {
   /** BM25 top-k against a [[buildPostingsIndex]] layout. The scan is
     * constructed over exactly the query terms' `tb=<bucket>` directories
     * (buckets derived driver-side from the literal query strings — no
-    * Spark job), so posting LISTING and reading are O(query-term buckets);
-    * df arrives term-filtered through the same broadcast semi-join as the
-    * in-memory path. Answers are row-identical to [[bm25TopK]] on the
-    * indexed corpus by construction (shared [[bm25TopKFrom]] scorer).
+    * job over the corpus), so posting LISTING and reading are
+    * O(query-term buckets); df is derived from those same rows (a
+    * bucket holds EVERY posting of its terms across all append epochs,
+    * so the window count is the global df). Answers are row-identical
+    * to [[bm25TopK]] on the indexed corpus by construction (shared
+    * [[bm25TopKFrom]] scorer).
     */
   def bm25TopKIndexed(spark: SparkSession, path: String,
                       queries: Seq[(String, String)], k: Int,
@@ -287,12 +326,10 @@ object Lexical {
     }
     if (dirs.isEmpty) return empty
     val post = spark.read.option("basePath", postRoot).parquet(dirs: _*).drop("tb")
-    // df/totals are additive epochs (see buildPostingsIndex): readers sum
-    // across them — vocabulary/1-row sized, so the aggregate is free
-    val dfRel = spark.read.parquet(s"$path/df")
-      .groupBy(col("term")).agg(sum(col("df")).as("df"))
+    // totals are additive epochs (see buildPostingsIndex): readers sum
+    // across them — 1-row relations, the aggregate is free
     val tot = spark.read.parquet(s"$path/totals")
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("s_len")).as("s_len"))
-    bm25TopKFrom(post, dfRel, tot, qdf, k, excludeSelf)
+    bm25TopKFrom(post, tot, qdf, k, excludeSelf)
   }
 }

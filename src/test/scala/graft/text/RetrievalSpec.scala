@@ -158,7 +158,7 @@ class RetrievalSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
     // three additive epochs actually exist — the parity above must not be
     // because everything landed in one
-    val epochs = new java.io.File(s"$incr/df").listFiles()
+    val epochs = new java.io.File(s"$incr/totals").listFiles()
       .filter(_.getName.startsWith("epoch=")).map(_.getName).sorted
     assert(epochs.toSeq == Seq("epoch=0", "epoch=1", "epoch=2"))
   }
@@ -175,9 +175,25 @@ class RetrievalSpec extends SparkSpec {
     val r = Lexical.bm25TopKIndexed(spark, base, Seq("q" -> "banana"), 5,
       nBuckets = 4)
     assert(r.collect().isEmpty)
-    val epochs = new java.io.File(s"$base/df").listFiles()
+    val epochs = new java.io.File(s"$base/totals").listFiles()
       .filter(_.getName.startsWith("epoch=")).map(_.getName)
     assert(epochs.toSeq == Seq("epoch=0"))
+  }
+
+  test("h1's plan materializes the corpus scan once (exchange reuse)") {
+    // the postings and totals lineages share the (doc, term) aggregate's
+    // exchange verbatim; AQE must reuse it — a structural drift that
+    // splits them costs a full corpus pass at scale
+    val df = Lexical.bm25TopK(graft.io.Tables.documents(spark, sfDir),
+      RetrievalQueries.Queries.toDF("q_id", "qtext"), 10)
+    val qe = df.queryExecution
+    qe.executedPlan.execute().count() // drive THIS plan so AQE finalizes
+    val plan = qe.executedPlan.toString
+    val finalSection = plan.split("== Initial Plan ==").head
+    val scans = "FileScan parquet".r.findAllIn(finalSection).size
+    assert(finalSection.contains("ReusedExchange"),
+      s"expected a reused exchange in the final plan:\n$finalSection")
+    assert(scans == 1, s"expected exactly 1 corpus scan, got $scans")
   }
 
   test("indexed query over terms absent from the corpus returns empty") {
