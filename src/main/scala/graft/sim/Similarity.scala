@@ -425,14 +425,35 @@ object Similarity {
       .select(col(idCol).as("cid"), col(vecCol).as("cv0"))
     for (_ <- 0 until refineIters)
       cents = refineCentroids(train, cents, dim, gridScale, idCol, vecCol)
-    cents.write.mode("overwrite").parquet(s"$path/centroids")
+    // materialize the refinement ONCE (eager local checkpoint of the tiny
+    // centroid relation), write the store from the materialized rows, and
+    // hand the same rows to the assignment sweep below — round 13: the
+    // sweep previously re-READ the just-written parquet (listing + schema
+    // inference + scan job per build), pure fixed cost the build pays at
+    // every scale since the rows are already driver-adjacent and
+    // broadcast-bound either way. Blocks are released after the sweep.
+    val centsCk = cents.localCheckpoint(true)
+    centsCk.write.mode("overwrite").parquet(s"$path/centroids")
     // PQ codebooks train on the SAME sample as the coarse quantizer and
     // are persisted beside the centroids — appends and queries read the
-    // stored codebooks, never retrain (codes stay valid under append)
-    if (storage == "pq")
-      trainPqCodebooks(train, dim, pqM, pqK, refineIters, gridScale,
-        idCol, vecCol, pqSeedSalt)
-        .write.mode("overwrite").parquet(s"$path/pq_codebooks")
+    // stored codebooks, never retrain (codes stay valid under append).
+    // Same round-13 discipline: train once into a checkpoint, write the
+    // store from it, encode against the identical rows in memory instead
+    // of re-reading + re-deriving (pqM, w) from the files just written.
+    val cbCk: Option[(DataFrame, Int, Int)] =
+      if (storage != "pq") None
+      else {
+        val cb = trainPqCodebooks(train, dim, pqM, pqK, refineIters, gridScale,
+          idCol, vecCol, pqSeedSalt).localCheckpoint(true)
+        cb.write.mode("overwrite").parquet(s"$path/pq_codebooks")
+        // the named empty-train failure used to surface via
+        // readPqCodebooks when the encode pass re-read the store; the
+        // build encodes from memory now, so the check moves here
+        if (cb.isEmpty) throw new IllegalStateException(
+          s"$path/pq_codebooks is empty — the quantizer trained on zero " +
+            "rows (empty train corpus?); rebuild over a non-empty corpus")
+        Some((cb, pqM, dim / pqM))
+      }
     // a REBUILD at the same path (the drift-rebuild lifecycle
     // appendToIvfIndex anticipates) must not inherit the previous
     // index's tombstones: `tombstones/` lives beside `assigned/`, so the
@@ -451,8 +472,22 @@ object Similarity {
     // dispatch on this manifest, never on data files deletes can empty
     writeStorageManifest(corpus.sparkSession, path, storage)
     assignIntoIndex(corpus, path, SaveMode.Overwrite, idCol, vecCol, carry,
-      storage = storage)
+      storage = storage, centroids = Some(centsCk), pqCodebooks = cbCk)
+    releaseCheckpointBlocks(centsCk)
+    cbCk.foreach { case (cb, _, _) => releaseCheckpointBlocks(cb) }
   }
+
+  /** Free the executor blocks behind an eager `localCheckpoint` once its
+    * consumer has run — `Dataset.unpersist` is a CacheManager no-op on
+    * checkpoint blocks (they belong to the backing RDD), and a build loop
+    * should not wait for the ContextCleaner's weak-reference sweep.
+    */
+  private def releaseCheckpointBlocks(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false); ()
+      case _ => ()
+    }
 
   /** The stored candidate-payload forms a persisted index supports. */
   val Storages: Set[String] = Set("float32", "int8", "pq")
@@ -1286,12 +1321,25 @@ object Similarity {
     // directory; reading it would fail, skipping it is semantically
     // identical)
     def probeAt(p: Int): (DataFrame, Array[Long]) = {
-      val qc = q.crossJoin(cents)
+      val plan = q.crossJoin(cents)
         .withColumn("ccos", cosine(dot(col("v"), col("cv0")), col("n"), col("cn0")))
         .withColumn("crn", row_number().over(wq))
         .filter(col("crn") <= p)
         .select(col("q_id"), col("cid").as("cell"))
-      (qc, qc.select(col("cell")).distinct().collect().map(_.getLong(0)).sorted)
+      // ONE execution of the probe sweep: the (q_id, cell) rows are
+      // |Q| × p — driver-bounded by the same contract that broadcasts
+      // them into the candidate join below — so collect them once and
+      // reuse the local rows for BOTH consumers (the distinct probed-cell
+      // set the pruned scan is constructed over, and the join side, as a
+      // local relation). Round 13: the previous shape collected only the
+      // distinct cells and left `qc` as a plan, so the main query job
+      // re-executed the crossJoin + window sweep inside its broadcast —
+      // one full extra job per query (twice when widening re-probes).
+      val rows = plan.collect()
+      val ci = plan.schema.fieldIndex("cell")
+      import scala.jdk.CollectionConverters._
+      val qc = spark.createDataFrame(rows.toList.asJava, plan.schema)
+      (qc, rows.map(_.getLong(ci)).distinct.sorted)
     }
     val (qCells0, probed0) = probeAt(nprobe)
     val assignedRoot = s"$path/assigned"

@@ -31,6 +31,41 @@ object BpeTrain {
   /** One learned rule: left symbol, right symbol, summed pair frequency. */
   final case class Merge(a: String, b: String, cnt: Long)
 
+  /** Run the phase-two ROUND LOOP with right-sized round parallelism.
+    *
+    * Measured motivation (round 13, sf0.1): the post-phase-one vocab is
+    * a bounded word-level relation (31 rows at sf0.1, millions at
+    * 100 TB — never corpus-scale), yet every one of the 64 sequential
+    * argmax rounds inherited the session's full shuffle width plus
+    * AQE's per-query replanning round-trips: 165 ms/round, of which
+    * ~93 ms was pure scheduling (72 ms/round with one reduce partition
+    * and AQE off — the identical aggregation). Phase one (the corpus
+    * pass) keeps the session's scale settings; only the loop over the
+    * already-materialized vocab runs narrowed, sized from the MEASURED
+    * vocab row count (scale-adaptive, not a local-mode constant), and
+    * both confs are restored whatever happens. AQE is off inside the
+    * loop because its two jobs-per-query replanning is the dominant
+    * per-round cost at the width this sizing already fixes; results are
+    * plan-identical aggregates either way (the argmax tie-break is in
+    * the query, not the planner).
+    */
+  private def withRoundConfs[T](vocab: DataFrame)(body: => T): T = {
+    val conf = vocab.sparkSession.conf
+    val oldParts = conf.get("spark.sql.shuffle.partitions")
+    val oldAqe = conf.get("spark.sql.adaptive.enabled")
+    // the checkpointed vocab's partition count is already byte-sized by
+    // AQE's coalescing of the phase-one aggregate — reuse it as the round
+    // width instead of paying a count job (1 at sf0.1, grows with vocab)
+    val parts = math.max(1, math.min(oldParts.toInt, vocab.rdd.getNumPartitions))
+    conf.set("spark.sql.shuffle.partitions", parts.toString)
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try body
+    finally {
+      conf.set("spark.sql.shuffle.partitions", oldParts)
+      conf.set("spark.sql.adaptive.enabled", oldAqe)
+    }
+  }
+
   /** Phase one: (word, freq) over the corpus's letter runs — the ONLY
     * pass that touches the corpus. Leading pre-token spaces fold into the
     * word (GPT-Ġ-style), matching [[Text.bpeMergeTokenCount]].
@@ -70,7 +105,7 @@ object BpeTrain {
     val learned = Seq.newBuilder[Merge]
     var exhausted = false
     var i = 0
-    while (i < numMerges && !exhausted) {
+    withRoundConfs(vocab) { while (i < numMerges && !exhausted) {
       val top = vocab
         .select(col("freq"), explode(adjacentPairs(col("sym"))).as("p"))
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
@@ -89,7 +124,7 @@ object BpeTrain {
         if (i % 8 == 7) vocab = vocab.localCheckpoint(true)
       }
       i += 1
-    }
+    } }
     learned.result()
   }
 
@@ -151,7 +186,7 @@ object BpeTrain {
     var nLearned = 0
     var rounds = 0
     var exhausted = false
-    while (nLearned < numMerges && !exhausted) {
+    withRoundConfs(vocab) { while (nLearned < numMerges && !exhausted) {
       rounds += 1
       val fetch = maxBatch.min(numMerges - nLearned) + 1 // +1: conflict probe
       val rows = vocab
@@ -195,7 +230,7 @@ object BpeTrain {
         nLearned += keep.length
         vocab = vocab.localCheckpoint(true) // bounded plan per round
       }
-    }
+    } }
     (learned.result(), BatchStats(rounds, nLearned))
   }
 
@@ -249,7 +284,7 @@ object BpeTrain {
     var nLearned = 0
     var rounds = 0
     var exhausted = false
-    while (nLearned < numMerges && !exhausted) {
+    withRoundConfs(vocab) { while (nLearned < numMerges && !exhausted) {
       rounds += 1
       val want = batch.min(numMerges - nLearned)
       // fetch headroom: conflicting pairs are SKIPPED, so the window must
@@ -300,7 +335,7 @@ object BpeTrain {
         nLearned += keep.length
         vocab = vocab.localCheckpoint(true) // bounded plan per epoch
       }
-    }
+    } }
     (learned.result(), BatchStats(rounds, nLearned))
   }
 

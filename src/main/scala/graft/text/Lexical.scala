@@ -243,7 +243,7 @@ object Lexical {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(root)) fs.delete(root, true)
-    writeEpoch(postings(docs, idCol, textCol), path, nBuckets, epoch = 0L)
+    writeEpoch(docs, path, nBuckets, epoch = 0L, idCol, textCol)
   }
 
   /** Append whole documents to a [[buildPostingsIndex]] layout: posting
@@ -272,18 +272,32 @@ object Lexical {
     val next = fs.listStatus(totDir).map(_.getPath.getName)
       .filter(_.startsWith("epoch=")).map(_.stripPrefix("epoch=").toLong)
       .foldLeft(-1L)(math.max) + 1L
-    writeEpoch(postings(docs, idCol, textCol), path, nBuckets, next)
+    writeEpoch(docs, path, nBuckets, next, idCol, textCol)
   }
 
-  private def writeEpoch(post: DataFrame, path: String, nBuckets: Int,
-                         epoch: Long): Unit = {
-    val bucketed = post
-      .withColumn("tb", pmod(xxhash64(col("term")), lit(nBuckets.toLong)))
-    bucketed.repartition(col("tb"))
-      .write.mode(SaveMode.Append).partitionBy("tb")
-      .parquet(s"$path/post")
-    totals(post).coalesce(1).write.mode(SaveMode.Overwrite)
-      .parquet(s"$path/totals/epoch=$epoch")
+  /** One epoch's two writes off ONE corpus scan: the tf aggregate is
+    * persisted (memory-and-disk — the bounded (doc, term, tf) relation,
+    * never the corpus), the bucketed postings write materializes it into
+    * cache, and the totals write aggregates the cached rows. Round 13:
+    * the previous shape passed the POSTINGS plan to both writes — two
+    * separate actions, so AQE's exchange reuse (an intra-query courtesy)
+    * never applied and the corpus was scanned + tokenized twice per
+    * build/append. totals come from [[totalsFromTf]] (identical one-row
+    * result, no window in its lineage).
+    */
+  private def writeEpoch(docs: DataFrame, path: String, nBuckets: Int,
+                         epoch: Long, idCol: String, textCol: String): Unit = {
+    val tf = termFreqs(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val bucketed = withDocLen(tf)
+        .withColumn("tb", pmod(xxhash64(col("term")), lit(nBuckets.toLong)))
+      bucketed.repartition(col("tb"))
+        .write.mode(SaveMode.Append).partitionBy("tb")
+        .parquet(s"$path/post")
+      totalsFromTf(tf).coalesce(1).write.mode(SaveMode.Overwrite)
+        .parquet(s"$path/totals/epoch=$epoch")
+    } finally { tf.unpersist(false); () }
   }
 
   /** BM25 top-k against a [[buildPostingsIndex]] layout. The scan is
