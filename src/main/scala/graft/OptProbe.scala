@@ -18,15 +18,38 @@ object OptProbe {
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt, "opt-probe")
     spark.sparkContext.setLogLevel("ERROR")
 
+    // per-stage metrics for the LAST trial of each timed body when
+    // SPARK_GRAFT_STAGES=1: name, wall, task-time sum, shuffle bytes
+    val stageLog = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    if (sys.env.get("SPARK_GRAFT_STAGES").contains("1"))
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val si = sc.stageInfo
+          val tm = si.taskMetrics
+          val wall = (for (s <- si.submissionTime; c <- si.completionTime)
+            yield (c - s) / 1e3).getOrElse(-1.0)
+          stageLog.add(f"    stage ${si.stageId}%4d ${wall}%7.3f s " +
+            f"run=${tm.executorRunTime / 1e3}%7.2f cpu=${tm.executorCpuTime / 1e9}%7.2f " +
+            f"tasks=${si.numTasks}%4d sr=${tm.shuffleReadMetrics.totalBytesRead / 1024}%8dK " +
+            f"sw=${tm.shuffleWriteMetrics.bytesWritten / 1024}%8dK  ${si.name.take(48)}")
+          ()
+        }
+      })
     def t(name: String)(body: => Unit): Unit = {
       var best = Double.MaxValue
-      for (_ <- 1 to trials) {
+      for (i <- 1 to trials) {
+        if (i == trials) stageLog.clear()
         val t0 = System.nanoTime()
         body
         best = best.min((System.nanoTime() - t0) / 1e9)
         spark.catalog.clearCache()
       }
       println(f"$name%-28s $best%8.3f s")
+      Thread.sleep(100)
+      import scala.jdk.CollectionConverters._
+      stageLog.asScala.foreach(println)
+      stageLog.clear()
     }
 
     family match {
@@ -38,15 +61,16 @@ object OptProbe {
         val e = clustered(spark, sfDir)
         e.cache().count()
         Similarity.buildIvfIndex(e, ClusterCentPred, Dim, base) // warm
-        val jobs = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long)]()
-        val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+        val jobs = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, String)]()
+        val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
         spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
           override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-            starts.put(js.jobId, System.nanoTime()); ()
+            val site = js.stageInfos.lastOption.map(_.name.take(60)).getOrElse("?")
+            starts.put(js.jobId, (System.nanoTime(), site)); ()
           }
           override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
-            val s = starts.remove(je.jobId)
-            jobs.add((je.jobId, System.nanoTime() - s)); ()
+            val (s, site) = starts.remove(je.jobId)
+            jobs.add((je.jobId, System.nanoTime() - s, site)); ()
           }
         })
         def dump(tag: String)(body: => Unit): Unit = {
@@ -59,7 +83,8 @@ object OptProbe {
           val js = jobs.asScala.toSeq.sortBy(_._1)
           println(f"== $tag: wall $wall%.3f s, ${js.size} jobs, " +
             f"job-sum ${js.map(_._2).sum / 1e9}%.3f s")
-          js.foreach { case (id, ns) => println(f"  job $id%4d  ${ns / 1e9}%7.3f s") }
+          js.foreach { case (id, ns, site) =>
+            println(f"  job $id%4d  ${ns / 1e9}%7.3f s  $site") }
         }
         dump("build_float") {
           Similarity.buildIvfIndex(e, ClusterCentPred, Dim, base)
@@ -71,6 +96,65 @@ object OptProbe {
         dump("build_pq") {
           Similarity.buildIvfIndex(e, ClusterCentPred, Dim, base,
             storage = "pq", pqM = PqM, pqK = PqK)
+        }
+
+      case "wprobe" =>
+        // write-floor anatomy of the assignIntoIndex tail: the same
+        // sweep → agg → gen-stamp pipeline, timed against (a) the noop
+        // sink, (b) a flat parquet write, (c) the cell-partitioned write
+        import graft.queries.SimQueries._
+        import org.apache.spark.sql.functions._
+        val e = clustered(spark, sfDir)
+        e.cache().count()
+        val cents0 = e.filter(ClusterCentPred)
+          .select(col("vec_id").as("cid"), col("embedding").as("cv0"))
+        val cents = graft.sim.Similarity.refineCentroids(e, cents0, Dim)
+          .localCheckpoint(true)
+        println("  cells: " + cents.count())
+        graft.functions.DotProduct.register(spark)
+        def dotc(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+          graft.functions.DotProduct(a, b)
+        def assigned() = {
+          val cb = broadcast(cents.withColumn("cn0", sqrt(dotc(col("cv0"), col("cv0")))))
+          e.select(col("vec_id").as("c_id"), col("embedding").as("v"))
+            .withColumn("n", sqrt(dotc(col("v"), col("v"))))
+            .crossJoin(cb)
+            .withColumn("ccos", dotc(col("v"), col("cv0")) / (col("n") * col("cn0")))
+            .groupBy(col("c_id"))
+            .agg(first(col("v")).as("v"), first(col("n")).as("n"),
+              max_by(col("cid"), struct(col("ccos"), (-col("cid")).as("nc"))).as("cell"))
+            .withColumn("g", lit(0L))
+        }
+        val base = new java.io.File("target/optprobe_wprobe").getAbsolutePath
+        t("sweep_noop") {
+          assigned().write.format("noop").mode("overwrite").save()
+        }
+        t("write_flat") {
+          assigned().write.mode("overwrite").parquet(base + "/flat")
+        }
+        t("write_part") {
+          assigned().repartition(col("cell"))
+            .write.mode("overwrite").partitionBy("cell", "g")
+            .parquet(base + "/part")
+        }
+        t("write_part_nostamp") {
+          assigned().drop("g").repartition(col("cell"))
+            .write.mode("overwrite").partitionBy("cell")
+            .parquet(base + "/part2")
+        }
+        spark.sparkContext.hadoopConfiguration
+          .setInt("mapreduce.fileoutputcommitter.algorithm.version", 2)
+        t("write_part_v2commit") {
+          assigned().repartition(col("cell"))
+            .write.mode("overwrite").partitionBy("cell", "g")
+            .parquet(base + "/part3")
+        }
+        spark.sparkContext.hadoopConfiguration
+          .setInt("mapreduce.fileoutputcommitter.algorithm.version", 1)
+        t("write_part_1file") {
+          assigned().coalesce(1)
+            .write.mode("overwrite").partitionBy("cell", "g")
+            .parquet(base + "/part4")
         }
 
       case "ivf" =>
@@ -217,9 +301,57 @@ object OptProbe {
         spark.conf.set("spark.sql.shuffle.partitions", "32")
         spark.conf.set("spark.sql.adaptive.enabled", "true")
 
+      case "d3" =>
+        // stage anatomy of minhashLsh: shingles → 32-perm signature agg →
+        // band explode + self-join candidates → exact-Jaccard verify
+        import graft.dedup.Dedup
+        import org.apache.spark.sql.functions._
+        val docs = graft.io.Tables.documents(spark, sfDir)
+        val s0 = Dedup.docShingles(docs, 3)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        s0.count()
+        t("sig_agg_noop") {
+          Dedup.minhashSignaturesFrom(s0, 32)
+            .write.format("noop").mode("overwrite").save()
+        }
+        val numPerms = 32; val bands = 8; val r = numPerms / bands
+        def banded() = {
+          val sig = Dedup.minhashSignaturesFrom(s0, numPerms)
+          val bandCols = (0 until bands).map { b =>
+            struct(lit(b).as("band"),
+              concat_ws(",", (0 until r).map(j => col(s"mh${b * r + j}")): _*).as("sig"))
+          }
+          sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
+            .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+        }
+        t("cands_noop") {
+          val bd = banded()
+          bd.as("a").join(bd.as("b"),
+              col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+                col("a.doc_id") < col("b.doc_id"))
+            .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+            .distinct()
+            .write.format("noop").mode("overwrite").save()
+        }
+        s0.unpersist(true)
+        t("full") {
+          val p = Dedup.minhashLsh(docs)
+          p.count(); p.unpersist(true); ()
+        }
+
       case "d7" =>
         val fn = SparkEntry.queries("d7_dup_clusters")
         t("d7_full") { fn(spark, sfDir).count(); () }
+
+      case qs if qs.split(',').forall(SparkEntry.queries.contains) =>
+        // generic: time any declared queries exactly as the bench does
+        // (comma-separated, one warm JVM — mirrors the suite's conditions)
+        try { SparkEntry.queries("q1_agg")(spark, sfDir).count(); () }
+        catch { case _: Throwable => () }
+        qs.split(',').foreach { q =>
+          val fn = SparkEntry.queries(q)
+          t(q) { fn(spark, sfDir).count(); () }
+        }
 
       case other => sys.error(s"unknown family $other")
     }

@@ -229,7 +229,16 @@ object Dedup {
         .agg(count(lit(1)).as("df"))
         .filter(col("df") > dfCap)
         .select(col("sh"))
-      shingles.join(broadcast(over), Seq("sh"), "left_anti")
+      // materialize the (tiny) exclusion list ONCE: the capped relation is
+      // consumed by several downstream subtrees (sizes + both self-join
+      // sides in jaccardPairs), and the df-cap groupBy is a full shuffle
+      // of the shingle stream — without the barrier each consumer re-runs
+      // that shuffle (measured 3× at sf1; AQE exchange reuse does not
+      // reach across the aliased consumers). Batch-only: the returned
+      // frame is broadcast downstream either way.
+      val overM =
+        if (over.isStreaming) over else over.localCheckpoint(true)
+      shingles.join(broadcast(overM), Seq("sh"), "left_anti")
     }
 
   /** Exact n-gram Jaccard near-dup pairs: block on shared shingles (the
@@ -259,7 +268,13 @@ object Dedup {
                    dfCap: Int = 0): DataFrame = {
     val s0 = docShingles(docs, k).persist(StorageLevel.MEMORY_AND_DISK)
     val s = capDf(s0, dfCap)
+    // per-doc capped set sizes: REFERENCED TWICE below (na and nb sides).
+    // Materialized once — the relation is one row per doc (tiny next to
+    // the shingle stream), and without the barrier each reference re-runs
+    // the groupBy shuffle over the full shingle stream (exchange reuse
+    // does not span the two aliased join inputs under AQE; measured 2×).
     val sizes = s.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
     val common = s.as("a").join(s.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
@@ -273,6 +288,7 @@ object Dedup {
       .select(col("i"), col("j"), col("jc"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     out.count() // materialize while the shingle frame is still pinned
+    releaseCheckpoint(sizes)
     s0.unpersist(false)
     out
   }
@@ -422,11 +438,19 @@ object Dedup {
     }
     val banded = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    // the candidate pair set is O(near-dups) — TINY next to the corpus —
+    // and it feeds THREE downstream subtrees (the verify join plus both
+    // sides of the shingle-set lookup). Materialized once: without the
+    // barrier each consumer re-ran the ENTIRE signature+banding pipeline
+    // (measured: the 32-perm signature map stage executed 6× per
+    // minhashLsh call at sf1 — exchange reuse does not reach across the
+    // aliased verify subtrees under AQE).
     val cands = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .distinct()
+      .localCheckpoint(true)
 
     // verify: shingle sets for candidate docs only, one array_intersect per
     // candidate pair (LSH banding's work reduction actually reaches the
@@ -434,10 +458,13 @@ object Dedup {
     val candDocs = cands
       .select(explode(array(col("i"), col("j"))).as("doc_id"))
       .distinct() // one pass over cands for both pair sides (no union re-read)
+    // same barrier logic: one row per candidate DOC, referenced by both
+    // pair sides — one semi-join pass over the shingle frame instead of two
     val candShingleSets = s0
       .join(candDocs, Seq("doc_id"), "left_semi")
       .groupBy(col("doc_id"))
       .agg(collect_set(col("sh")).as("shs"))
+      .localCheckpoint(true)
     val out = cands
       .join(candShingleSets.select(col("doc_id").as("i"), col("shs").as("sa")), "i")
       .join(candShingleSets.select(col("doc_id").as("j"), col("shs").as("sb")), "j")
@@ -448,6 +475,8 @@ object Dedup {
       .select(col("i"), col("j"), col("jc"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     out.count() // materialize while the shingle frame is still pinned
+    releaseCheckpoint(cands)
+    releaseCheckpoint(candShingleSets)
     s0.unpersist(false)
     out
   }
@@ -524,12 +553,35 @@ object Dedup {
     // stage is map-only — the banded self-join below is the query's ONLY
     // shuffle. The aggregation form (simhashSignatures) is retained as
     // the independent reference implementation the spec cross-checks.
+    //
+    // NO isNotNull(simhash) filter, and a NON-NULLABLE band key (round
+    // 13): any predicate referencing the signature alias — written here
+    // or inferred by constraint propagation from the band-join key —
+    // substitutes into a pushed-down Filter BELOW the widen exchange, so
+    // the signature kernel (a full tokenize of the text) ran once per
+    // row on the PRE-shuffle side (a single task on a one-file corpus)
+    // and again in the projection, on BOTH self-join sides: up to 4
+    // kernel passes over the corpus where one per side suffices — the
+    // guide's §4.4 derived-column duplication, with a native kernel.
+    // Dropping the filter alone does not help (the optimizer re-infers
+    // isnotnull(v) from `a.v === b.v` and pushes the substituted kernel
+    // right back down), so the band key handles nulls itself AND is
+    // provably non-nullable, which constant-folds the inferred filter
+    // away: a null signature (token-less doc) gets a PER-DOC negative
+    // sentinel (-doc_id - 2, never in the 0..65535 block range and never
+    // shared by two docs, so such rows join nothing — row-identical
+    // output to the old explicit filter), and the outer coalesce(-1)
+    // arm is reachable only for null doc_ids, which the a.doc_id <
+    // b.doc_id join condition already excludes. DedupStreamSpec pins
+    // both the pair rows and the kernel-free pre-exchange plan.
     val sig = withSimhash(docs.select(col("doc_id"), col("text")))
-      .filter(col("simhash").isNotNull)
       .select(col("doc_id"), col("simhash"))
     val blocks = (0 until 4).map { b =>
       struct(lit(b).as("blk"),
-        shiftright(col("simhash"), 16 * b).bitwiseAND(lit(65535L)).as("v"))
+        coalesce(
+          when(col("simhash").isNull, -col("doc_id") - 2)
+            .otherwise(shiftright(col("simhash"), 16 * b).bitwiseAND(lit(65535L))),
+          lit(-1L)).as("v"))
     }
     val banded = sig.select(col("doc_id"), col("simhash"),
         explode(array(blocks: _*)).as("bs"))
@@ -539,7 +591,14 @@ object Dedup {
         col("a.blk") === col("b.blk") && col("a.v") === col("b.v") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+        // coalesce(…, 0) is identity on every row that can reach here
+        // (null-signature docs never join — per-doc block sentinels
+        // above), but it makes `hamming` provably NON-nullable, so the
+        // isnotnull the optimizer infers from the <= filter folds away
+        // instead of substituting the signature kernel into a Filter
+        // below the widen exchange (see the sig comment above)
+        bit_count(coalesce(col("a.simhash"), lit(0L))
+          .bitwiseXOR(coalesce(col("b.simhash"), lit(0L)))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }

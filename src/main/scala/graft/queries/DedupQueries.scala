@@ -57,18 +57,23 @@ object DedupQueries {
   def d6MinhashSigs(s: SparkSession, dir: String): DataFrame = {
     val sig = Dedup.withMinhash(Tables.documents(s, dir), k = K,
         numPerms = NumPerms)
-      .filter(col("minhash").isNotNull)
       .select(col("doc_id"), col("minhash"))
-    // evaluation barrier before widening the array into 16 columns:
-    // CollapseProject would otherwise inline the signature fold into
-    // every element_at (higher-order lambdas get no codegen CSE) —
-    // measured 17x the runtime of evaluating each signature once. The
-    // RDD round-trip materializes the (tiny) per-doc signature rows,
-    // then the expansion is 16 plain array reads.
-    val once = s.createDataFrame(sig.rdd, sig.schema)
-    once.select(col("doc_id") +: (0 until NumPerms).map(i =>
-      org.apache.spark.sql.functions.element_at(col("minhash"), i + 1)
-        .as(s"mh$i")): _*)
+    // evaluation barrier before the null filter AND the 16-column
+    // widening: CollapseProject would inline the signature fold into
+    // every element_at (higher-order lambdas get no codegen CSE —
+    // measured 17x), and the isNotNull filter's alias used to substitute
+    // into a pushed-down Filter BELOW the widen exchange, running the
+    // kernel once per row on the PRE-shuffle side (one task on a
+    // one-file corpus) and again above — measured 4.4 s of the row's
+    // 5.2 s at sf0.1. localCheckpoint materializes the (tiny) per-doc
+    // signature rows in INTERNAL row format (the old createDataFrame(rdd)
+    // barrier paid an external-Row round-trip per row); the filter and
+    // the 16 plain array reads then run over materialized rows.
+    val once = sig.localCheckpoint(true)
+    once.filter(col("minhash").isNotNull)
+      .select(col("doc_id") +: (0 until NumPerms).map(i =>
+        org.apache.spark.sql.functions.element_at(col("minhash"), i + 1)
+          .as(s"mh$i")): _*)
   }
 
   /** d7 — transitive duplicate clusters: connected components (min

@@ -807,8 +807,14 @@ object Similarity {
       // (and writer-buffer memory) scales with writers × cells. After the
       // repartition each cell's rows land in one task: file count is
       // O(cells), independent of write parallelism — the shape a 1000-
-      // executor build needs.
-      .repartition(col("cell"))
+      // executor build needs. The partition COUNT is pinned to the
+      // session's shuffle width (round 13): a bare repartition(col) is
+      // REPARTITION_BY_COL, which AQE freely coalesces — measured down to
+      // ONE task, serializing every cell's parquet writer open/close
+      // (1.55 s of a 1.67 s write at sf0.1, 0.56 s cpu). With the count
+      // pinned the cells spread across min(cells, shuffle width) writer
+      // tasks; hashing by cell keeps file count O(cells) either way.
+      .repartition(spark.sessionState.conf.numShufflePartitions, col("cell"))
       .write.mode(mode).partitionBy("cell", "g").parquet(assignedRoot)
   }
 
@@ -1221,7 +1227,9 @@ object Similarity {
         spark.createDataFrame(nextGen.toSeq).toDF("cell", "__g"))
       cleaned.join(genDf, Seq("cell"))
         .withColumn("g", col("__g")).drop("__g")
-        .repartition(col("cell"))
+        // pinned count for the same reason as assignIntoIndex's write:
+        // REPARTITION_BY_COL lets AQE coalesce the writers to one task
+        .repartition(spark.sessionState.conf.numShufflePartitions, col("cell"))
         .write.mode(SaveMode.Overwrite).partitionBy("cell", "g")
         .parquet(staging.toString)
       targets.foreach { c =>

@@ -292,7 +292,13 @@ object Lexical {
     try {
       val bucketed = withDocLen(tf)
         .withColumn("tb", pmod(xxhash64(col("term")), lit(nBuckets.toLong)))
-      bucketed.repartition(col("tb"))
+      bucketed
+        // pinned count (round 13): REPARTITION_BY_COL lets AQE coalesce
+        // the bucketed write to one task, serializing every bucket's
+        // parquet writer open/close (the assignIntoIndex measurement);
+        // hashing by tb keeps file count O(buckets) at any width
+        .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions,
+          col("tb"))
         .write.mode(SaveMode.Append).partitionBy("tb")
         .parquet(s"$path/post")
       totalsFromTf(tf).coalesce(1).write.mode(SaveMode.Overwrite)

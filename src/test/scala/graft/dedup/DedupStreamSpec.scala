@@ -44,6 +44,31 @@ class DedupStreamSpec extends SparkSpec {
     assert(viaAgg.values.toSet.size > 1) // sanity: not a constant
   }
 
+  test("simhashPairs: token-less docs pair with nothing, and the kernel " +
+      "never evaluates inside a Filter (round-13 pushdown guard)") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"), // exact dup
+      (3L, null.asInstanceOf[String]),                             // null text
+      (4L, null.asInstanceOf[String]),                             // second null
+      (5L, "an entirely different document about spark state stores"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(docs)
+    val rows = pairs.as[(Long, Long, Int)].collect().toSet
+    // the near-dup pair is found; the two null-signature docs pair with
+    // nothing — not with each other (per-doc sentinels) and not with any
+    // real signature
+    assert(rows.map(p => (p._1, p._2)) == Set((1L, 2L)))
+    // plan pin: the signature kernel must appear ONLY in projections —
+    // a Filter evaluating it (the pushed-down isnotnull the optimizer
+    // used to infer from the hamming filter / band-join key) re-runs the
+    // full tokenize below the widen exchange on the pre-shuffle side
+    val phys = pairs.queryExecution.executedPlan.toString
+    val filterLines = phys.linesIterator.filter(_.contains("Filter")).toSeq
+    assert(filterLines.forall(!_.contains("simhashsigexpr")),
+      s"kernel inside a Filter:\n${filterLines.mkString("\n")}")
+  }
+
   test("nearDupStream flags near-dups across batches, equal to the batch pairs") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog tonight"),
