@@ -110,7 +110,17 @@ object Detect {
   def detect(flows: DataFrame, threshold: Double = 0.6,
              gateToFlagged: Boolean = true,
              quirkLastWriteOnly: Boolean = false): DataFrame = {
+    // totals is referenced TWICE downstream (the CNC argmax and the
+    // bias join), and its lineage is the pipeline's heavy part — the
+    // last-per-key window + aggregate over every telnet flow row.
+    // Materialize it once (round 13): the relation is one row per
+    // (domain, source) — tiny at any scale — and without the barrier
+    // both references re-ran the window+agg over the full flow frame.
+    // Batch-only composition (the bench/probe path; the streaming plane
+    // runs its own stateful operators), so a checkpoint is legal here;
+    // the individual operators stay lazy for the oracle rows.
     val totals = telnetTotals(flows, quirkLastWriteOnly)
+      .localCheckpoint(true)
     val cnc = electCnc(totals)
     val flagged = flaggedSources(flows)
     biasScores(totals, cnc, flagged, gateToFlagged)
