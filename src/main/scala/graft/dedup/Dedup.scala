@@ -50,7 +50,7 @@ object Dedup {
     * adds nothing, and on pathological inputs it costs one small shuffle
     * of raw text to unlock N-way parallelism for the expensive part.
     */
-  private def widen(df: DataFrame): DataFrame = {
+  private[graft] def widen(df: DataFrame): DataFrame = {
     if (df.isStreaming) return df // micro-batches are already split
     val sess = df.sparkSession
     val p = sess.sparkContext.defaultParallelism

@@ -312,7 +312,14 @@ object Multimodal {
     * from parquet; this synthesizer exists only because the test corpus
     * is text.
     */
-  def payloads(docs: DataFrame): DataFrame = {
+  def payloads(docs0: DataFrame): DataFrame = {
+    // the per-row synthesis below (zlib deflate per PNG, full RIFF/MP4
+    // assembly) is compute-dense while the doc scan splits by BYTES — a
+    // one-file corpus lands the whole decode on ~4 tasks (measured: the
+    // m2/m5 media stages ran 4 tasks with >2 s cpu while 28 cores sat
+    // idle). Same conditional spread as the dedup kernels: a no-op on
+    // any corpus with enough splits, one small text shuffle otherwise.
+    val docs = graft.dedup.Dedup.widen(docs0)
     val spark = docs.sparkSession
     import spark.implicits._
     val jpeg = docs.filter(modality(col("source")) === 1)
