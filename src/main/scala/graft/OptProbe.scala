@@ -157,6 +157,73 @@ object OptProbe {
             .parquet(base + "/part4")
         }
 
+      case "qphase" =>
+        // driver-side phase attribution of ivfTopKIndexed: wall between
+        // the construction milestones vs the final action
+        import graft.queries.SimQueries._
+        import graft.sim.Similarity
+        val base = new java.io.File("target/optprobe_ivf").getAbsolutePath
+        val e = clustered(spark, sfDir)
+        e.cache().count()
+        Similarity.buildIvfIndex(e, ClusterCentPred, Dim, base)
+        Similarity.ivfTopKIndexed(spark, base, e.filter(QueryPred), K, NProbe)
+          .count() // warm
+        for (_ <- 1 to trials) {
+          val t0 = System.nanoTime()
+          val df = Similarity.ivfTopKIndexed(spark, base,
+            e.filter(QueryPred), K, NProbe)
+          val t1 = System.nanoTime()
+          df.count()
+          val t2 = System.nanoTime()
+          println(f"  construct ${(t1 - t0) / 1e9}%6.3f s  execute ${(t2 - t1) / 1e9}%6.3f s")
+        }
+
+      case "qphase2" =>
+        // finer: cost of each driver-side construction ingredient
+        import graft.queries.SimQueries._
+        import graft.sim.Similarity
+        import org.apache.spark.sql.functions._
+        val base = new java.io.File("target/optprobe_ivf").getAbsolutePath
+        val e = clustered(spark, sfDir)
+        e.cache().count()
+        Similarity.buildIvfIndex(e, ClusterCentPred, Dim, base)
+        spark.read.parquet(s"$base/centroids").count() // warm fs
+        for (_ <- 1 to trials) {
+          var t = System.nanoTime()
+          def lap(tag: String): Unit = {
+            val n = System.nanoTime()
+            println(f"    $tag%-18s ${(n - t) / 1e9}%6.3f s"); t = n
+          }
+          val cents = spark.read.parquet(s"$base/centroids")
+          cents.count()
+          lap("cents_read")
+          graft.functions.DotProduct.register(spark)
+          def dotc(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+            graft.functions.DotProduct(a, b)
+          val cb = broadcast(cents.withColumn("cn0", sqrt(dotc(col("cv0"), col("cv0")))))
+          val q = e.filter(QueryPred).select(col("vec_id").as("q_id"),
+            col("embedding").as("v"))
+            .withColumn("n", sqrt(dotc(col("v"), col("v"))))
+          val wq = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("q_id")).orderBy(col("ccos").desc, col("cid").asc)
+          q.crossJoin(cb)
+            .withColumn("ccos", dotc(col("v"), col("cv0")) / (col("n") * col("cn0")))
+            .withColumn("crn", row_number().over(wq))
+            .filter(col("crn") <= NProbe)
+            .select(col("q_id"), col("cid").as("cell")).collect()
+          lap("probe_collect")
+          val fs = new org.apache.hadoop.fs.Path(base)
+            .getFileSystem(spark.sessionState.newHadoopConf())
+          fs.listStatus(new org.apache.hadoop.fs.Path(s"$base/assigned")); ()
+          lap("fs_list_cells")
+          val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$base/assigned"))
+            .filter(_.isDirectory).take(4).map(_.getPath.toString + "/g=0")
+          val rd = spark.read.option("basePath", s"$base/assigned").parquet(dirs: _*)
+          lap("assigned_infer")
+          rd.count()
+          lap("assigned_count")
+        }
+
       case "ivf" =>
         import graft.queries.SimQueries._
         import graft.sim.Similarity

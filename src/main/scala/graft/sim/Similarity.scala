@@ -82,7 +82,15 @@ object Similarity {
         col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
       .withColumn("cos",
         cosine(dot(col("a.v"), col("b.v")), col("a.n"), col("b.n")))
-      .filter(col("cos") >= threshold)
+      // threshold over a NON-nullable operand (round 13): `cos >= th`
+      // makes the optimizer infer isnotnull(cos), which substitutes the
+      // norm alias and lands `isnotnull(sqrt(dotproduct(v,v)))` in a
+      // Filter on BOTH scan sides — a second full-corpus dot pass per
+      // side (the d4 kernel-in-filter disease; plans/r13/s2_*). A null
+      // cos (null vector/norm) fails `>= th` either way, so coalescing
+      // to a sentinel below every real threshold is row-identical and
+      // folds the inferred filter away.
+      .filter(coalesce(col("cos"), lit(-2.0d)) >= threshold)
       .select(col("a.id").as("i"), col("b.id").as("j"), col("cos"))
   }
 
