@@ -1317,6 +1317,41 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")),
         (line + "\n").getBytes("UTF-8"))
     } catch { case e: Exception => System.err.println(s"bench_out.json write failed: $e") }
+    // Round-14 driver-contract fix: the full line above is ~7 KB while the
+    // driver's BENCH capture keeps only a 2,000-char stdout tail, so the
+    // line's opening '{' has been cut off EVERY round since r1 and
+    // BENCH_r*/PERF_r* carried parsed:null. Emit, as the LAST stdout line,
+    // a compact JSON with the same contract shape — full-suite total, the
+    // slowest timing rows at 3 decimals greedily packed into a 1,750-char
+    // budget (≈87% of suite seconds at the r13 profile, ~65 rows), an
+    // `elided` count, and a pointer at the verbatim full dump above. This
+    // is output FORMATTING only: no timing methodology changed, and every
+    // key keeps its full-precision value in the full line / bench_out.json.
+    val compactLine = {
+      def fmt3(v: Double): String =
+        BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+          .bigDecimal.toPlainString
+      // non-timing telemetry rows (counters, load stamps, recall fractions)
+      // live only in the full dump; the compact line carries seconds
+      val nonTiming = java.util.regex.Pattern.compile(
+        "rounds|merges|meanbatch|sweeps|loadavg|ambient|_reran|recall|cand_frac")
+      val cand = results
+        .filter { case (k, _) => !nonTiming.matcher(k).find() }
+        .sortBy { case (_, v) => -v }
+      val budget = 1750
+      val sb = new StringBuilder(
+        s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","queries":{""")
+      var taken = 0
+      cand.foreach { case (k, v) =>
+        val entry = (if (taken == 0) "" else ",") + jq(k) + ":" + fmt3(v)
+        if (sb.length + entry.length <= budget) { sb.append(entry); taken += 1 }
+      }
+      val errPart = if (errors.isEmpty) "" else s""","errors_n":${errors.size}"""
+      sb.append(s"""},"elided":${results.size - taken}$errPart""")
+      sb.append(s""","full":"bench_out.json","sf":"$sfDir"}""")
+      sb.toString
+    }
+    println(compactLine)
     spark.stop()
   }
 }
