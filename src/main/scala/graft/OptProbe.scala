@@ -410,6 +410,38 @@ object OptProbe {
         val fn = SparkEntry.queries("d7_dup_clusters")
         t("d7_full") { fn(spark, sfDir).count(); () }
 
+      case "streamplan" =>
+        // dump the EXECUTED micro-batch plan of the streaming near-dup
+        // gates (evidence for the kernel-eval count: the signature kernel
+        // must appear once, in a projection, never in a Filter)
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        import spark.implicits._
+        def lastPlan(q: org.apache.spark.sql.streaming.StreamingQuery): String =
+          q.asInstanceOf[org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+            .streamingQuery.lastExecution.executedPlan.toString
+        locally {
+          val in = MemoryStream[(Long, String)](spark)
+          val q = graft.dedup.Dedup.nearDupStream(in.toDS().toDF("doc_id", "text"))
+            .writeStream.format("memory").queryName("sp_simhash")
+            .outputMode("update").start()
+          in.addData((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"))
+          q.processAllAvailable()
+          println("== nearDupStream micro-batch executed plan ==")
+          println(lastPlan(q))
+          q.stop()
+        }
+        locally {
+          val in = MemoryStream[(Long, String)](spark)
+          val q = graft.dedup.Dedup.minhashNearDupStream(in.toDS().toDF("doc_id", "text"))
+            .writeStream.format("memory").queryName("sp_minhash")
+            .outputMode("update").start()
+          in.addData((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"))
+          q.processAllAvailable()
+          println("== minhashNearDupStream micro-batch executed plan ==")
+          println(lastPlan(q))
+          q.stop()
+        }
+
       case qs if qs.split(',').forall(SparkEntry.queries.contains) =>
         // generic: time any declared queries exactly as the bench does
         // (comma-separated, one warm JVM — mirrors the suite's conditions)

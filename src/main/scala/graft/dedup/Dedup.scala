@@ -142,9 +142,11 @@ object Dedup {
     import spark.implicits._
     val Bands = 4
     val banded = withSimhash(docs.select(col(idCol).cast("long").as("id"),
-        col(textCol)), textCol)
+        col(textCol)), textCol, evalOnce = true)
       // token-less docs carry a null signature (see withSimhash): they are
-      // neither flagged nor registered, matching simhashSignatures' omission
+      // neither flagged nor registered, matching simhashSignatures' omission.
+      // evalOnce above keeps this filter from substituting the kernel into
+      // a pushed-down Filter — one signature pass per doc per trigger
       .filter(col("simhash").isNotNull)
       .select(col("id"), col("simhash"),
         explode(sequence(lit(0), lit(Bands - 1))).as("band"))
@@ -219,7 +221,18 @@ object Dedup {
     * missed) for a hard bound of dfCap^2/2 pairs per shingle group.
     */
   def capDf(shingles: DataFrame, dfCap: Int): DataFrame =
-    if (dfCap <= 0) shingles
+    capDfWithHandle(shingles, dfCap)._1
+
+  /** [[capDf]] plus the materialized over-cap exclusion list (None when no
+    * barrier was taken): internal callers that fully materialize their
+    * output ([[jaccardPairs]]) release the barrier's checkpoint blocks via
+    * [[releaseCheckpoint]] once done instead of leaking them to the
+    * ContextCleaner's weak-reference sweep (one small block set per call,
+    * but a long-lived session runs many calls).
+    */
+  private[dedup] def capDfWithHandle(shingles: DataFrame, dfCap: Int)
+      : (DataFrame, Option[DataFrame]) =
+    if (dfCap <= 0) (shingles, None)
     else {
       // anti-join against the OVER-cap vocabulary: few ubiquitous shingles
       // by construction, so the exclusion list is broadcast-sized even at
@@ -238,7 +251,8 @@ object Dedup {
       // frame is broadcast downstream either way.
       val overM =
         if (over.isStreaming) over else over.localCheckpoint(true)
-      shingles.join(broadcast(overM), Seq("sh"), "left_anti")
+      (shingles.join(broadcast(overM), Seq("sh"), "left_anti"),
+        if (overM eq over) None else Some(overM))
     }
 
   /** Exact n-gram Jaccard near-dup pairs: block on shared shingles (the
@@ -263,11 +277,22 @@ object Dedup {
     * executor disk across calls in a long-lived session). Call
     * `.unpersist()` on the returned frame when done with it — it is
     * near-dup pairs, orders of magnitude smaller than the corpus.
+    *
+    * SINGLE-MATERIALIZATION contract (here and in [[minhashLsh]]): the
+    * internal barriers (`sizes`, the df-cap list; `cands` /
+    * `candShingleSets` in minhashLsh) are checkpoint blocks released
+    * before returning, and they remain in the returned frame's truncated
+    * lineage — so the persisted result can be read any number of times,
+    * but after `.unpersist()` (or executor block loss) it cannot be
+    * RECOMPUTED ("checkpoint block not found" instead of a silent
+    * recompute). Collect or write the pairs before unpersisting; a caller
+    * that needs recomputability re-runs the operator (CurationStream's
+    * hook discipline).
     */
   def jaccardPairs(docs: DataFrame, k: Int = 3, threshold: Double = 0.3,
                    dfCap: Int = 0): DataFrame = {
     val s0 = docShingles(docs, k).persist(StorageLevel.MEMORY_AND_DISK)
-    val s = capDf(s0, dfCap)
+    val (s, overHandle) = capDfWithHandle(s0, dfCap)
     // per-doc capped set sizes: REFERENCED TWICE below (na and nb sides).
     // Materialized once — the relation is one row per doc (tiny next to
     // the shingle stream), and without the barrier each reference re-runs
@@ -289,6 +314,7 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
     out.count() // materialize while the shingle frame is still pinned
     releaseCheckpoint(sizes)
+    overHandle.foreach(releaseCheckpoint)
     s0.unpersist(false)
     out
   }
@@ -327,7 +353,7 @@ object Dedup {
     */
   def withMinhash(docs0: DataFrame, textCol: String = "text",
                   out: String = "minhash", k: Int = 3,
-                  numPerms: Int = 16): DataFrame = {
+                  numPerms: Int = 16, evalOnce: Boolean = false): DataFrame = {
     // compute-dense per-row kernels under-parallelize on few-file corpora
     // exactly like the shingle explode does — widen first (no-op on
     // streaming inputs and on any corpus that already has enough splits);
@@ -335,8 +361,17 @@ object Dedup {
     // on ONE task
     val docs = widen(docs0)
     graft.functions.MinhashSig.register(docs.sparkSession, numPerms)
-    docs.withColumn(out, graft.functions.MinhashSig(
-      array_distinct(Text.shingles(Text.tokens(col(textCol)), k))))
+    val sig = graft.functions.MinhashSig(
+      array_distinct(Text.shingles(Text.tokens(col(textCol)), k)))
+    // evalOnce: nondeterministic fence for callers whose downstream filter
+    // on the signature would otherwise substitute the kernel into a pushed
+    // Filter (one extra full kernel pass) — the STREAMING gates, where the
+    // batch operators' barrier/sentinel fixes are unavailable
+    docs.withColumn(out,
+      if (evalOnce) {
+        graft.functions.EvalOnce.register(docs.sparkSession)
+        graft.functions.EvalOnce(sig)
+      } else sig)
   }
 
 
@@ -377,8 +412,10 @@ object Dedup {
     val spark = docs.sparkSession
     import spark.implicits._
     val banded = withMinhash(docs.select(col(idCol).cast("long").as("id"),
-        col(textCol)), textCol, "minhash", k, numPerms)
-      .filter(col("minhash").isNotNull) // token-less docs: neither flagged nor stored
+        col(textCol)), textCol, "minhash", k, numPerms, evalOnce = true)
+      // token-less docs: neither flagged nor stored; evalOnce keeps the
+      // filter from re-running the kernel below the projection
+      .filter(col("minhash").isNotNull)
       .select(col("id"), col("minhash"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"))
       // bucket key = band + its signature rows, the string twin of
@@ -531,12 +568,19 @@ object Dedup {
     * every other token-less doc downstream.
     */
   def withSimhash(docs0: DataFrame, textCol: String = "text",
-                  out: String = "simhash", bits: Int = 64): DataFrame = {
+                  out: String = "simhash", bits: Int = 64,
+                  evalOnce: Boolean = false): DataFrame = {
     require(bits >= 1 && bits <= 64, "signature is packed into one long")
     val docs = widen(docs0) // see withMinhash — no-op on streaming inputs
     graft.functions.SimhashSig.register(docs.sparkSession, bits)
-    docs.withColumn(out, graft.functions.SimhashSig(
-      array_distinct(Text.tokens(col(textCol)))))
+    val sig = graft.functions.SimhashSig(
+      array_distinct(Text.tokens(col(textCol))))
+    // evalOnce: see withMinhash — the streaming gates' anti-double-eval fence
+    docs.withColumn(out,
+      if (evalOnce) {
+        graft.functions.EvalOnce.register(docs.sparkSession)
+        graft.functions.EvalOnce(sig)
+      } else sig)
   }
 
   /** SimHash near-dup pairs with Hamming distance <= maxHamming, found via
@@ -546,6 +590,15 @@ object Dedup {
     * avoiding the O(n^2) cross product. 16-bit blocks keep band-collision
     * floods away at corpus scale (2^16 buckets per block vs 16 for the old
     * 4-bit layout).
+    */
+  /** PRECONDITION: doc_id >= 0 (every graft id source guarantees it — the
+    * order-packing contract bounds ids to [0, 2^42)). The null-signature
+    * band sentinel below is `-doc_id - 2`, provably outside the 0..65535
+    * block range ONLY for non-negative ids; a token-less doc with doc_id
+    * in [-65537, -2] would otherwise alias a real block value and could
+    * emit a spurious pair. Enforced at run time on exactly the rows that
+    * depend on it (null-signature rows pay one extra comparison; the hot
+    * path pays nothing).
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4-block banding is exact only for hamming <= 3")
@@ -579,7 +632,14 @@ object Dedup {
     val blocks = (0 until 4).map { b =>
       struct(lit(b).as("blk"),
         coalesce(
-          when(col("simhash").isNull, -col("doc_id") - 2)
+          when(col("simhash").isNull,
+            // sentinel precondition check (see scaladoc): evaluated only
+            // on null-signature rows, so the guard is free on real docs
+            when(col("doc_id") < 0, raise_error(concat(
+              lit("simhashPairs requires doc_id >= 0 (null-signature band " +
+                "sentinel would alias a block value); got "),
+              col("doc_id").cast("string"))).cast("long"))
+              .otherwise(-col("doc_id") - 2))
             .otherwise(shiftright(col("simhash"), 16 * b).bitwiseAND(lit(65535L))),
           lit(-1L)).as("v"))
     }
@@ -736,6 +796,27 @@ object Dedup {
     var labelsCk = barrier(edges.select(col("a").as("id")).distinct()
       .withColumn("label", col("id")))
     var labels = statsReset(labelsCk)
+    // BROADCAST the node-sized relations while they are broadcast-class
+    // (round 14): statsReset deliberately resets every loop-carried frame
+    // to the DEFAULT size stat, so static planning sees the label side as
+    // huge and shuffle-joins the edge list against it — measured 42 MB of
+    // shuffle write per sweep at sf1 (the dominant per-sweep stage; AQE's
+    // runtime rewrite still pays the map-side write before it can elect a
+    // broadcast). The label relation is one row per node in the PAIR
+    // graph — known exactly here from the materialized checkpoint — so
+    // gate an explicit broadcast hint on the real node count: under the
+    // gate every sweep joins the (checkpointed, never reshuffled) edge
+    // list against a broadcast and the only exchange left is the
+    // map-side-combined neighbor-min aggregate; above the gate (conf
+    // `spark.graft.cc.broadcastMaxNodes`, default 4M nodes ≈ 64 MB of
+    // packed labels) the previous shuffle shape stands — same results,
+    // the hint never risks a query-time broadcast OOM at 100 TB.
+    val nodes = labelsCk.count()
+    val bGate = pairs.sparkSession.conf
+      .getOption("spark.graft.cc.broadcastMaxNodes")
+      .map(_.toLong).getOrElse(4000000L)
+    def maybeB(df: DataFrame): DataFrame =
+      if (nodes <= bGate) broadcast(df) else df
     var changed = 1L
     var it = 0
     val ccDebug = sys.env.get("SPARK_GRAFT_CC_DEBUG").contains("1")
@@ -751,7 +832,7 @@ object Dedup {
         .union(ptr)
         .union(ptr.select(col("b").as("a"), col("a").as("b")))
       val neighborMin = g
-        .join(labels.select(col("id").as("b"), col("label").as("nl")), "b")
+        .join(maybeB(labels.select(col("id").as("b"), col("label").as("nl"))), "b")
         .groupBy(col("a").as("id"))
         .agg(min(col("nl")).as("nl"))
       // m = one fused propagate+jump step against the OLD labels. Lazily
@@ -759,15 +840,35 @@ object Dedup {
       // reference it inside the SAME action, so it is computed once into
       // cache mid-job — no extra barrier.
       val m = labels
-        .join(neighborMin, Seq("id"), "left")
+        .join(maybeB(neighborMin), Seq("id"), "left")
         .select(col("id"), col("label").as("old"),
           least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       // second, SEQUENTIAL pointer jump through the just-updated m
       // (label(v) := min(m(v), m(m(v)))) — squares the shortcut distance
-      // per sweep instead of doubling it, still within one job
-      val pre = m.as("x")
-        .join(m.select(col("id").as("lid"), col("label").as("ll")),
+      // per sweep instead of doubling it, still within one job. (A third
+      // jump was measured in round 14: sweep count stayed 8 at sf1 while
+      // each sweep got ~10% slower — the convergence constraint is the
+      // one-hop-per-sweep neighbor propagation, not pointer-chain depth.)
+      // SECOND propagation per sweep (round 14): under the broadcast gate
+      // an extra neighbor-min hop costs one more scan of the checkpointed
+      // edges + a broadcast-class aggregate — measured at sf1: sweeps
+      // 8 → 5, wall 8.4 → 7.7 s, and every sweep saved is one fewer full
+      // label-set barrier + fixpoint job (the lever that matters at the
+      // 100x tier, where per-sweep fixed cost dominates the loop).
+      val ptr2 = m.filter(col("id") =!= col("label"))
+        .select(col("id").as("a"), col("label").as("b"))
+      val g2 = edges.union(ptr2).union(ptr2.select(col("b").as("a"), col("a").as("b")))
+      val nm2 = g2
+        .join(maybeB(m.select(col("id").as("b"), col("label").as("nl2"))), "b")
+        .groupBy(col("a").as("id"))
+        .agg(min(col("nl2")).as("nl2"))
+      val m2 = m.join(maybeB(nm2), Seq("id"), "left")
+        .select(col("id"), col("old"),
+          least(col("label"), coalesce(col("nl2"), col("label"))).as("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val pre = m2.as("x")
+        .join(maybeB(m2.select(col("id").as("lid"), col("label").as("ll"))),
           col("x.label") === col("lid"), "left")
         .select(col("x.id").as("id"), col("x.old").as("old"),
           least(col("x.label"), coalesce(col("ll"), col("x.label"))).as("label"))
@@ -776,6 +877,7 @@ object Dedup {
       // shuffle — a local scan comparing the carried `old` column
       val t1 = System.nanoTime()
       m.unpersist(false)
+      m2.unpersist(false)
       changed = next.filter(col("label") =!= col("old")).count()
       if (ccDebug)
         System.err.println(f"dupClusters sweep $it: checkpoint ${(t1 - t0) / 1e9}%.2f s, " +

@@ -118,9 +118,14 @@ object Detect {
     // both references re-ran the window+agg over the full flow frame.
     // Batch-only composition (the bench/probe path; the streaming plane
     // runs its own stateful operators), so a checkpoint is legal here;
-    // the individual operators stay lazy for the oracle rows.
-    val totals = telnetTotals(flows, quirkLastWriteOnly)
-      .localCheckpoint(true)
+    // the individual operators stay lazy for the oracle rows. The
+    // isStreaming guard mirrors capDf: a streaming caller gets the lazy
+    // plan (double-eval, but a working query) instead of the
+    // AnalysisException localCheckpoint throws on streaming frames.
+    val totals = {
+      val t = telnetTotals(flows, quirkLastWriteOnly)
+      if (t.isStreaming) t else t.localCheckpoint(true)
+    }
     val cnc = electCnc(totals)
     val flagged = flaggedSources(flows)
     biasScores(totals, cnc, flagged, gateToFlagged)

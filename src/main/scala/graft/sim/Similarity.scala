@@ -75,6 +75,12 @@ object Similarity {
     */
   def cosinePairsBlocked(vecs: DataFrame, blockCol: String, threshold: Double,
                          idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // the -2.0 null-cosine sentinel in the filter below is row-identical
+    // only while the threshold exceeds it (cosine lives in [-1, 1], so any
+    // meaningful threshold does; a threshold <= -2 would let null-cosine
+    // rows — e.g. zero-norm vectors — pass)
+    require(threshold > -2.0,
+      s"threshold must be > -2.0 (cosine is in [-1, 1]); got $threshold")
     val dot = nativeDot(vecs)
     val v = vecs.select(col(idCol).as("id"), col(blockCol).as("blk"), col(vecCol).as("v"))
       .withColumn("n", sqrt(dot(col("v"), col("v"))))
@@ -562,9 +568,9 @@ object Similarity {
     * `q_id`/`cos` — so the collision fails at BUILD time, by name.
     */
   val ReservedIndexCols: Set[String] = Set(
-    "c_id", "v", "n", "cell", "g", "__g", "codes", "rn", "q8", "q8_scale",
-    "qn", "cid", "cv0", "cn0", "ccos", "q_id", "cos", "qv", "qa", "qan",
-    "qtab", "num", "crn", "rank")
+    "c_id", "v", "n", "cell", "g", "__g", "__pqb", "codes", "rn", "q8",
+    "q8_scale", "qn", "cid", "cv0", "cn0", "ccos", "q_id", "cos", "qv",
+    "qa", "qan", "qtab", "num", "crn", "rank")
 
   private def requireCarryNames(carry: Seq[String]): Unit = {
     val clash = carry.filter(ReservedIndexCols)
@@ -765,29 +771,26 @@ object Similarity {
         // per (vector, sub) argmin-L2 entry, packed into one codes array
         // (sub order) plus the reconstruction norm `rn` — precomputable
         // exactly because subspaces are disjoint coordinates, so
-        // |x̂|² = Σ_sub |codebook[sub][code]|²
-        val (cbRaw, pqM, w) =
-          pqCodebooks.getOrElse(readPqCodebooks(spark, path))
-        val l2 = nativeL2Sq(vecs)
-        val cbn = broadcast(cbRaw.withColumn("cn2", dot(col("cv"), col("cv"))))
-        // codes derive from the INPUT, not from `assigned` — the coarse
-        // crossJoin sweep must run once, not once per consumer of the
-        // assigned subtree (exchange reuse is an optimizer courtesy, not
-        // a contract); the extra input scan is a plain parquet re-read
-        val codes = subVecRows(vecs.select(col(idCol).as("c_id"),
-            col(vecCol).as("v")), "c_id", "v", pqM, w)
-          .join(cbn, Seq("sub"))
-          .withColumn("d2", l2(col("sv"), col("cv")))
-          .groupBy(col("pid"), col("sub"))
-          .agg(min_by(struct(col("cid"), col("cn2")), struct(col("d2"), col("cid"))).as("ch"))
-          .groupBy(col("pid"))
-          .agg(sort_array(collect_list(struct(col("sub"),
-            col("ch.cid").as("cid"), col("ch.cn2").as("cn2")))).as("cs"))
-          .select(col("pid").as("c_id"),
-            transform(col("cs"), s => s.getField("cid").cast("int")).as("codes"),
-            sqrt(aggregate(col("cs"), lit(0.0d),
-              (a, s) => a + s.getField("cn2"))).as("rn"))
-        assigned.drop("v", "n").join(codes, Seq("c_id"))
+        // |x̂|² = Σ_sub |codebook[sub][code]|². Round 14: the codebooks
+        // are literal-sized, so the whole encode is a map-only projection
+        // FUSED onto the assign sweep's output ([[pqBestEntries]]) — the
+        // previous shape re-scanned the input, exploded it ×pqM, blew it
+        // up ×pqK through a broadcast join, shuffled it twice ((pid, sub)
+        // argmin + per-pid pack) and joined it back onto `assigned`; all
+        // of that folds into per-row expressions with identical math
+        // (same native L2 fold, same (d2, cid) tie-break, same sub-order
+        // left fold for rn — parity-pinned by the s15/s16 oracle rows).
+        val cbDf = pqCodebooks.map(_._1).getOrElse(readPqCodebooks(spark, path)._1)
+        val (entries, _, w) = collectPqEntries(cbDf)
+        graft.functions.PqEncode.register(spark, entries, w)
+        // one shared `__pqb` struct column: codes and rn both read it, and
+        // CollapseProject does not inline a non-cheap alias referenced
+        // twice — the kernel runs once per row, not once per consumer
+        assigned
+          .withColumn("__pqb", graft.functions.PqEncode(col("v")))
+          .withColumn("codes", col("__pqb").getField("codes"))
+          .withColumn("rn", col("__pqb").getField("rn"))
+          .drop("__pqb", "v", "n")
     }
     // stamp each row's GENERATION: new rows always land in their cell's
     // LIVE generation dir (compaction bumps it — see [[compactIvfIndex]]);
@@ -1325,7 +1328,18 @@ object Similarity {
                      maxPrunedPaths: Int = MaxPrunedIndexPaths,
                      probeWidenTarget: Option[Int] = None): DataFrame = {
     val dot = nativeDot(queries)
-    val cents = broadcast(spark.read.parquet(s"$path/centroids")
+    import scala.jdk.CollectionConverters._
+    // the centroid relation is broadcast-class BY CONTRACT (it is shipped
+    // whole into every assignment/probe sweep, and a broadcast hash
+    // relation is built on the driver anyway), so collect it ONCE into a
+    // local relation instead of letting each downstream broadcast re-scan
+    // the parquet store — round 14: the indexed query's fixed cost was
+    // 10 sub-200 ms jobs + ~0.9 s of driver gaps per call (OptProbe), and
+    // the store re-scans inside broadcast builds were most of the jobs
+    val centsRaw = spark.read.parquet(s"$path/centroids")
+    val centsLocal = spark.createDataFrame(
+      centsRaw.collect().toList.asJava, centsRaw.schema)
+    val cents = broadcast(centsLocal
       .withColumn("cn0", sqrt(dot(col("cv0"), col("cv0")))))
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("v"))
       .withColumn("n", sqrt(dot(col("v"), col("v"))))
@@ -1336,28 +1350,42 @@ object Similarity {
     // with the cells that actually exist on disk — an empty cell has no
     // directory; reading it would fail, skipping it is semantically
     // identical)
-    def probeAt(p: Int): (DataFrame, Array[Long]) = {
+    def probeAt(p: Int): (DataFrame, DataFrame, Array[Long]) = {
       val plan = q.crossJoin(cents)
         .withColumn("ccos", cosine(dot(col("v"), col("cv0")), col("n"), col("cn0")))
         .withColumn("crn", row_number().over(wq))
         .filter(col("crn") <= p)
-        .select(col("q_id"), col("cid").as("cell"))
-      // ONE execution of the probe sweep: the (q_id, cell) rows are
+        .select(col("q_id"), col("cid").as("cell"), col("v"), col("n"))
+      // ONE executed job per probe resolution: the (q_id, cell) rows are
       // |Q| × p — driver-bounded by the same contract that broadcasts
-      // them into the candidate join below — so collect them once and
-      // reuse the local rows for BOTH consumers (the distinct probed-cell
-      // set the pruned scan is constructed over, and the join side, as a
-      // local relation). Round 13: the previous shape collected only the
-      // distinct cells and left `qc` as a plan, so the main query job
-      // re-executed the crossJoin + window sweep inside its broadcast —
-      // one full extra job per query (twice when widening re-probes).
+      // them into the candidate join below — so collect them once, WITH
+      // the query vector and its norm (computed by the same native
+      // expressions the join side used to recompute), and serve every
+      // downstream consumer from local relations: the distinct probed-cell
+      // set, the (q_id, cell) join side, and the query-vector join side.
+      // Round 13 collected only (q_id, cell) and left the vector side as
+      // a plan, so each branch's broadcast build re-scanned the queries
+      // source — one full extra scan job per broadcast per call.
       val rows = plan.collect()
-      val ci = plan.schema.fieldIndex("cell")
-      import scala.jdk.CollectionConverters._
-      val qc = spark.createDataFrame(rows.toList.asJava, plan.schema)
-      (qc, rows.map(_.getLong(ci)).distinct.sorted)
+      val sch = plan.schema
+      val (qi, ci, vi, ni) = (sch.fieldIndex("q_id"), sch.fieldIndex("cell"),
+        sch.fieldIndex("v"), sch.fieldIndex("n"))
+      val qc = spark.createDataFrame(
+        rows.map(r => org.apache.spark.sql.Row(r.get(qi), r.get(ci)))
+          .toList.asJava,
+        org.apache.spark.sql.types.StructType(Seq(sch(qi), sch(ci))))
+      // one row per query id (probe rows repeat per probed cell; a caller
+      // passing duplicate query ids gets one representative row — the
+      // previous shape produced interleaved per-duplicate garbage anyway)
+      val seen = scala.collection.mutable.HashSet[Any]()
+      val qLoc = spark.createDataFrame(
+        rows.iterator.filter(r => seen.add(r.get(qi)))
+          .map(r => org.apache.spark.sql.Row(r.get(qi), r.get(vi), r.get(ni)))
+          .toList.asJava,
+        org.apache.spark.sql.types.StructType(Seq(sch(qi), sch(vi), sch(ni))))
+      (qc, qLoc, rows.map(_.getLong(ci)).distinct.sorted)
     }
-    val (qCells0, probed0) = probeAt(nprobe)
+    val (qCells0, qLoc0, probed0) = probeAt(nprobe)
     val assignedRoot = s"$path/assigned"
     // SELECTIVITY-AWARE PROBE WIDENING (opt-in): a highly selective
     // candidateFilter thins qualifying vectors per probed cell — at
@@ -1391,8 +1419,8 @@ object Similarity {
         }
       case _ => nprobe
     }
-    val (qCells, probed) =
-      if (effNprobe > nprobe) probeAt(effNprobe) else (qCells0, probed0)
+    val (qCells, qLoc, probed) =
+      if (effNprobe > nprobe) probeAt(effNprobe) else (qCells0, qLoc0, probed0)
     // tombstones BEFORE the generation summary — compactIvfIndex publishes
     // the rewritten generations first and retires tombstones second, so
     // this order keeps every interleaving consistent (an old tombstone
@@ -1452,10 +1480,14 @@ object Similarity {
     // queries, so each candidate costs pqM map lookups instead of a
     // dim-wide dot. Probing above always uses exact floats against the
     // float centroids either way.
+    // every query-side relation below derives from the LOCAL probe rows
+    // (qLoc), never from the distributed queries plan — the expressions
+    // are unchanged, so values are bit-identical, but the broadcast
+    // builds stop re-scanning the queries source once per branch
     val scored =
       if (assigned0.columns.contains("codes")) {
         val (cbRaw, pqM, w) = readPqCodebooks(spark, path)
-        val qtab = q.crossJoin(broadcast(cbRaw))
+        val qtab = qLoc.crossJoin(broadcast(cbRaw))
           .withColumn("t", dot(slice(col("v"), col("sub") * w + 1, lit(w)), col("cv")))
           .groupBy(col("q_id"))
           .agg(first(col("n")).as("qn"),
@@ -1473,7 +1505,7 @@ object Similarity {
           .select(col("q_id"), col("c_id"), col("cos"))
       } else if (assigned0.columns.contains("q8")) {
         val dotI = nativeDotInt(queries)
-        val qq = withQuantized(q.select(col("q_id"), col("v")), "v", "qa")
+        val qq = withQuantized(qLoc.select(col("q_id"), col("v")), "v", "qa")
           .withColumn("qan", sqrt(dotI(col("qa"), col("qa")).cast(DoubleType)))
           .select(col("q_id"), col("qa"), col("qan"))
         assigned.join(broadcast(qCells), Seq("cell"))
@@ -1485,7 +1517,7 @@ object Similarity {
       } else
         assigned.join(broadcast(qCells), Seq("cell"))
           .filter(col("q_id") =!= col("c_id"))
-          .join(broadcast(q.select(col("q_id"), col("v").as("qv"), col("n").as("qn"))),
+          .join(broadcast(qLoc.select(col("q_id"), col("v").as("qv"), col("n").as("qn"))),
             Seq("q_id"))
           .withColumn("cos", cosine(dot(col("qv"), col("v")), col("qn"), col("n")))
           .select(col("q_id"), col("c_id"), col("cos"))
@@ -1630,23 +1662,61 @@ object Similarity {
           s"$path holds no pq_codebooks — it was not built with storage=\"pq\" " +
             "(or the codebook write was torn); rebuild with buildIvfIndex(storage = \"pq\")", e)
       }
-    val mw = cbRaw.agg(max(col("sub")).as("m"), max(size(col("cv"))).as("w")).head()
-    if (mw.isNullAt(0))
+    // the codebooks are pqM × pqK tiny rows and every consumer broadcasts
+    // them — collect once into a local relation (round 14: the previous
+    // shape paid one (pqM, w) aggregate job plus a store re-scan inside
+    // each consumer's broadcast build) and derive (pqM, w) from the rows
+    val rows = cbRaw.collect()
+    if (rows.isEmpty)
       throw new IllegalStateException(
         s"$path/pq_codebooks is empty — the quantizer trained on zero rows " +
           "(empty train corpus?); rebuild over a non-empty corpus")
-    (cbRaw, mw.getInt(0) + 1, mw.getInt(1))
+    import scala.jdk.CollectionConverters._
+    val si = cbRaw.schema.fieldIndex("sub")
+    val ci = cbRaw.schema.fieldIndex("cv")
+    val local = spark.createDataFrame(rows.toList.asJava, cbRaw.schema)
+    (local, rows.map(_.getInt(si)).max + 1,
+      rows.map(_.getAs[scala.collection.Seq[Float]](ci).size).max)
   }
 
-  /** (pid, sub, sv) subvector rows of `df` — a map-only explode of each
-    * vector into `pqM` w-wide slices (1-based `slice`, disjoint
-    * coordinate ranges).
+  /** Driver-side twin of [[graft.functions.DotProductExpr]]'s fold:
+    * left-to-right double accumulation over index-paired float products —
+    * used to stamp codebook literals (`cn2`) with values bit-identical to
+    * what the distributed expression computed before the round-14 fuse.
     */
-  private def subVecRows(df: DataFrame, idCol: String, vecCol: String,
-                         pqM: Int, w: Int): DataFrame =
-    df.select(col(idCol).as("pid"), explode(array((0 until pqM).map(s =>
-        struct(lit(s).as("sub"), slice(col(vecCol), s * w + 1, w).as("sv"))): _*)).as("sx"))
-      .select(col("pid"), col("sx.sub").as("sub"), col("sx.sv").as("sv"))
+  private def dotFoldLocal(a: scala.collection.Seq[Float],
+                           b: scala.collection.Seq[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var acc = 0.0; var i = 0
+    while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+    acc
+  }
+
+  /** Collect a (sub, cid, cv) codebook relation into per-sub entry lists
+    * `(cid, cv, cn2)` sorted by cid, plus (pqM, w). The codebooks are
+    * pqM × pqK tiny rows and BROADCAST-bound by construction, so the
+    * collect adds no driver load the broadcast build did not already pay;
+    * what it buys is literal codebook arrays the assignment/encode passes
+    * fold into map-only expressions (no explode, no ×pqK join blowup, no
+    * per-vector shuffle — round 14, guide §1.2 step 1 / §2.4).
+    */
+  private def collectPqEntries(cb: DataFrame)
+      : (IndexedSeq[IndexedSeq[(Int, Array[Float], Double)]], Int, Int) = {
+    val rows = cb.select(col("sub"), col("cid"), col("cv")).collect()
+    require(rows.nonEmpty, "pq codebook relation is empty")
+    val bySub = rows.groupBy(_.getInt(0))
+    val pqM = bySub.keySet.max + 1
+    require(bySub.keySet == (0 until pqM).toSet,
+      s"pq codebook is missing a subspace: have subs ${bySub.keySet.toSeq.sorted}")
+    val entries = (0 until pqM).map { s =>
+      bySub(s).map { r =>
+        val cv = r.getAs[scala.collection.Seq[Float]](2).toArray
+        (r.getInt(1), cv, dotFoldLocal(cv, cv))
+      }.sortBy(_._1).toIndexedSeq
+    }
+    (entries, pqM, entries.iterator.flatten.map(_._2.length).max)
+  }
+
 
   /** Exact left-fold squared L2 distance between two float arrays:
     * `(a_k − b_k)²` accumulated in index order as doubles — the same
@@ -1697,34 +1767,66 @@ object Similarity {
     require(pqK >= 1 && pqK < PqKeySpace,
       s"pqK must be in [1, $PqKeySpace), got $pqK")
     val w = dim / pqM
-    val subs = subVecRows(train, idCol, vecCol, pqM, w)
     val h = graft.ops.Sampling.hashUnit(col("pid"), seedSalt)
-    // the single-partition window ranks only the pqK TakeOrdered rows
-    val lim = train.select(col(idCol).as("pid")).withColumn("hh", h)
-      .orderBy(col("hh"), col("pid")).limit(pqK)
-    val seedIds = lim.withColumn("cid",
-        row_number().over(Window.orderBy(col("hh"), col("pid"))) - 1)
-      .select(col("pid"), col("cid"))
-    var cb = subs.join(broadcast(seedIds), Seq("pid"))
-      .select(col("sub"), col("cid"), col("sv").as("cv"))
-    for (_ <- 0 until refineIters)
-      cb = refinePqCodebooks(subs, cb, w, gridScale)
+    // seed pick: collect the pqK seed VECTORS in (hh, id) order — one
+    // TakeOrdered job over pqK × dim floats, driver-trivial — and slice
+    // them into per-sub entries locally; cid = seed rank, exactly the
+    // row_number() − 1 the previous shape computed. Round 14: the seed
+    // codebook (and every refined one) is pqM × pqK broadcast-bound rows,
+    // so holding it as driver entries lets each Lloyd step run as ONE
+    // map-only assignment expression + ONE (sub, cid) aggregate instead
+    // of a ×pqK broadcast-join blowup followed by a full (pid, sub)
+    // shuffle and a second aggregate (guide §1.2 step 1 / §2.4).
+    val seedRows = train.select(col(idCol).as("pid"), col(vecCol).as("v"))
+      .withColumn("hh", h).orderBy(col("hh"), col("pid")).limit(pqK)
+      .select(col("v")).collect()
+    if (seedRows.isEmpty)
+      throw new IllegalStateException(
+        "pq codebooks cannot train: the quantizer trained on zero rows " +
+          "(empty train corpus?); rebuild over a non-empty corpus")
+    var entries: IndexedSeq[IndexedSeq[(Int, Array[Float], Double)]] =
+      (0 until pqM).map { s =>
+        seedRows.toIndexedSeq.zipWithIndex.map { case (r, rank) =>
+          val cv = r.getAs[scala.collection.Seq[Float]](0)
+            .slice(s * w, s * w + w).toArray
+          (rank, cv, dotFoldLocal(cv, cv))
+        }
+      }
+    def entriesDf(es: IndexedSeq[IndexedSeq[(Int, Array[Float], Double)]]): DataFrame = {
+      import train.sparkSession.implicits._
+      es.zipWithIndex.flatMap { case (sub, s) =>
+        sub.map { case (cid, cv, _) => (s, cid, cv.toSeq) }
+      }.toDF("sub", "cid", "cv")
+    }
+    var cb: DataFrame = entriesDf(entries)
+    for (_ <- 0 until refineIters) {
+      cb = refinePqCodebooks(train, entries, pqM, w, gridScale, vecCol)
+      entries = collectPqEntries(cb)._1
+      cb = entriesDf(entries) // local relation: downstream consumers broadcast it
+    }
     cb
   }
 
   /** One per-subspace Lloyd step: assign every train subvector to its
     * argmin-L2 entry (ties to the smaller cid), replace each nonempty
     * entry with the grid-exact componentwise mean of its members — the
-    * [[refineCentroids]] discipline applied per (sub, cid).
+    * [[refineCentroids]] discipline applied per (sub, cid). The
+    * assignment is a map-only [[pqBestEntries]] expression against the
+    * literal current codebook; the only shuffle is the (sub, cid) mean
+    * aggregate (map-side partial sums).
     */
-  private def refinePqCodebooks(subs: DataFrame, cb: DataFrame,
-                                w: Int, gridScale: Int): DataFrame = {
-    val l2 = nativeL2Sq(subs)
-    val assigned = subs.join(broadcast(cb), Seq("sub"))
-      .withColumn("d2", l2(col("sv"), col("cv")))
-      .groupBy(col("pid"), col("sub"))
-      .agg(first(col("sv")).as("sv"),
-        min_by(col("cid"), struct(col("d2"), col("cid"))).as("cid"))
+  private def refinePqCodebooks(train: DataFrame,
+                                entries: IndexedSeq[IndexedSeq[(Int, Array[Float], Double)]],
+                                pqM: Int, w: Int, gridScale: Int,
+                                vecCol: String): DataFrame = {
+    graft.functions.PqEncode.register(train.sparkSession, entries, w)
+    val assigned = train
+      .withColumn("__pqc", graft.functions.PqEncode(col(vecCol)))
+      .select(explode(array((0 until pqM).map(s =>
+        struct(lit(s).as("sub"),
+          element_at(col("__pqc").getField("codes"), s + 1).as("cid"),
+          slice(col(vecCol), s * w + 1, w).as("sv"))): _*)).as("sx"))
+      .select(col("sx.sub").as("sub"), col("sx.cid").as("cid"), col("sx.sv").as("sv"))
     val sums = (0 until w).map(j =>
       sum((element_at(col("sv"), j + 1) * gridScale).cast("long")).as(s"s$j"))
     assigned.groupBy(col("sub"), col("cid"))

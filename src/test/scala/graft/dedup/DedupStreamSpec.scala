@@ -69,6 +69,35 @@ class DedupStreamSpec extends SparkSpec {
       s"kernel inside a Filter:\n${filterLines.mkString("\n")}")
   }
 
+  test("streaming gates evaluate the signature kernel ONCE per micro-batch " +
+      "(evalOnce fence keeps the isNotNull gate above the projection)") {
+    def lastPlan(q: org.apache.spark.sql.streaming.StreamingQuery): String =
+      q.asInstanceOf[org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+        .streamingQuery.lastExecution.executedPlan.toString
+    val in1 = MemoryStream[(Long, String)](spark)
+    val q1 = Dedup.nearDupStream(in1.toDS().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("once_simhash")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      in1.addData((1L, "alpha beta gamma"), (2L, "alpha beta gamma"))
+      q1.processAllAvailable()
+      val plan = lastPlan(q1)
+      assert("simhashsigexpr".r.findAllIn(plan).size == 1,
+        s"simhash kernel must run once per trigger:\n$plan")
+    } finally q1.stop()
+    val in2 = MemoryStream[(Long, String)](spark)
+    val q2 = Dedup.minhashNearDupStream(in2.toDS().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("once_minhash")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      in2.addData((1L, "alpha beta gamma"), (2L, "alpha beta gamma"))
+      q2.processAllAvailable()
+      val plan = lastPlan(q2)
+      assert("minhashsigexpr".r.findAllIn(plan).size == 1,
+        s"minhash kernel must run once per trigger:\n$plan")
+    } finally q2.stop()
+  }
+
   test("nearDupStream flags near-dups across batches, equal to the batch pairs") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog tonight"),
