@@ -410,6 +410,33 @@ object OptProbe {
         val fn = SparkEntry.queries("d7_dup_clusters")
         t("d7_full") { fn(spark, sfDir).count(); () }
 
+      case "u1" =>
+        // phase attribution of the curation pipeline: quality+exact gate,
+        // simhash pair generation, the dupClusters closure, and the
+        // sampling+packing tail — so the "closure sweeps dominate" claim
+        // is a measurement, not folklore
+        import graft.queries.PipelineQueries._
+        import graft.dedup.Dedup
+        import graft.text.Text
+        import org.apache.spark.sql.functions._
+        val docs = graft.io.Tables.documents(spark, sfDir)
+        val qs = Text.qualityMetrics(col("text")).toMap.apply("quality_score")
+        val quality = docs.filter(qs >= QualityTh)
+        val minIds = quality.groupBy(col("text"))
+          .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+        def exact = quality.join(minIds, Seq("doc_id"), "left_semi")
+        t("u1_quality_exact") { exact.count(); () }
+        t("u1_simhash_pairs") {
+          val p = Dedup.simhashPairs(exact, MaxHamming); p.count(); ()
+        }
+        t("u1_pairs_plus_closure") {
+          val c = Dedup.dupClusters(Dedup.simhashPairs(exact, MaxHamming))
+          c.count(); Dedup.releaseCheckpoint(c); ()
+        }
+        t("u1_full") {
+          SparkEntry.queries("u1_curation")(spark, sfDir).count(); ()
+        }
+
       case "streamplan" =>
         // dump the EXECUTED micro-batch plan of the streaming near-dup
         // gates (evidence for the kernel-eval count: the signature kernel

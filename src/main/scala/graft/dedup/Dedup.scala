@@ -773,6 +773,51 @@ object Dedup {
       if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
     val p0 = barrier(
       pairs.select(col(iCol).cast("long").as("i"), col(jCol).cast("long").as("j")))
+    // LOCAL SOLVE under a size gate (round 14): the pair list is already
+    // materialized, so its row count is one cheap scan — and a
+    // broadcast-class pair set (conf `spark.graft.cc.localSolveMaxPairs`,
+    // default 4M pairs ≈ 64 MB of ids, the same driver-boundedness class
+    // as every broadcast build) solves exactly in milliseconds with a
+    // min-root union-find instead of paying 5+ distributed sweeps of
+    // ~0.5-1 s fixed cost each. This is size-adaptive, not core-count
+    // adaptive: on a 1000-executor cluster a 1M-pair closure is STILL
+    // communication-bound, and above the gate the sweep loop below runs
+    // unchanged (DupClustersSpec pins local == distributed on randomized
+    // graphs). A null id anywhere falls back to the distributed path so
+    // the degenerate-input semantics stay byte-identical.
+    val localMaxPairs = pairs.sparkSession.conf
+      .getOption("spark.graft.cc.localSolveMaxPairs")
+      .map(_.toLong).getOrElse(4000000L)
+    if (p0.count() <= localMaxPairs) {
+      val rows = p0.collect()
+      if (!rows.exists(r => r.isNullAt(0) || r.isNullAt(1))) {
+        // union-find keeping the SMALLER root as parent: every tree's
+        // root is its component's minimum id, so find(x) at the end IS
+        // the min-label the distributed fixpoint converges to
+        val parent = new java.util.HashMap[Long, Long](rows.length * 2)
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.get(r) != r) r = parent.get(r)
+          var c = x
+          while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
+          r
+        }
+        rows.foreach { r =>
+          val i = r.getLong(0); val j = r.getLong(1)
+          parent.putIfAbsent(i, i); parent.putIfAbsent(j, j)
+          val ri = find(i); val rj = find(j)
+          if (ri < rj) parent.put(rj, ri)
+          else if (rj < ri) parent.put(ri, rj)
+        }
+        import scala.jdk.CollectionConverters._
+        val out = parent.keySet().asScala.toSeq.map(id => (id, find(id)))
+        releaseCheckpoint(p0)
+        lastSweeps = 0 // telemetry: the closure was solved locally
+        val spark = pairs.sparkSession
+        import spark.implicits._
+        return out.toDF("doc_id", "cluster")
+      }
+    }
     val edges = p0.select(col("i").as("a"), col("j").as("b"))
       .union(p0.select(col("j").as("a"), col("i").as("b")))
     // statsReset: `localCheckpoint` PRESERVES the origin plan's Catalyst

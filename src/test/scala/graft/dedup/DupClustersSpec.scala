@@ -16,6 +16,15 @@ class DupClustersSpec extends SparkSpec {
     Dedup.dupClusters(pairs.toDF("i", "j")).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster")).toMap
 
+  /** Run `body` with the size-gated local union-find solve disabled, so
+    * the distributed sweep loop is what executes (round 14: small pair
+    * sets — every spec graph — solve on the driver by default).
+    */
+  private def forceDistributed[A](body: => A): A = {
+    spark.conf.set("spark.graft.cc.localSolveMaxPairs", "0")
+    try body finally spark.conf.unset("spark.graft.cc.localSolveMaxPairs")
+  }
+
   /** Reference components by BFS over the undirected pair graph. */
   private def bfsComponents(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
     val adj = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
@@ -60,7 +69,12 @@ class DupClustersSpec extends SparkSpec {
         val a = nextInt(25).toLong; val b = nextInt(25).toLong
         if (a == b) (a, a + 1) else (a, b)
       }
-      assert(clustersOf(pairs) == bfsComponents(pairs), s"trial $trial")
+      // default path (local union-find under the size gate) AND the
+      // distributed sweep loop must both equal the BFS reference —
+      // the cross-implementation check that pins local == distributed
+      assert(clustersOf(pairs) == bfsComponents(pairs), s"trial $trial (local)")
+      assert(forceDistributed(clustersOf(pairs)) == bfsComponents(pairs),
+        s"trial $trial (distributed)")
     }
   }
 
@@ -77,9 +91,13 @@ class DupClustersSpec extends SparkSpec {
   }
 
   test("non-convergence inside maxIters fails loudly instead of half-merging") {
+    // maxIters bounds the DISTRIBUTED sweep loop; the local solve has no
+    // iteration to bound, so pin the behavior on the distributed path
     val chain = (0L until 12L).map(i => (i, i + 1))
     val e = intercept[IllegalArgumentException] {
-      Dedup.dupClusters(chain.toDF("i", "j"), maxIters = 2).collect()
+      forceDistributed {
+        Dedup.dupClusters(chain.toDF("i", "j"), maxIters = 2).collect()
+      }
     }
     assert(e.getMessage.contains("converge"))
   }
@@ -95,8 +113,10 @@ class DupClustersSpec extends SparkSpec {
     spark.sparkContext.setCheckpointDir(dir)
     spark.conf.set("spark.graft.cc.reliableCheckpoint", "true")
     try {
-      val rel = Dedup.dupClusters(pairs).collect()
-        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val rel = forceDistributed {
+        Dedup.dupClusters(pairs).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      }
       assert(rel == base)
       // the barriers really went through the reliable path: checkpoint
       // files exist under the configured dir
