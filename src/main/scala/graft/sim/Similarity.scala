@@ -738,26 +738,39 @@ object Similarity {
                               pqCodebooks: Option[(DataFrame, Int, Int)] = None)
       : Unit = {
     val spark = vecs.sparkSession
-    val dot = nativeDot(vecs)
     // read (don't recompute) the centroids: build reuses its just-written
     // refinement, append sees exactly what the build stored. A caller
     // holding the stream-lifetime cache passes it in so each micro-batch
-    // broadcasts from memory instead of re-scanning the parquet store
-    val centsR = broadcast(centroids
-      .getOrElse(spark.read.parquet(s"$path/centroids"))
-      .withColumn("cn0", sqrt(dot(col("cv0"), col("cv0")))))
+    // collects from memory instead of re-scanning the parquet store.
+    // Round 14: the assignment is MAP-ONLY — the centroid table (tiny by
+    // construction; it was broadcast whole before) rides inside the
+    // native [[graft.functions.ArgTopCells]] kernel, so the per-vector
+    // argmax costs no crossJoin row blowup and, crucially, no groupBy
+    // EXCHANGE of the whole corpus: the build's only remaining shuffle is
+    // the cell-clustered write below. Ranking semantics are the previous
+    // max_by(cid, struct(ccos, -cid)) verbatim (see the kernel's scaladoc;
+    // the s6/s8/... oracle rows replay them in DuckDB).
+    val cents = collectCentEntries(
+      centroids.getOrElse(spark.read.parquet(s"$path/centroids")))
     // `carry` = metadata columns stored alongside each vector — what
     // makes FILTERED search answerable from the index alone
-    val aggs = Seq(first(col("v")).as("v"), first(col("n")).as("n")) ++
-      carry.map(c => first(col(c)).as(c)) :+
-      max_by(col("cid"), struct(col("ccos"), (-col("cid")).as("nc"))).as("cell")
-    val assigned = vecs.select(col(idCol).as("c_id") +: col(vecCol).as("v") +:
-        carry.map(col): _*)
-      .withColumn("n", sqrt(dot(col("v"), col("v"))))
-      .crossJoin(centsR)
-      .withColumn("ccos", cosine(dot(col("v"), col("cv0")), col("n"), col("cn0")))
-      .groupBy(col("c_id"))
-      .agg(aggs.head, aggs.tail: _*)
+    val base = vecs.select(col(idCol).as("c_id") +: col(vecCol).as("v") +:
+      carry.map(col): _*)
+    val outCols = Seq(col("c_id"), col("v"), col("n")) ++
+      carry.map(col) :+ col("cell")
+    val assigned =
+      if (cents.isEmpty)
+        // no centroids, no assignable rows — the empty frame the old
+        // crossJoin shape produced, same schema
+        base.withColumn("n", lit(0.0d)).withColumn("cell", lit(0L))
+          .limit(0).select(outCols: _*)
+      else {
+        graft.functions.ArgTopCells.register(spark, cents, 1)
+        base.withColumn("__ac", graft.functions.ArgTopCells(col("v")))
+          .withColumn("n", col("__ac").getField("n"))
+          .withColumn("cell", element_at(col("__ac").getField("cells"), 1))
+          .select(outCols: _*)
+      }
     val stored = storage match {
       case "float32" => assigned
       case "int8" =>
@@ -1329,21 +1342,12 @@ object Similarity {
                      probeWidenTarget: Option[Int] = None): DataFrame = {
     val dot = nativeDot(queries)
     import scala.jdk.CollectionConverters._
-    // the centroid relation is broadcast-class BY CONTRACT (it is shipped
-    // whole into every assignment/probe sweep, and a broadcast hash
-    // relation is built on the driver anyway), so collect it ONCE into a
-    // local relation instead of letting each downstream broadcast re-scan
-    // the parquet store — round 14: the indexed query's fixed cost was
-    // 10 sub-200 ms jobs + ~0.9 s of driver gaps per call (OptProbe), and
-    // the store re-scans inside broadcast builds were most of the jobs
-    val centsRaw = spark.read.parquet(s"$path/centroids")
-    val centsLocal = spark.createDataFrame(
-      centsRaw.collect().toList.asJava, centsRaw.schema)
-    val cents = broadcast(centsLocal
-      .withColumn("cn0", sqrt(dot(col("cv0"), col("cv0")))))
-    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("v"))
-      .withColumn("n", sqrt(dot(col("v"), col("v"))))
-    val wq = Window.partitionBy(col("q_id")).orderBy(col("ccos").desc, col("cid").asc)
+    // the centroid relation is broadcast-class BY CONTRACT (it was shipped
+    // whole into every probe sweep), so collect it ONCE into kernel
+    // entries — round 14: the indexed query's fixed cost was 10 sub-200 ms
+    // jobs + ~0.9 s of driver gaps per call (OptProbe), dominated by store
+    // re-scans inside broadcast builds and the probe's window exchange
+    val centEntries = collectCentEntries(spark.read.parquet(s"$path/centroids"))
     // the probe resolution, parameterized so the filtered path can widen
     // it: per-query top-p cells plus the eagerly-collected distinct cell
     // set the pruned scan is constructed over (intersected downstream
@@ -1351,21 +1355,28 @@ object Similarity {
     // directory; reading it would fail, skipping it is semantically
     // identical)
     def probeAt(p: Int): (DataFrame, DataFrame, Array[Long]) = {
-      val plan = q.crossJoin(cents)
-        .withColumn("ccos", cosine(dot(col("v"), col("cv0")), col("n"), col("cn0")))
-        .withColumn("crn", row_number().over(wq))
-        .filter(col("crn") <= p)
-        .select(col("q_id"), col("cid").as("cell"), col("v"), col("n"))
+      // MAP-ONLY probe (round 14): the top-p cell ranking runs inside the
+      // native ArgTopCells kernel against the collected centroids — the
+      // previous crossJoin + row_number window cost a per-query exchange
+      // and a multi-stage job per probe resolution. One single-stage
+      // collect returns (q_id, cell, v, n); the ranking semantics are the
+      // window's (ccos DESC, cid ASC) verbatim.
+      graft.functions.ArgTopCells.register(spark, centEntries, p)
+      val plan = queries.select(col(idCol).as("q_id"), col(vecCol).as("v"))
+        .withColumn("__tc", graft.functions.ArgTopCells(col("v")))
+        .select(col("q_id"), col("v"),
+          col("__tc").getField("n").as("n"),
+          explode(col("__tc").getField("cells")).as("cell"))
       // ONE executed job per probe resolution: the (q_id, cell) rows are
       // |Q| × p — driver-bounded by the same contract that broadcasts
       // them into the candidate join below — so collect them once, WITH
-      // the query vector and its norm (computed by the same native
-      // expressions the join side used to recompute), and serve every
-      // downstream consumer from local relations: the distinct probed-cell
-      // set, the (q_id, cell) join side, and the query-vector join side.
-      // Round 13 collected only (q_id, cell) and left the vector side as
-      // a plan, so each branch's broadcast build re-scanned the queries
-      // source — one full extra scan job per broadcast per call.
+      // the query vector and its norm (computed by the same fold the join
+      // side used to recompute), and serve every downstream consumer from
+      // local relations: the distinct probed-cell set, the (q_id, cell)
+      // join side, and the query-vector join side. Round 13 collected
+      // only (q_id, cell) and left the vector side as a plan, so each
+      // branch's broadcast build re-scanned the queries source — one full
+      // extra scan job per broadcast per call.
       val rows = plan.collect()
       val sch = plan.schema
       val (qi, ci, vi, ni) = (sch.fieldIndex("q_id"), sch.fieldIndex("cell"),
@@ -1582,18 +1593,20 @@ object Similarity {
   def refineCentroids(corpus: DataFrame, centroids: DataFrame, dim: Int,
                       gridScale: Int = 1024,
                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val dot = nativeDot(corpus)
-    val cents = broadcast(centroids
-      .select(col("cid"), col("cv0"))
-      .withColumn("cn0", sqrt(dot(col("cv0"), col("cv0")))))
+    // round 14: map-only assignment via the [[graft.functions.ArgTopCells]]
+    // kernel (same max_by(cid, struct(ccos, -cid)) ranking — see
+    // assignIntoIndex) — the Lloyd step's per-vector argmax no longer pays
+    // a crossJoin + full-corpus groupBy exchange; the one shuffle left is
+    // the (cell) mean aggregate below, with map-side partial sums
+    val cents = collectCentEntries(centroids.select(col("cid"), col("cv0")))
+    if (cents.isEmpty)
+      // no centroids: the empty (cid, cv0) frame the crossJoin produced
+      return centroids.select(col("cid"), col("cv0")).limit(0)
+    graft.functions.ArgTopCells.register(corpus.sparkSession, cents, 1)
     val assigned = corpus
-      .select(col(idCol).as("c_id"), col(vecCol).as("v"))
-      .withColumn("n", sqrt(dot(col("v"), col("v"))))
-      .crossJoin(cents)
-      .withColumn("ccos", cosine(dot(col("v"), col("cv0")), col("n"), col("cn0")))
-      .groupBy(col("c_id"))
-      .agg(first(col("v")).as("v"),
-        max_by(col("cid"), struct(col("ccos"), (-col("cid")).as("nc"))).as("cell"))
+      .select(col(vecCol).as("v"))
+      .withColumn("cell", element_at(
+        graft.functions.ArgTopCells(col("v")).getField("cells"), 1))
     val sums = (0 until dim).map(d =>
       sum((element_at(col("v"), d + 1) * gridScale).cast("long")).as(s"s$d"))
     assigned.groupBy(col("cell"))
@@ -1691,6 +1704,20 @@ object Similarity {
     while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
     acc
   }
+
+  /** Collect a (cid, cv0) centroid relation into (cid, cv0, cn0) entries
+    * sorted ascending by cid — the referenced-object form the map-only
+    * assignment/probe kernel ([[graft.functions.ArgTopCells]]) rides on.
+    * The centroid table is broadcast-class BY CONSTRUCTION (it was
+    * broadcast whole into every sweep), so the collect adds no driver
+    * load; cn0 uses the same left fold the expression form computed.
+    */
+  private def collectCentEntries(cents: DataFrame)
+      : IndexedSeq[(Long, Array[Float], Double)] =
+    cents.select(col("cid"), col("cv0")).collect().map { r =>
+      val cv = r.getAs[scala.collection.Seq[Float]](1).toArray
+      (r.getLong(0), cv, math.sqrt(dotFoldLocal(cv, cv)))
+    }.sortBy(_._1).toIndexedSeq
 
   /** Collect a (sub, cid, cv) codebook relation into per-sub entry lists
     * `(cid, cv, cn2)` sorted by cid, plus (pqM, w). The codebooks are
